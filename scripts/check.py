@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(sbt "runMain graft.Verify <sfDir> <outDir>"), then this script compares
+each <outDir>/<name> parquet against the DuckDB oracle in oracle_sql.json.
+
+Compare semantics (mirrors the driver): sort columns by name, sort rows,
+hash values. Reports per-query match/mismatch with a diff preview.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_rowsonly = 0
+    for d in sorted(glob.glob(f"{out_dir}/q*")):
+        name = os.path.basename(d)
+        spark_df = duckdb.connect().execute(
+            f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+        if name not in oracle:
+            n_rowsonly += 1
+            print(f"  {name}: rows-only ({len(spark_df)} rows)")
+            continue
+        try:
+            ora_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            n_bad += 1
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            continue
+        a, b = canon(spark_df), canon(ora_df)
+        if list(a.columns) != list(b.columns):
+            n_bad += 1
+            print(f"✗ {name}: COLUMNS spark={list(a.columns)} oracle={list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            n_bad += 1
+            print(f"✗ {name}: ROWS spark={len(a)} oracle={len(b)}")
+            continue
+        # value compare with exact equality (hash-match proxy)
+        try:
+            eq = a.equals(b)
+            if not eq:
+                # dtype-tolerant elementwise check
+                diff_cols = []
+                for c in a.columns:
+                    av, bv = a[c], b[c]
+                    if not (av.astype(object).where(pd.notna(av), None)
+                            .equals(bv.astype(object).where(pd.notna(bv), None))):
+                        diff_cols.append(c)
+                if diff_cols:
+                    n_bad += 1
+                    print(f"✗ {name}: VALUES differ in {diff_cols}")
+                    for c in diff_cols[:2]:
+                        mask = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
+                        idx = mask[mask].index[:3]
+                        for i in idx:
+                            print(f"    row {i} col {c}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+                    continue
+            n_ok += 1
+            print(f"✓ {name}: match ({len(a)} rows)")
+        except Exception as e:
+            n_bad += 1
+            print(f"✗ {name}: COMPARE ERROR {e}")
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

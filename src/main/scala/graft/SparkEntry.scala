@@ -1,13 +1,224 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, RefQueries, Similarity, TextQueries}
+import graft.multimodal.Multimodal
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a batch-checkable operator from SURVEY.md §2
+  * (reference parity) or the beyond-reference training-data surface
+  * (dedup / similarity / text analysis / multimodal). Queries with a DuckDB
+  * oracle in `oracleSql` mirror the oracle exactly: same column names, same
+  * deterministic arithmetic (decimal-exact sums, integer time math, rounded
+  * similarity scores), same ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full star-schema enrichment (reference OrderWideApp's
+    * 6-dim lookup join re-expressed as broadcast joins). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RefQueries.starWide(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY.md §2) ----
+    "q01_pricing_summary" -> (RefQueries.pricingSummary _),
+    "q02_window_stats"    -> (RefQueries.windowStats _),
+    "q03_province_stats"  -> (RefQueries.provinceStats _),
+    "q04_order_line_band" -> (RefQueries.orderLineBand _),
+    "q05_star_wide"       -> (RefQueries.starWide _),
+    "q06_uv_per_day"      -> (RefQueries.uvPerDay _),
+    "q07_jump_detect"     -> (RefQueries.jumpDetect _),
+    "q08_session_entries" -> (RefQueries.sessionEntries _),
+    "q09_gmv"             -> (RefQueries.gmvPerDay _),
+    "q10_keyword_count"   -> (RefQueries.keywordCount _),
+    "q11_metric_unpivot"  -> (RefQueries.metricUnpivot _),
+    "q12_new_visitor"     -> (RefQueries.newVisitorStats _),
+    "q13_json_extract"    -> (RefQueries.jsonExtract _),
+    "q14_top_parts"       -> (RefQueries.topPartsPerBrand _),
+    // ---- training-data pipeline (beyond-reference) ----
+    "q15_dedup_exact"     -> (Dedup.exactDupGroups _),
+    "q16_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q17_minhash_pairs"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q18_simhash"         -> (Dedup.simhashFingerprints _),
+    "q19_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q20_ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q21_ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q22_langid"          -> (TextQueries.langId _),
+    "q23_quality"         -> (TextQueries.qualityScore _),
+    "q24_token_count"     -> (TextQueries.tokenCount _),
+    "q25_fingerprint"     -> (TextQueries.fingerprint _),
+    "q26_media_stats"     -> (Multimodal.mediaStats _),
+  )
+
+  /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
+    * simhash / LSH buckets use Spark's xxhash64, which DuckDB lacks) — the
+    * driver records a rows-only check for those; their semantics are
+    * instead asserted against exact ground truth in the ScalaTest specs. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_window_stats" ->
+      """SELECT ((epoch_ns(ts)//1000000000)//3600)*3600 AS win_start, event_type,
+        |  COUNT(*) AS pv_ct, COUNT(DISTINCT user_id) AS uv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q03_province_stats" ->
+      """SELECT r_name, n_name, COUNT(DISTINCT o_orderkey) AS order_ct,
+        |  COUNT(DISTINCT o_custkey) AS customer_ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q04_order_line_band" ->
+      """SELECT o_orderpriority, COUNT(*) AS line_ct,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_star_wide" ->
+      """SELECT n_name, p_brand, COUNT(*) AS line_ct,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
+    "q06_uv_per_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS uv_ct,
+        |  COUNT(*) AS pv_ct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_jump_detect" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec FROM (
+        |  SELECT user_id, event_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |WHERE nxt IS NULL OR epoch_ns(nxt) - epoch_ns(ts) > 600000000000
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q08_session_entries" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS session_ct FROM (
+        |  SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv
+        |  FROM events)
+        |WHERE prv IS NULL OR epoch_ns(ts) - epoch_ns(prv) > 1800000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_gmv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |  COUNT(*) AS order_ct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_keyword_count" ->
+      """SELECT keyword, COUNT(*) AS ct FROM (
+        |  SELECT unnest([t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0]) AS keyword
+        |  FROM documents)
+        |GROUP BY keyword ORDER BY keyword""".stripMargin,
+    "q11_metric_unpivot" ->
+      """WITH agg AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, metric, value FROM (
+        |  SELECT event_type, 'ct' AS metric, ct AS value FROM agg
+        |  UNION ALL SELECT event_type, 'sum_value' AS metric, sum_value AS value FROM agg)
+        |WHERE value > 0 ORDER BY event_type, metric""".stripMargin,
+    "q12_new_visitor" ->
+      """WITH f AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+        |    MIN(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_day
+        |  FROM events)
+        |SELECT day, CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_ct,
+        |  CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS old_ct
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(CASE WHEN CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) > 50 THEN 1 END) AS big_k_ct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_top_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p_brand, p_partkey, revenue FROM rev JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, rk, p_partkey, revenue FROM (
+        |  SELECT p_brand, p_partkey, revenue,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        |  FROM j)
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS dup_ct, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin,
+    "q16_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+        |  FROM toks WHERE len(t) >= 3)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q20_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id AS nid,
+        |  round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip(q.qe, e.embedding)]) /
+        |    (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.qe])) *
+        |     sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding]))), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, nid, sim FROM (
+        |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
+    "q22_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len([x for x in toks if list_contains(['the','a','of','and','to','in','is','it','for','on'], x)]) AS BIGINT) AS s_en,
+        |  CAST(len([x for x in toks if list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], x)]) AS BIGINT) AS s_de,
+        |  CAST(len([x for x in toks if list_contains(['el','la','de','que','y','en','un','es','por','con'], x)]) AS BIGINT) AS s_es,
+        |  CAST(len([x for x in toks if list_contains(['le','la','de','et','est','un','une','dans','pour','que'], x)]) AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang,
+        |  s_en, s_de, s_es, s_fr
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q23_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(list_sum([len(x) for x in toks]) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS mean_tok_len,
+        |  round(CAST(len([x for x in toks if list_contains(['the','a','of','and','to','in','is','it','for','on','der','die','das','und','ist','ein','zu','mit','von','nicht','el','la','de','que','y','en','un','es','por','con','le','et','est','une','dans','pour'], x)]) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q24_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len([t for t in string_split_regex(text, '\s+') if len(t) > 0]) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string([t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0], ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_media_stats" ->
+      """SELECT doc_id, 'text/plain' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

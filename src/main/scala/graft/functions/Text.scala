@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the document/training-data pipeline operators.
+  *
+  * Everything here is built from codegen-friendly `org.apache.spark.sql.
+  * functions` (split/transform/aggregate/xxhash64), no Scala UDFs: the
+  * expressions stay inside WholeStageCodegen (scalar parts) and scale
+  * linearly with data volume, with no serialization of row payloads to the
+  * JVM closure layer.
+  *
+  * Reference analogue: the tokenizer replaces the reference's IK-analyzer
+  * UDTF (gmall-realtime app/func/KeywordUDTF.java:16-26,
+  * utils/KeywordUtil.java:17-41) with a dependency-free segmentation:
+  * lowercase latin/digit runs, plus CJK bigrams from `cjkBigrams`.
+  */
+object Text {
+  /** Lowercased latin/digit tokens; empty tokens filtered. Mirrors the
+    * DuckDB oracle `string_split_regex(lower(text), '[^a-z0-9]+')`. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** CJK-aware tokens: latin runs plus overlapping CJK character bigrams
+    * (dictionary-free analogue of IK "smart" segmentation for our scope).
+    * A lone CJK char between boundaries is emitted as a unigram. */
+  def cjkTokens(text: Column): Column = {
+    val latin = tokens(text)
+    // runs of CJK chars -> overlapping bigrams
+    val cjkRuns = filter(split(text, "[^\\u4e00-\\u9fff]+"), t => length(t) > 0)
+    val bigrams = flatten(transform(cjkRuns, run =>
+      when(length(run) === 1, array(run)).otherwise(
+        transform(sequence(lit(1), length(run) - 1), i =>
+          run.substr(i, lit(2))))))
+    concat(latin, bigrams)
+  }
+
+  /** n-token shingles (default 3), distinct, joined by a single space.
+    * Returns an empty array for docs shorter than n tokens. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+
+  /** MinHash signature: k independent hash functions emulated by seeding
+    * xxhash64 with the function index; each signature slot is the min hash
+    * over the doc's shingle set. O(k * |shingles|) per row, fully
+    * distributed, no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingleCol, s =>
+        xxhash64(concat(i.cast("string"), lit("_"), s)))))
+
+  /** LSH band hashes from a minhash signature: `b` bands of `r` rows each;
+    * docs sharing any band hash are near-dup candidates. */
+  def bandHashes(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)), bi =>
+      xxhash64(bi, slice(sig, bi * lit(r) + 1, lit(r))))
+
+  /** 64-bit SimHash over a token array: 64 independent hash functions
+    * (parity of seeded xxhash64), classic sign-sum then bit assembly.
+    * Pure SQL higher-order functions — no UDF, no shuffle. */
+  def simhash64(toksExprSql: String): Column = expr(
+    s"""aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
+       |  if(aggregate($toksExprSql, 0L,
+       |       (c, t) -> c + (pmod(xxhash64(concat(cast(i as string), '_', t)), 2) * 2 - 1)) > 0,
+       |     shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: String, b: String): Column =
+    expr(s"bit_count($a ^ $b)")
+}

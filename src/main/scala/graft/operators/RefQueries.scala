@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Batch analogues of every reference operator class (SURVEY.md §2) over the
+  * driver's TPC-H-ish tables. Each query has a DuckDB oracle in
+  * `graft.SparkEntry.oracleSql`; column names and arithmetic are mirrored
+  * exactly (decimal-exact sums, integer epoch math, deterministic ordering).
+  *
+  * Scale design notes apply to every query here:
+  *  - plans are fully declarative — Catalyst pushes filters/column pruning
+  *    into the parquet scan, and partial aggregation halves shuffle volume;
+  *  - small dimensions (region/nation/supplier/part at our star schema's
+  *    ratios) are explicitly `broadcast()` so fact tables never shuffle for
+  *    enrichment — the Spark-native replacement for the reference's async
+  *    dim lookup + Redis cache (app/func/DimAsyncFunction.java:26-79);
+  *  - event-time comes from the `events.ts` nanosecond longs; all window
+  *    math is integer (ns -> sec) so it is exact at any scale.
+  */
+object RefQueries {
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads as nanosecond
+    * Long via spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench and
+    * defensively here). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    Tables.load(s, dir, "events")
+  }
+
+  private val tsSec: Column = expr("ts div 1000000000")
+  private def day(secCol: Column): Column =
+    date_format(timestamp_seconds(secCol), "yyyy-MM-dd")
+
+  /** A1 analogue (windowed metric reduce, ProductStatsApp.java:273-299):
+    * pricing summary over lineitem — grouped exact-decimal sums. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A2/A4/A5 analogue (tumbling event-time window aggregation,
+    * VisitorStatsApp.java:169-182, ProvinceStatsSqlApp.java:53-61): 1-hour
+    * tumble per event_type with exact COUNT(DISTINCT) — the streaming twin
+    * lives in graft.streaming.WindowedStats. */
+  def windowStats(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("win_start", expr("((ts div 1000000000) div 3600) * 3600"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** A4/J3 analogue (ProvinceStatsSqlApp.java:53-61): per-nation order
+    * stats via a 3-table star join; nation/region broadcast. */
+  def provinceStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_ct"),
+        countDistinct(col("o_custkey")).as("customer_ct"),
+        exactSum(col("o_totalprice")).as("order_amount"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J1/J2 analogue (event-time interval join, OrderWideApp.java:139-152):
+    * lineitem rows shipped within 90 days of their order's date; the
+    * time-band condition composes with the equi key so the shuffle is on the
+    * key alone — same plan shape as the streaming interval join. */
+  def orderLineBand(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("line_ct"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** J3/J4/P6 analogue (6-way dim enrichment, OrderWideApp.java:155-281):
+    * the full star — fact lineitem joined to orders, customer, nation,
+    * supplier, part; every true dimension broadcast. */
+  def starWide(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o  = Tables.load(s, dir, "orders")
+    val c  = Tables.load(s, dir, "customer")
+    val n  = Tables.load(s, dir, "nation")
+    val su = Tables.load(s, dir, "supplier")
+    val p  = Tables.load(s, dir, "part")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("line_ct"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("n_name"), col("p_brand"))
+  }
+
+  /** F2 analogue (UV / first-visit-per-day dedup, UniqueVisitApp.java:69-124):
+    * exact distinct visitors per day. */
+  def uvPerDay(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("day", day(tsSec))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("uv_ct"),
+           count(lit(1)).as("pv_ct"))
+      .orderBy(col("day"))
+  }
+
+  /** T2 analogue (CEP jump-out detection, UserJumpApp.java:88-158): a
+    * "jump" is an event with no follow-up from the same user within 10
+    * minutes — batch form of the timeout side-output, via `lead`. The true
+    * streaming form (EventTimeTimeout state) is graft.streaming.UserJump. */
+  def jumpDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNull || col("nxt") - col("ts") > lit(600L * 1000000000L))
+      .select(col("user_id"), col("event_id"), tsSec.as("ts_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** F3 analogue (session-entry filter, VisitorStatsApp.java:106-125): an
+    * event opens a session if it is the user's first or follows a gap of
+    * more than 30 minutes; count session entries per day. */
+  def sessionEntries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prv", lag(col("ts"), 1).over(w))
+      .filter(col("prv").isNull || col("ts") - col("prv") > lit(1800L * 1000000000L))
+      .withColumn("day", day(tsSec))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("session_ct"))
+      .orderBy(col("day"))
+  }
+
+  /** A7 analogue (ADS GMV query, gmall-publisher ProductStatsMapper.java:16-17):
+    * daily GMV over orders. */
+  def gmvPerDay(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(exactSum(col("o_totalprice")).as("gmv"),
+           count(lit(1)).as("order_ct"))
+      .orderBy(col("day"))
+  }
+
+  /** D1/J5/A5 analogue (keyword UDTF + lateral join + tumble count,
+    * KeywordStatsApp.java:49-88): tokenize documents, explode, count per
+    * keyword — explode IS Spark's lateral view. */
+  def keywordCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("keyword"))
+      .groupBy(col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("keyword"))
+  }
+
+  /** D2/P7 analogue (KeywordProductUDTF unpivot, app/func/KeywordProductUDTF
+    * .java:14-38): per event_type metrics unpivoted to (metric, value) rows,
+    * zero rows dropped — pure built-ins, no UDTF. */
+  def metricUnpivot(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("ct"),
+           exactSum(col("value")).as("sum_value"))
+      .select(col("event_type"),
+        expr("stack(2, 'ct', ct, 'sum_value', sum_value) AS (metric, value)"))
+      .filter(col("value") > 0)
+      .orderBy(col("event_type"), col("metric"))
+  }
+
+  /** T1 analogue (new/old-visitor repair, BaseLogAPP.java:74-130): an event
+    * is "new" iff it falls on the user's first-ever active day; daily new /
+    * returning visitor event counts. Streaming twin:
+    * graft.streaming.VisitorRepair. */
+  def newVisitorStats(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .withColumn("day", day(tsSec))
+      .withColumn("first_day", min(col("day")).over(wu))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_ct"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("old_ct"))
+      .orderBy(col("day"))
+  }
+
+  /** P1 analogue (JSON parse, BaseLogAPP.java:64-70): parse the `props`
+    * JSON payload with from_json and aggregate an extracted field. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           count(when(col("k") > 50, 1)).as("big_k_ct"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
+    * reference has none; a serving-layer staple): top-3 parts by revenue
+    * within each brand. Deterministic tie-break on p_partkey. */
+  def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val p  = Tables.load(s, dir, "part")
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+    val joined = rev.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("revenue"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+}

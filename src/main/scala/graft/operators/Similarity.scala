@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float], 64 dims). Beyond-reference surface (BASELINE.json).
+  *
+  * Scale design: brute force broadcasts the (small) query set against the
+  * corpus — one corpus scan, no corpus shuffle, top-k via per-query window.
+  * The LSH variant buckets corpus AND queries by random-hyperplane signs so
+  * each query only scores its bucket — the 100 TB path; hyperplanes are
+  * derived deterministically from xxhash64 so the plan is reproducible with
+  * no driver-side randomness or state.
+  */
+object Similarity {
+
+  /** Exact double-precision dot product of two float vectors, accumulated
+    * left-to-right (mirrors the DuckDB oracle's list_sum over list_zip). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries, corpus = all
+    * other vectors. Deterministic: similarity rounded to 6 decimals before
+    * ranking, ties broken by neighbor id. */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("nid"))
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
+    * components are deterministic +-1 from xxhash64(bit, dim). */
+  private def lshBucket(vecName: String, bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc +
+       |  if(aggregate(sequence(0, size($vecName) - 1), cast(0.0 as double),
+       |       (d, i) -> d + cast(element_at($vecName, i + 1) as double) *
+       |                 (pmod(xxhash64(concat(cast(j as string), '_', cast(i as string))), 2) * 2 - 1)
+       |     ) > 0.0, shiftleft(1L, j), 0L))""".stripMargin)
+
+  /** LSH-bucketed ANN: score only (query, candidate) pairs sharing a
+    * hyperplane-sign bucket; exact cosine rerank within bucket. Recall is
+    * traded for the elimination of the cross join — the IVF-style scale
+    * path. */
+  def lshTopK(s: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10, bits: Int = 8): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket("embedding", bits).as("bucket"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val scored = emb.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("nid"))
+  }
+}
