@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSimSpec extends SparkSpec {
+
+  test("MinHash+LSH recovers the exact-Jaccard near-dup pairs (sf0.001)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact jaccard, so no false positives;
+    // recall may drop pairs whose bands all collide-miss — assert high recall
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.8).toInt,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("SimHash fingerprints are deterministic and pair search is symmetric-safe") {
+    val a = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getLong(2) <= 3))
+  }
+
+  test("brute-force ANN: self-similarity excluded, scores in [-1,1], k bounded") {
+    val rows = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 5).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    val perQ = rows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQ.forall(_ == 5))
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with same scores") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, sf, nQueries = 3, k = 5).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Scale-readiness assertions on the physical plans: these encode the
+  * "would this survive 100×" checks — broadcast joins where a dimension is
+  * small, filter pushdown reaching the parquet scan, whole-stage codegen
+  * presence. If a refactor regresses a plan shape, these fail before any
+  * benchmark does.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts the true dimensions (no shuffle for dims)") {
+    val plan = planOf(RefQueries.starWide(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val plan = RefQueries.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("pricing summary reads only needed columns (column pruning)") {
+    val df = RefQueries.pricingSummary(spark, sf)
+    val plan = planOf(df)
+    // l_orderkey/l_partkey/l_suppkey are not referenced: must be pruned
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded columns")
+    df.collect() // materialize so AQE finalizes the plan with codegen stages
+    val finalPlan = planOf(df)
+    assert(finalPlan.contains("*("), s"agg should be codegen'd:\n$finalPlan")
+  }
+
+  test("keyword explode avoids shuffling raw text (projects tokens first)") {
+    val plan = planOf(RefQueries.keywordCount(spark, sf))
+    // the exchange after explode carries only the token column + partial count
+    assert(plan.contains("HashAggregate"), "expected partial aggregation")
+  }
+}
