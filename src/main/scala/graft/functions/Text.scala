@@ -44,14 +44,15 @@ object Text {
         transform(sequence(lit(1), size(toks) - (n - 1)), i =>
           concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
 
-  /** MinHash signature: k independent hash functions emulated by seeding
-    * xxhash64 with the function index; each signature slot is the min hash
-    * over the doc's shingle set. O(k * |shingles|) per row, fully
-    * distributed, no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+  /** MinHash signature: each shingle string is hashed ONCE (xxhash64); the
+    * k "independent" hash functions re-hash that base long together with
+    * the function index — integer-domain xxhash64, no string re-hashing
+    * (which dominates cost at scale) and no overflow under ANSI mode. */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column = {
+    val baseHashes = transform(shingleCol, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, s =>
-        xxhash64(concat(i.cast("string"), lit("_"), s)))))
+      array_min(transform(baseHashes, h => xxhash64(i, h))))
+  }
 
   /** LSH band hashes from a minhash signature: `b` bands of `r` rows each;
     * docs sharing any band hash are near-dup candidates. */
@@ -59,14 +60,19 @@ object Text {
     transform(sequence(lit(0), lit(b - 1)), bi =>
       xxhash64(bi, slice(sig, bi * lit(r) + 1, lit(r))))
 
-  /** 64-bit SimHash over a token array: 64 independent hash functions
-    * (parity of seeded xxhash64), classic sign-sum then bit assembly.
-    * Pure SQL higher-order functions — no UDF, no shuffle. */
+  /** 64-bit SimHash over a token array: textbook construction — one
+    * xxhash64 per token, sign-sum each of its 64 bits, assemble the
+    * majority bits. One string hash per token; the bit loop is integer
+    * shifts. Pure SQL higher-order functions — no UDF, no shuffle. */
   def simhash64(toksExprSql: String): Column = expr(
-    s"""aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
-       |  if(aggregate($toksExprSql, 0L,
-       |       (c, t) -> c + (pmod(xxhash64(concat(cast(i as string), '_', t)), 2) * 2 - 1)) > 0,
-       |     shiftleft(1L, i), 0L))""".stripMargin)
+    s"""aggregate(
+       |  transform($toksExprSql, t -> xxhash64(t)),
+       |  array_repeat(0L, 64),
+       |  (acc, h) -> zip_with(acc, sequence(0, 63),
+       |                (a, i) -> a + ((shiftright(h, i) & 1) * 2 - 1)),
+       |  acc -> aggregate(sequence(0, 63), 0L,
+       |           (s, i) -> s + if(element_at(acc, i + 1) > 0, shiftleft(1L, i), 0L)))"""
+      .stripMargin)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: String, b: String): Column =

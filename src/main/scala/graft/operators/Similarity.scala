@@ -35,7 +35,9 @@ object Similarity {
     * ranking, ties broken by neighbor id. */
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = emb.crossJoin(broadcast(q))
@@ -64,7 +66,11 @@ object Similarity {
     * path. */
   def lshTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10, bits: Int = 8): DataFrame = {
+    // repartition: the local corpus is one parquet split; the interpreted
+    // bucket expression must run across cores (a multi-file corpus at scale
+    // parallelizes naturally)
     val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         lshBucket("embedding", bits).as("bucket"))
     val q = emb.filter(col("vec_id") < nQueries)
