@@ -49,6 +49,7 @@ object SparkEntry {
     "q24_token_count"     -> (TextQueries.tokenCount _),
     "q25_fingerprint"     -> (TextQueries.fingerprint _),
     "q26_media_stats"     -> (Multimodal.mediaStats _),
+    "q27_embed_dups"      -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -220,5 +221,14 @@ object SparkEntry {
     "q26_media_stats" ->
       """SELECT doc_id, 'text/plain' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_embed_dups" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) AS n2
+        |  FROM embeddings WHERE vec_id < 2000),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip(a.embedding, b.embedding)]) /
+        |    (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
   )
 }
