@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
+    // nanosecond Long via this legacy conf — set defensively so any session
+    // (not just Verify/Bench) can load every table
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view (used by the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -57,6 +57,44 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation would decode, rescale to
+    * (w, h), re-encode. Deterministic fake: proportionally sample payload
+    * bytes to the target "pixel" count so output size tracks (w, h). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(w * h, payload.length))
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) { out(i) = payload((i.toLong * payload.length / target).toInt); i += 1 }
+    out
+  }
+
+  /** STUB frame sampling: a real implementation would demux video and
+    * decode every k-th frame. Deterministic fake: n evenly spaced payload
+    * slices standing in for frames. */
+  def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val frames = math.max(1, math.min(n, payload.length))
+    (0 until frames).map { f =>
+      val start = f * payload.length / frames
+      val end = (f + 1) * payload.length / frames
+      java.util.Arrays.copyOfRange(payload, start, end)
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_id: Int, frame_bytes: Long)
+
+  /** Frame-sampling over the media table: one row per sampled frame —
+    * the explode-shaped step of a video pipeline, batched per partition. */
+  def sampleFrames(s: SparkSession, dir: String, n: Int = 4): Dataset[FrameRow] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        frameSampleStub(r.payload, n).zipWithIndex.map { case (fr, i) =>
+          FrameRow(r.doc_id, i, fr.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Oracle-checkable projection of the multimodal pipeline: payload byte
     * length per doc (the decode-independent part). */
   def mediaStats(s: SparkSession, dir: String): DataFrame =

@@ -32,7 +32,9 @@ object Similarity {
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, corpus = all
     * other vectors. Deterministic: similarity rounded to 6 decimals before
-    * ranking, ties broken by neighbor id. */
+    * ranking, ties broken by neighbor id. Scoring uses the codegen'd
+    * [[graft.plans.FloatVecCosine]] expression (bit-identical to the HOF
+    * formula, ~µs -> ~ns per pair). */
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 5, k: Int = 10): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -43,7 +45,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+        round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -78,7 +80,7 @@ object Similarity {
     val scored = emb.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 6).as("sim"))
+        round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -15,6 +15,17 @@ class MultimodalSpec extends SparkSpec {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("resize and frame-sample stubs: deterministic, size-correct, distributed") {
+    val payload = (0 until 1000).map(_.toByte).toArray
+    assert(Multimodal.resizeStub(payload, 10, 10).length === 100)
+    assert(Multimodal.resizeStub(payload, 100, 100).length === 1000) // capped at source
+    val frames = Multimodal.frameSampleStub(payload, 4)
+    assert(frames.length === 4 && frames.map(_.length).sum === 1000)
+    val rows = Multimodal.sampleFrames(spark, sf, n = 4).collect()
+    assert(rows.groupBy(_.doc_id).forall(_._2.length == 4))
+    assert(rows.forall(_.frame_bytes > 0))
+  }
+
   test("media stats match text byte lengths") {
     val s = spark
     import org.apache.spark.sql.functions._
