@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for the 100 TB posture.
+  *
+  * AQE's skew-join splitting covers sort-merge joins at runtime; these
+  * helpers cover the aggregation side: a hot grouping key (a default value,
+  * a null-ish sentinel, a celebrity entity) funnels its entire volume into
+  * one reducer. Salting splits each hot group into `salts` sub-groups for
+  * the partial aggregation, then combines — two shuffles of strictly
+  * smaller volume instead of one stuck straggler task.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) partial, then
+    * groupBy key final. `aggs` = (columnName, fn) with fn one of the
+    * algebraic aggregates (sum/count/min/max) so partials re-combine. */
+  def saltedAggregate(df: DataFrame, key: String, salts: Int,
+                      aggs: Seq[(String, String)]): DataFrame = {
+    // deterministic pseudo-random salt: spreads rows of one key across
+    // `salts` partial groups without a random() (reproducible plans)
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val partialCols = aggs.zipWithIndex.map { case ((c, fn), i) =>
+      expr(s"$fn($c)").as(s"_p$i")
+    }
+    val partial = salted.groupBy(col(key), col("_salt"))
+      .agg(partialCols.head, partialCols.drop(1): _*)
+    val finalCols = aggs.zipWithIndex.map { case ((_, fn), i) =>
+      val refn = if (fn == "count") "sum" else fn // counts combine by sum
+      expr(s"$refn(_p$i)").as(s"agg_$i")
+    }
+    partial.groupBy(col(key)).agg(finalCols.head, finalCols.drop(1): _*)
+  }
+
+  /** Salted broadcast join for a skewed fact⋈dim equi join: replicate the
+    * (small) dim `salts` times, salt the fact side, join on (key, salt) —
+    * splits a hot key's rows across `salts` tasks. With a broadcast dim
+    * this is usually unnecessary (no shuffle at all); it exists for the
+    * case where the dim is too big to broadcast but the fact is skewed. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("_salt") === replicatedDim("_salt"))
+      .drop("_salt")
+  }
+}

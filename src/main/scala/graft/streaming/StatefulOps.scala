@@ -85,6 +85,14 @@ object StatefulOps {
     }
   }
 
+  /** Streaming exact dedup by event id within a watermark horizon
+    * (training-pipeline streaming twin of exact dedup; the engine keeps
+    * one state row per id and drops it when the watermark passes — bounded
+    * state, unlike an unbounded dropDuplicates). */
+  def streamingDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     tsCol: String, delay: String): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCol)
+
   /** T2 — CEP jump-out detection (UserJumpApp.java:88-158): keyed by mid,
     * event-time. A session-entry event (empty last_page_id) that is NOT
     * followed by any page event within `gapMs` is a "jump" — the timeout

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted aggregate equals plain aggregate (correctness under salting)") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+      .orderBy(col("l_returnflag")).collect()
+    val salted = Skew.saltedAggregate(li, "l_returnflag", salts = 8,
+        Seq(("l_quantity", "sum"), ("l_quantity", "count")))
+      .orderBy(col("l_returnflag")).collect()
+    assert(plain.length === salted.length)
+    plain.zip(salted).foreach { case (p, s2) =>
+      assert(p.getString(0) === s2.getString(0))
+      assert(math.abs(p.getDouble(1) - s2.getDouble(1)) < 1e-6)
+      assert(p.getLong(2) === s2.getLong(2))
+    }
+  }
+
+  test("salted join equals plain join") {
+    val li = graft.Tables.load(spark, sf, "lineitem").limit(500)
+    val p = graft.Tables.load(spark, sf, "part")
+    val plain = li.join(p, li("l_partkey") === p("p_partkey")).count()
+    val salted = Skew.saltedJoin(li, p, "l_partkey", "p_partkey", salts = 4).count()
+    assert(plain === salted)
+  }
+
+  test("streaming dedup drops duplicate ids within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    in.addData((1L, ts(10000)), (1L, ts(11000)), (2L, ts(12000)), (1L, ts(13000)))
+    val deduped = graft.streaming.StatefulOps.streamingDedup(
+      in.toDF().toDF("id", "ts"), "id", "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("sd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("sd").select("id").as[Long].collect().sorted === Array(1L, 2L))
+    } finally q.stop()
+  }
+}
