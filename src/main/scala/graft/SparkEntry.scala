@@ -50,6 +50,8 @@ object SparkEntry {
     "q25_fingerprint"     -> (TextQueries.fingerprint _),
     "q26_media_stats"     -> (Multimodal.mediaStats _),
     "q27_embed_dups"      -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    "q28_latest_event"    -> (RefQueries.latestEventPerUser _),
+    "q29_keyword_product" -> (RefQueries.keywordMetricCross _),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -230,5 +232,20 @@ object SparkEntry {
         |    (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q28_latest_event" ->
+      """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q29_keyword_product" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS toks
+        |  FROM documents),
+        |x AS (SELECT n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS keyword FROM t),
+        |u AS (SELECT keyword, 'CHARS' AS source, n_chars AS ct FROM x
+        |      UNION ALL SELECT keyword, 'TOKENS' AS source, n_tokens AS ct FROM x)
+        |SELECT keyword, source, CAST(SUM(ct) AS BIGINT) AS sum_ct, COUNT(*) AS rows_ct
+        |FROM u WHERE ct > 0 GROUP BY keyword, source ORDER BY keyword, source""".stripMargin,
   )
 }

@@ -231,6 +231,39 @@ object RefQueries {
       .orderBy(col("event_type"))
   }
 
+  /** K3 batch analogue (CDC snapshot compaction, DimSink.java:43-91 /
+    * DynamicRouting.upsertDims): latest event per user — last-write-wins
+    * by (ts, event_id), the upsert-compaction shape every CDC dim store
+    * needs. */
+  def latestEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec.as("ts_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A6/D2 analogue (KeywordStats4ProductApp.java:61-66 — the double
+    * lateral join): tokenize each doc (UDTF #1) crossed with its nonzero
+    * metrics unpivoted (UDTF #2), aggregated per (keyword, source). */
+  def keywordMetricCross(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("n_chars"), col("n_tokens"),
+        explode(col("toks")).as("keyword")) // lateral #1
+      .select(col("keyword"),
+        expr("stack(2, 'CHARS', n_chars, 'TOKENS', n_tokens) AS (source, ct)")) // lateral #2
+      .filter(col("ct") > 0)
+      .groupBy(col("keyword"), col("source"))
+      .agg(sum(col("ct")).cast("long").as("sum_ct"), count(lit(1)).as("rows_ct"))
+      .orderBy(col("keyword"), col("source"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */
