@@ -53,14 +53,23 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
-    * components are deterministic +-1 from xxhash64(bit, dim). */
-  private def lshBucket(vecName: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc +
-       |  if(aggregate(sequence(0, size($vecName) - 1), cast(0.0 as double),
-       |       (d, i) -> d + cast(element_at($vecName, i + 1) as double) *
-       |                 (pmod(xxhash64(concat(cast(j as string), '_', cast(i as string))), 2) * 2 - 1)
-       |     ) > 0.0, shiftleft(1L, j), 0L))""".stripMargin)
+  /** Random-hyperplane LSH signature: `bits` sign bits. The hyperplane
+    * components are constants, so they are computed ONCE at plan-build
+    * time (deterministic murmur mix of (bit, dim)) and embedded as
+    * literals in an unrolled expression — the whole bucket computation
+    * stays inside WholeStageCodegen as straight-line double math, versus
+    * re-hashing (bit, dim) strings per row in an interpreted lambda. */
+  private def lshBucket(vecName: String, bits: Int, dims: Int = 64): Column = {
+    val terms = (0 until bits).map { j =>
+      val dot = (0 until dims).map { i =>
+        val sign =
+          if ((scala.util.hashing.MurmurHash3.productHash((j, i)) & 1) == 1) 1.0 else -1.0
+        element_at(col(vecName), i + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
 
   /** LSH-bucketed ANN: score only (query, candidate) pairs sharing a
     * hyperplane-sign bucket; exact cosine rerank within bucket. Recall is
