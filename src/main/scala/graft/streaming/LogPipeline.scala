@@ -60,6 +60,18 @@ object LogPipeline {
       .select(col("log.*"))
       .withColumn("event_ts", timestamp_millis(col("ts")))
 
+  /** X1 — dirty-data branch (BaseLogAPP.java:64-70 catches unparseable
+    * records into a dirty side output): rows where from_json produced no
+    * recognizable log structure. Routed to a quarantine sink, never
+    * dropped silently. */
+  def dirtyLogs(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val parsed = raw.withColumn("_log", from_json(col(jsonCol), logSchema))
+    parsed.filter(col("_log").isNull ||
+        (col("_log.common").isNull && col("_log.start").isNull &&
+         col("_log.page").isNull && col("_log.ts").isNull))
+      .select(col(jsonCol))
+  }
+
   /** X1 — start-log branch (BaseLogAPP.java:152-160). */
   def startLogs(parsed: DataFrame): DataFrame =
     parsed.filter(col("start").isNotNull && col("start.entry").isNotNull)

@@ -40,4 +40,15 @@ class PlanSpec extends SparkSpec {
     // the exchange after explode carries only the token column + partial count
     assert(plan.contains("HashAggregate"), "expected partial aggregation")
   }
+
+  test("plan audit: no unplanned cartesian product in any declared query") {
+    // CartesianProductExec = both sides large with no equi key and no
+    // broadcast — a plan that cannot survive scale. Intentional small-side
+    // cross joins plan as BroadcastNestedLoopJoin instead.
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
 }
