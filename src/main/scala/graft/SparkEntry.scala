@@ -52,6 +52,8 @@ object SparkEntry {
     "q27_embed_dups"      -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     "q28_latest_event"    -> (RefQueries.latestEventPerUser _),
     "q29_keyword_product" -> (RefQueries.keywordMetricCross _),
+    "q30_sessionize"      -> ((s, d) => RefQueries.sessionize(s, d)),
+    "q31_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -247,5 +249,18 @@ object SparkEntry {
         |      UNION ALL SELECT keyword, 'TOKENS' AS source, n_tokens AS ct FROM x)
         |SELECT keyword, source, CAST(SUM(ct) AS BIGINT) AS sum_ct, COUNT(*) AS rows_ct
         |FROM u WHERE ct > 0 GROUP BY keyword, source ORDER BY keyword, source""".stripMargin,
+    "q30_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events),
+        |o AS (SELECT user_id, sec, value,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT user_id, sec, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

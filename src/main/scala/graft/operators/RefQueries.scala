@@ -264,6 +264,23 @@ object RefQueries {
       .orderBy(col("keyword"), col("source"))
   }
 
+  /** Session windows (beyond the reference — SURVEY.md §2.12 notes it has
+    * only tumbling windows): gap-based sessionization via the native
+    * `session_window` (merging session state, streaming-capable with a
+    * watermark). A new session opens when the gap since the previous event
+    * is >= the gap duration; oracle mirrors with gaps-and-islands SQL. */
+  def sessionize(s: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    events(s, dir)
+      .withColumn("ts_ts", timestamp_seconds(tsSec))
+      .groupBy(col("user_id"), session_window(col("ts_ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */

@@ -71,6 +71,44 @@ object Similarity {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest of
+    * `nCells` coarse centroids (inverted file); each query probes its
+    * `nProbe` nearest cells and scores only those cells' members — the
+    * second scale path next to LSH. Centroids here are deterministic seed
+    * vectors (the first nCells corpus vectors) so plans are reproducible;
+    * a production build would Lloyd-iterate them, which changes recall,
+    * not the operator shape. All scoring runs through the codegen'd
+    * FloatVecCosine. */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    val cents = broadcast(emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = emb.crossJoin(cents)
+      .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("nid"))
+  }
+
   /** LSH-bucketed ANN: score only (query, candidate) pairs sharing a
     * hyperplane-sign bucket; exact cosine rerank within bucket. Recall is
     * traded for the elimination of the cross join — the IVF-style scale

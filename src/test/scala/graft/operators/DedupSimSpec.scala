@@ -33,6 +33,21 @@ class DedupSimSpec extends SparkSpec {
     assert(perQ.forall(_ == 5))
   }
 
+  test("IVF ANN scores agree with brute force and recall is reasonable") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRows = Similarity.ivfTopK(spark, sf, nQueries = 3, k = 10).collect()
+    val bruteAll = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteAll.get(key).foreach(s2 => assert(math.abs(s2 - r.getDouble(2)) < 1e-9))
+    }
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall unexpectedly low: $recall") // nProbe=2/16 cells
+  }
+
   test("LSH ANN returns a subset of brute-force candidates with same scores") {
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 200).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
