@@ -54,6 +54,9 @@ object SparkEntry {
     "q29_keyword_product" -> (RefQueries.keywordMetricCross _),
     "q30_sessionize"      -> ((s, d) => RefQueries.sessionize(s, d)),
     "q31_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q32_sliding_window"  -> (RefQueries.slidingWindowStats _),
+    "q33_rollup"          -> (RefQueries.regionRollup _),
+    "q34_percentiles"     -> (RefQueries.pricePercentiles _),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -262,5 +265,28 @@ object SparkEntry {
         |SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q32_sliding_window" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS sec, event_type, value FROM events),
+        |w AS (SELECT unnest([ (sec//1800)*1800, (sec//1800)*1800 - 1800 ]) AS win_start,
+        |        event_type, value
+        |      FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "q33_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS order_ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -281,6 +281,50 @@ object RefQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Sliding windows (beyond the reference): 1-hour windows sliding every
+    * 30 min — each event contributes to two windows. */
+  def slidingWindowStats(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("ts_ts", timestamp_seconds(tsSec))
+      .groupBy(window(col("ts_ts"), "3600 seconds", "1800 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("ct"), exactSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("ct"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Rollup / grouping sets (beyond the reference; OLAP staple): region →
+    * nation hierarchy totals with coalesced 'ALL' labels so null handling
+    * is engine-portable. */
+  def regionRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("order_ct"), exactSum(col("o_totalprice")).as("amount"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("order_ct"), col("amount"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Exact percentiles (beyond the reference): linear-interpolation
+    * median/p95 per group — Spark `percentile` and DuckDB `quantile_cont`
+    * share the interpolation rule; rounded to 4 decimals for portability. */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */
