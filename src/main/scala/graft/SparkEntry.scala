@@ -57,6 +57,9 @@ object SparkEntry {
     "q32_sliding_window"  -> (RefQueries.slidingWindowStats _),
     "q33_rollup"          -> (RefQueries.regionRollup _),
     "q34_percentiles"     -> (RefQueries.pricePercentiles _),
+    "q35_semi_anti"       -> (RefQueries.customerOrderExistence _),
+    "q36_running_total"   -> (RefQueries.runningRevenue _),
+    "q37_pivot"           -> (RefQueries.eventPivot _),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -288,5 +291,29 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_semi_anti" ->
+      """WITH w AS (SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+        |wo AS (SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+        |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |  COALESCE(with_orders, 0) AS with_orders,
+        |  COALESCE(without_orders, 0) AS without_orders
+        |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q36_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q37_pivot" ->
+      """SELECT strftime(ts, '%a') AS dow,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
   )
 }

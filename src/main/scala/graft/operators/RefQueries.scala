@@ -325,6 +325,52 @@ object RefQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Semi/anti joins (absent from the reference per SURVEY §2.6; engine
+    * completeness): per market segment, customers with vs without orders.
+    * Semi/anti shuffle only the key columns — at scale this is the correct
+    * EXISTS/NOT EXISTS shape (never a count-distinct over a full join). */
+  def customerOrderExistence(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Running aggregate with a window frame (beyond the reference): per
+    * supplier, cumulative exact-decimal revenue in shipdate order. */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .withColumn("running_rev",
+        sum(col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Pivot (beyond the reference): events per day-of-week × event_type as
+    * a cross-tab with an explicit value list (the scalable form — dynamic
+    * pivot value discovery would need a driver-side pass). */
+  def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .withColumn("dow", date_format(timestamp_seconds(tsSec), "E"))
+      .groupBy(col("dow"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("dow"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */
