@@ -98,8 +98,13 @@ object StatefulOps {
     * followed by any page event within `gapMs` is a "jump" — the timeout
     * match IS the output, via EventTimeTimeout against the watermark.
     * A follow-up that is itself an entry closes the old pattern and opens
-    * a new one (the reference's pattern allows `first` to re-match). */
-  def userJump(events: Dataset[LogEvent], gapMs: Long = 10000L): Dataset[Jump] = {
+    * a new one (the reference's pattern allows `first` to re-match).
+    *
+    * `emitTrailing`: batch queries never fire timeouts, so a pending entry
+    * at end-of-data would be silently dropped — pass true in batch mode
+    * (data is complete, so "no follow-up in the data" IS the timeout). */
+  def userJump(events: Dataset[LogEvent], gapMs: Long = 10000L,
+               emitTrailing: Boolean = false): Dataset[Jump] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.mid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -125,8 +130,11 @@ object StatefulOps {
             if (isEntry && pending == null) pending = Jump(e.mid, e.pageId, e.ts)
           }
           if (pending != null) {
-            state.update(pending)
-            state.setTimeoutTimestamp(pending.ts.getTime + gapMs)
+            if (emitTrailing) out += pending
+            else {
+              state.update(pending)
+              state.setTimeoutTimestamp(pending.ts.getTime + gapMs)
+            }
           } else if (state.exists) state.remove()
         }
         out.iterator

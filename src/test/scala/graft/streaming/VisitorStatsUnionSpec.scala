@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Model._
+import org.apache.spark.sql.functions._
+
+/** The reference's full visitor-stats lineage composed in batch mode:
+  * raw JSON -> page split -> (pv/sv seeds) + UniqueVisit (uv) + UserJump
+  * (uj) -> 4-way union -> 10 s tumble (VisitorStatsApp.java:80-196).
+  */
+class VisitorStatsUnionSpec extends SparkSpec {
+
+  test("U2: four seeded streams union into windowed visitor stats") {
+    val s = spark
+    import s.implicits._
+    // the canonical 4-event fixture, enriched with common fields
+    def ev(mid: String, page: String, last: String, t: Long) = {
+      val lastField = if (last == null) "" else s""""last_page_id":"$last","""
+      s"""{"common":{"mid":"$mid","is_new":"1"},"page":{${lastField}"page_id":"$page","during_time":7},"ts":$t}"""
+    }
+    val raw = Seq(
+      ev("101", "home", null, 10000L), ev("102", "home", null, 12000L),
+      ev("102", "good_list", "home", 150000L),
+      ev("102", "good_list", "detail", 300000L)).toDF("value")
+    val pages = LogPipeline.pageLogs(LogPipeline.parseLogs(raw))
+    val typed = pages.select(col("common.mid").as("mid"),
+        col("page.page_id").as("pageId"), col("page.last_page_id").as("lastPageId"),
+        col("common.is_new").as("isNew"), col("event_ts").as("ts"))
+      .as[LogEvent]
+    val uv = StatefulOps.uniqueVisit(typed).toDF()
+    val jumps = StatefulOps.userJump(typed, gapMs = 10000L, emitTrailing = true).toDF()
+      .withColumn("isNew", lit("1"))
+    val stats = WindowedStats.visitorStatsUnion(pages, uv, jumps)
+      .orderBy(col("stt"))
+      .collect()
+
+    val w1 = stats.find(_.getAs[String]("stt") == "1970-01-01 00:00:10").get
+    assert(w1.getAs[Long]("pv_ct") === 2L) // both entries are page views
+    assert(w1.getAs[Long]("uv_ct") === 2L) // two distinct mids' first visits
+    assert(w1.getAs[Long]("sv_ct") === 2L) // both are session entries
+    assert(w1.getAs[Long]("uj_ct") === 2L) // both jumped (canonical fixture)
+    assert(w1.getAs[Long]("dur_sum") === 14L)
+    val w2 = stats.find(_.getAs[String]("stt") == "1970-01-01 00:02:30").get
+    assert(w2.getAs[Long]("pv_ct") === 1L && w2.getAs[Long]("uj_ct") === 0L)
+  }
+}
