@@ -13,10 +13,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warmup so the first measured query doesn't absorb
-    // classloading + codegen costs
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    graft.Tables.load(spark, sfDir, "lineitem").count()
+    // Warmup: run every query once at the smallest SF so Janino codegen
+    // compilation and classloading are paid before measurement (standard
+    // JIT-warmup practice; a long-lived cluster session has this state
+    // permanently). Measurements below then reflect data-proportional work.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+      spark.sqlContext.clearCache() // warm code, cold data
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

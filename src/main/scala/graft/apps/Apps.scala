@@ -108,6 +108,97 @@ object Apps {
     }.option("checkpointLocation", s"${c.checkpointRoot}/product_stats").start()
   }
 
+  /** PaymentWideApp (app/dwm/PaymentWideApp.java): payment ⋈ order within
+    * 30 min after order time. */
+  def paymentWideApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    import spark.implicits._
+    val payments = Kafka.stringSource(spark, c.brokers, "dwd_payment_info", "payment_wide_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "paymentId BIGINT, orderId BIGINT, amount DOUBLE, callbackTime TIMESTAMP")).as("p"))
+      .select(col("p.*")).as[Model.PaymentInfo]
+    val orders = Kafka.stringSource(spark, c.brokers, "dwd_order_info", "payment_wide_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP")).as("o"))
+      .select(col("o.*")).as[Model.OrderInfo]
+    val wide = IntervalJoins.paymentWide(payments, orders)
+    Kafka.stringSink(wide, c.brokers, "dwm_payment_wide",
+      s"${c.checkpointRoot}/payment_wide").start()
+  }
+
+  /** VisitorStatsApp (app/dws/VisitorStatsApp.java): the 4-way union of
+    * pv / uv / session-entry / jump seeds, window-reduced. */
+  def visitorStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    val pages = LogPipeline.pageLogs(LogPipeline.parseLogs(
+      Kafka.stringSource(spark, c.brokers, "dwd_page_log", "visitor_stats_app")))
+    val uv = LogPipeline.parseLogs(
+      Kafka.stringSource(spark, c.brokers, "dwm_unique_visit", "visitor_stats_app"))
+      .select(col("common.mid").as("mid"), col("common.is_new").as("isNew"),
+        col("event_ts").as("ts"))
+    val jumps = LogPipeline.parseLogs(
+      Kafka.stringSource(spark, c.brokers, "dwm_user_jump_detail", "visitor_stats_app"))
+      .select(col("common.mid").as("mid"), col("event_ts").as("ts"))
+    val stats = WindowedStats.visitorStatsUnion(pages, uv, jumps, streaming = true)
+    stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sinks.Warehouse.writeDws(batch, s"${c.warehouseDir}/dws_visitor_stats")
+    }.option("checkpointLocation", s"${c.checkpointRoot}/visitor_stats").start()
+  }
+
+  /** ProvinceStatsSqlApp (app/dws/ProvinceStatsSqlApp.java): SQL over a
+    * streaming view — tumble + exact distinct orders per province. */
+  def provinceStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    Kafka.stringSource(spark, c.brokers, "dwm_order_wide", "province_stats_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "orderId BIGINT, provinceId BIGINT, splitAmount DOUBLE, createTime TIMESTAMP")).as("o"))
+      .select(col("o.*"))
+      .withWatermark("createTime", "3 seconds")
+      .createOrReplaceTempView("order_wide_stream")
+    val stats = spark.sql(
+      """SELECT window(createTime, '10 seconds').start AS stt, provinceId,
+        |  size(collect_set(orderId)) AS order_count,
+        |  CAST(sum(CAST(splitAmount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        |FROM order_wide_stream
+        |GROUP BY window(createTime, '10 seconds'), provinceId""".stripMargin)
+    stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_province_stats")
+    }.option("checkpointLocation", s"${c.checkpointRoot}/province_stats").start()
+  }
+
+  /** KeywordStatsApp (app/dws/KeywordStatsApp.java): tokenize search
+    * keywords (D1 UDTF -> explode), tumble count. */
+  def keywordStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    val pages = LogPipeline.parseLogs(
+      Kafka.stringSource(spark, c.brokers, "dwd_page_log", "keyword_stats_app"))
+      .filter(col("page.page_id") === "good_list" && col("page.item").isNotNull)
+    val words = pages.select(col("event_ts"),
+      explode(graft.functions.Text.cjkTokens(col("page.item"))).as("keyword"))
+    // NOTE: tumble(streaming = true) applies the watermark itself; stacking
+    // a second withWatermark on the same column stops emission entirely
+    val stats = WindowedStats.tumble(
+      words, "event_ts", Seq("keyword"),
+      Seq(count(lit(1)).as("ct"), lit("SEARCH").as("source")),
+      watermarkDelay = "2 seconds", streaming = true)
+    stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_keyword_stats")
+    }.option("checkpointLocation", s"${c.checkpointRoot}/keyword_stats").start()
+  }
+
+  /** KeywordStats4ProductApp (app/dws/KeywordStats4ProductApp.java): the
+    * double lateral — tokenize product names × unpivot nonzero metrics. */
+  def keywordStats4ProductApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    val stats = Kafka.stringSource(spark, c.brokers, "dws_product_stats", "keyword_product_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "skuName STRING, clickCt BIGINT, cartCt BIGINT, orderCt BIGINT, stt TIMESTAMP")).as("p"))
+      .select(col("p.*"))
+      .select(col("stt"), explode(graft.functions.Text.cjkTokens(col("skuName"))).as("keyword"),
+        col("clickCt"), col("cartCt"), col("orderCt"))
+      .select(col("stt"), col("keyword"),
+        expr("stack(3, 'CLICK', clickCt, 'CART', cartCt, 'ORDER', orderCt) AS (source, ct)"))
+      .filter(col("ct") > 0)
+    stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_keyword_stats_product")
+    }.option("checkpointLocation", s"${c.checkpointRoot}/keyword_product").start()
+  }
+
   /** ADS serving (gmall-publisher SugarController.getGMV): batch SQL over
     * the DWS store — the engine-side of the REST endpoint. */
   def gmv(spark: SparkSession, c: Conf, date: String): java.math.BigDecimal = {

@@ -33,6 +33,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
   }
 
+  test("SQL over a STREAMING view: entry point B in streaming mode") {
+    // the reference's SQL apps run SQL on dynamic tables
+    // (ProvinceStatsSqlApp.java:45-61); Spark twin: spark.sql over a
+    // streaming temp view, windowed agg, append emission on watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    in.addData((ts(1000), "a", 1.0), (ts(2000), "a", 2.0), (ts(3000), "b", 4.0))
+    in.toDF().toDF("rowtime", "k", "v")
+      .withWatermark("rowtime", "2 seconds")
+      .createOrReplaceTempView("stream_orders")
+    val result = s.sql(
+      """SELECT window(rowtime, '10 seconds').start AS stt, k,
+        |  count(*) AS ct, sum(v) AS sv
+        |FROM stream_orders GROUP BY window(rowtime, '10 seconds'), k""".stripMargin)
+    val q = result.writeStream.format("memory").queryName("sqlstream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      in.addData((ts(60000), "z", 0.0)) // advance watermark past [0,10s)
+      q.processAllAvailable()
+      val rows = s.table("sqlstream").collect()
+      assert(rows.length === 2)
+      assert(rows.find(_.getAs[String]("k") == "a").get.getAs[Long]("ct") === 2L)
+      assert(rows.find(_.getAs[String]("k") == "b").get.getAs[Double]("sv") === 4.0)
+    } finally q.stop()
+  }
+
   test("end-to-end DWD->DWS composition: raw JSON to windowed stats") {
     val s = spark
     import s.implicits._
