@@ -24,6 +24,12 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_rowsonly = 0
+    produced = {os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")}
+    # a query that threw inside Verify writes no output dir — that is a
+    # failure, not a silent skip
+    for missing in sorted(set(oracle) - produced):
+        n_bad += 1
+        print(f"✗ {missing}: NO OUTPUT (query failed in Verify)")
     for d in sorted(glob.glob(f"{out_dir}/q*")):
         name = os.path.basename(d)
         spark_df = duckdb.connect().execute(

@@ -24,10 +24,15 @@ object Apps {
   /** BaseLogAPP (reference app/dwd/BaseLogAPP.java): ods_base_log ->
     * parse -> 3-way split -> dwd topics. */
   def baseLogApp(spark: SparkSession, c: Conf): StreamingQuery = {
-    val parsed = LogPipeline.parseLogs(
-      Kafka.stringSource(spark, c.brokers, "ods_base_log", "base_log_app"))
-    parsed.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      LogPipeline.fanOutBatch(batch, s"${c.warehouseDir}/dwd")
+    val raw = Kafka.stringSource(spark, c.brokers, "ods_base_log", "base_log_app")
+    raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try {
+        // dirty records quarantined from the RAW strings (X1 side output)
+        LogPipeline.dirtyLogs(batch).write.mode("append")
+          .parquet(s"${c.warehouseDir}/dwd/dwd_dirty_log")
+        LogPipeline.fanOutBatch(LogPipeline.parseLogs(batch), s"${c.warehouseDir}/dwd")
+      } finally { batch.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/base_log").start()
   }
 
@@ -79,7 +84,7 @@ object Apps {
     import spark.implicits._
     val orders = Kafka.stringSource(spark, c.brokers, "dwd_order_info", "order_wide_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP")).as("o"))
+        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP, provinceId BIGINT")).as("o"))
       .select(col("o.*")).as[Model.OrderInfo]
     val details = Kafka.stringSource(spark, c.brokers, "dwd_order_detail", "order_wide_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
@@ -89,9 +94,12 @@ object Apps {
     wide.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       // J3: per-batch dim snapshot broadcast join replaces async lookups
       val users = spark.read.parquet(s"$dimDir/dim_user_info")
-      batch.join(broadcast(users),
+      val enriched = batch.join(broadcast(users),
           batch("userId") === users("pk").cast("long"), "left")
-        .write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
+      enriched.write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
+      // downstream SQL app consumes the same rows as flat JSON
+      enriched.select(to_json(struct(batch.columns.map(batch(_)): _*)).as("value"))
+        .write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide_json")
     }.option("checkpointLocation", s"${c.checkpointRoot}/order_wide").start()
   }
 
@@ -104,7 +112,13 @@ object Apps {
       MetricUnion.fromClicks(LogPipeline.pageLogs(parsed)),
       MetricUnion.fromDisplays(LogPipeline.displayLogs(parsed))), streaming = true)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats")
+      batch.persist()
+      try {
+        batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats")
+        // flat JSON mirror: the shape keywordStats4ProductApp consumes
+        batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
+          .write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats_json")
+      } finally { batch.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/product_stats").start()
   }
 
@@ -126,17 +140,21 @@ object Apps {
   }
 
   /** VisitorStatsApp (app/dws/VisitorStatsApp.java): the 4-way union of
-    * pv / uv / session-entry / jump seeds, window-reduced. */
+    * pv / uv / session-entry / jump seeds, window-reduced. The DWM inputs
+    * are the FLAT JSON shapes that uniqueVisitApp/userJumpApp actually
+    * produce via Kafka.stringSink (LogEvent / Jump fields), not the raw
+    * log schema. */
   def visitorStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
     val pages = LogPipeline.pageLogs(LogPipeline.parseLogs(
       Kafka.stringSource(spark, c.brokers, "dwd_page_log", "visitor_stats_app")))
-    val uv = LogPipeline.parseLogs(
-      Kafka.stringSource(spark, c.brokers, "dwm_unique_visit", "visitor_stats_app"))
-      .select(col("common.mid").as("mid"), col("common.is_new").as("isNew"),
-        col("event_ts").as("ts"))
-    val jumps = LogPipeline.parseLogs(
-      Kafka.stringSource(spark, c.brokers, "dwm_user_jump_detail", "visitor_stats_app"))
-      .select(col("common.mid").as("mid"), col("event_ts").as("ts"))
+    val uv = Kafka.stringSource(spark, c.brokers, "dwm_unique_visit", "visitor_stats_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "mid STRING, pageId STRING, lastPageId STRING, isNew STRING, ts TIMESTAMP")).as("u"))
+      .select(col("u.mid"), col("u.isNew"), col("u.ts"))
+    val jumps = Kafka.stringSource(spark, c.brokers, "dwm_user_jump_detail", "visitor_stats_app")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "mid STRING, pageId STRING, isNew STRING, ts TIMESTAMP")).as("j"))
+      .select(col("j.mid"), col("j.isNew"), col("j.ts"))
     val stats = WindowedStats.visitorStatsUnion(pages, uv, jumps, streaming = true)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.sinks.Warehouse.writeDws(batch, s"${c.warehouseDir}/dws_visitor_stats")
@@ -146,18 +164,21 @@ object Apps {
   /** ProvinceStatsSqlApp (app/dws/ProvinceStatsSqlApp.java): SQL over a
     * streaming view — tumble + exact distinct orders per province. */
   def provinceStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    // input: the flat order-wide JSON emitted by orderWideApp
+    // (orderId, userId, provinceId, totalAmount, o_time, detailId, skuId,
+    //  splitAmount, d_time)
     Kafka.stringSource(spark, c.brokers, "dwm_order_wide", "province_stats_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "orderId BIGINT, provinceId BIGINT, splitAmount DOUBLE, createTime TIMESTAMP")).as("o"))
+        "orderId BIGINT, provinceId BIGINT, splitAmount DOUBLE, d_time TIMESTAMP")).as("o"))
       .select(col("o.*"))
-      .withWatermark("createTime", "3 seconds")
+      .withWatermark("d_time", "3 seconds")
       .createOrReplaceTempView("order_wide_stream")
     val stats = spark.sql(
-      """SELECT window(createTime, '10 seconds').start AS stt, provinceId,
+      """SELECT window(d_time, '10 seconds').start AS stt, provinceId,
         |  size(collect_set(orderId)) AS order_count,
         |  CAST(sum(CAST(splitAmount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         |FROM order_wide_stream
-        |GROUP BY window(createTime, '10 seconds'), provinceId""".stripMargin)
+        |GROUP BY window(d_time, '10 seconds'), provinceId""".stripMargin)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_province_stats")
     }.option("checkpointLocation", s"${c.checkpointRoot}/province_stats").start()
@@ -183,19 +204,29 @@ object Apps {
   }
 
   /** KeywordStats4ProductApp (app/dws/KeywordStats4ProductApp.java): the
-    * double lateral — tokenize product names × unpivot nonzero metrics. */
-  def keywordStats4ProductApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    * double lateral — tokenize product names × unpivot nonzero metrics.
+    * Input is the snake_case product-stats shape that productStatsApp
+    * produces (sku_id, click_ct, cart_ct, order_ct, stt); sku_name comes
+    * from a per-batch dim_sku_info snapshot join (the reference enriches
+    * through its SKU dim the same way, ProductStatsApp.java:316-397). */
+  def keywordStats4ProductApp(spark: SparkSession, c: Conf, dimDir: String): StreamingQuery = {
     val stats = Kafka.stringSource(spark, c.brokers, "dws_product_stats", "keyword_product_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "skuName STRING, clickCt BIGINT, cartCt BIGINT, orderCt BIGINT, stt TIMESTAMP")).as("p"))
+        "sku_id STRING, click_ct DOUBLE, cart_ct DOUBLE, order_ct DOUBLE, stt STRING")).as("p"))
       .select(col("p.*"))
-      .select(col("stt"), explode(graft.functions.Text.cjkTokens(col("skuName"))).as("keyword"),
-        col("clickCt"), col("cartCt"), col("orderCt"))
-      .select(col("stt"), col("keyword"),
-        expr("stack(3, 'CLICK', clickCt, 'CART', cartCt, 'ORDER', orderCt) AS (source, ct)"))
-      .filter(col("ct") > 0)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_keyword_stats_product")
+      val sku = spark.read.parquet(s"$dimDir/dim_sku_info")
+        .select(col("pk").as("sku_id"),
+          element_at(col("data"), "sku_name").as("sku_name"))
+      val out = batch.join(broadcast(sku), Seq("sku_id"), "left")
+        .select(col("stt"),
+          explode(graft.functions.Text.cjkTokens(coalesce(col("sku_name"), col("sku_id"))))
+            .as("keyword"),
+          col("click_ct"), col("cart_ct"), col("order_ct"))
+        .select(col("stt"), col("keyword"),
+          expr("stack(3, 'CLICK', click_ct, 'CART', cart_ct, 'ORDER', order_ct) AS (source, ct)"))
+        .filter(col("ct") > 0)
+      out.write.mode("append").parquet(s"${c.warehouseDir}/dws_keyword_stats_product")
     }.option("checkpointLocation", s"${c.checkpointRoot}/keyword_product").start()
   }
 

@@ -58,8 +58,11 @@ object DynamicRouting {
           .withColumn("pk", element_at(col("data"), pkName))
         val path = s"$dimDir/$t"
         val spark = routedDf.sparkSession
+        // ONLY the missing-path case means "first write"; any other failure
+        // (IO error, corrupt footer) must propagate — treating it as absent
+        // would silently drop every previously-upserted row
         val existing =
-          try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+          if (new java.io.File(path).exists) Some(spark.read.parquet(path)) else None
         val unioned = existing.map(_.unionByName(withPk)).getOrElse(withPk)
         val w = Window.partitionBy(col("pk")).orderBy(col("ts").desc)
         val latest = unioned
@@ -70,6 +73,10 @@ object DynamicRouting {
         val tmp = path + "_tmp"
         latest.write.mode(SaveMode.Overwrite).parquet(tmp)
         spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
       }
     } finally dims.unpersist()
   }

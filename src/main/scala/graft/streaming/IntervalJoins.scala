@@ -31,8 +31,8 @@ object IntervalJoins {
       col("orderId") === col("d_orderId") &&
       col("d_time") >= col("o_time") - expr(s"INTERVAL $bandMs MILLISECONDS") &&
       col("d_time") <= col("o_time") + expr(s"INTERVAL $bandMs MILLISECONDS"))
-     .select(col("orderId"), col("userId"), col("totalAmount"), col("o_time"),
-       col("detailId"), col("skuId"), col("splitAmount"), col("d_time"))
+     .select(col("orderId"), col("userId"), col("provinceId"), col("totalAmount"),
+       col("o_time"), col("detailId"), col("skuId"), col("splitAmount"), col("d_time"))
   }
 
   /** J2 — payment ⋈ order, payment within `bandSec` AFTER the order

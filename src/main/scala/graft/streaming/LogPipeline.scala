@@ -76,9 +76,12 @@ object LogPipeline {
   def startLogs(parsed: DataFrame): DataFrame =
     parsed.filter(col("start").isNotNull && col("start.entry").isNotNull)
 
-  /** X1 — page-log branch (everything that is not a start log). */
+  /** X1 — page-log branch (everything that is not a start log). All-null
+    * rows (from_json of unparseable input) are excluded — they belong to
+    * the dirty branch, not the page branch. */
   def pageLogs(parsed: DataFrame): DataFrame =
-    parsed.filter(col("start").isNull || col("start.entry").isNull)
+    parsed.filter((col("start").isNull || col("start.entry").isNull) &&
+      (col("common").isNotNull || col("page").isNotNull || col("ts").isNotNull))
 
   /** X3 — display explode with page_id attached (BaseLogAPP.java:166-179). */
   def displayLogs(parsed: DataFrame): DataFrame =

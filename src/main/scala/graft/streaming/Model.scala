@@ -27,14 +27,15 @@ object Model {
       repaired: Boolean)
 
   /** Jump-out detection output (T2): the entry event that was never
-    * followed within the window. */
-  case class Jump(mid: String, pageId: String, ts: Timestamp)
+    * followed within the window. Carries the visitor's is_new flag so
+    * downstream visitor stats attribute the jump to the right bucket. */
+  case class Jump(mid: String, pageId: String, isNew: String, ts: Timestamp)
 
   /** Order / order-detail shapes for the interval joins (J1/J2),
     * reference bean/OrderInfo.java, bean/OrderDetail.java (reduced to the
     * join-relevant columns). */
   case class OrderInfo(orderId: Long, userId: Long, totalAmount: Double,
-                       createTime: Timestamp)
+                       createTime: Timestamp, provinceId: Long = 0L)
   case class OrderDetail(detailId: Long, orderId: Long, skuId: Long,
                          splitAmount: Double, createTime: Timestamp)
   case class PaymentInfo(paymentId: Long, orderId: Long, amount: Double,

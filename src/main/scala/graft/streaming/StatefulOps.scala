@@ -17,20 +17,30 @@ import Model._
   */
 object StatefulOps {
 
-  private def day(ts: Timestamp): String = {
-    val fmt = new java.text.SimpleDateFormat("yyyyMMdd")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    fmt.format(ts)
-  }
+  // shared immutable formatter: the per-event path must not allocate
+  private val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    .withZone(java.time.ZoneOffset.UTC)
+  private def day(ts: Timestamp): String = dayFmt.format(ts.toInstant)
 
   /** T1 — new/old-visitor repair (BaseLogAPP.java:74-130): keyed by mid,
     * state = first-visit day. An `is_new=1` event on a later day than the
-    * recorded first visit is rewritten to `is_new=0`. */
+    * recorded first visit is rewritten to `is_new=0`. State is evicted 30
+    * idle days after a mid's last event (bounds state at scale; a client
+    * returning after >30 idle days claiming is_new=1 escapes repair — the
+    * accepted trade of any TTL'd dedup state, cf. UniqueVisitApp's 1-day
+    * TTL in the reference). */
   def visitorRepair(events: Dataset[LogEvent]): Dataset[RepairedEvent] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.mid).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (mid: String, it: Iterator[LogEvent], state: GroupState[String]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty[RepairedEvent] }
+        else visitorRepairGroup(it, state)
+    }
+  }
+
+  private def visitorRepairGroup(it: Iterator[LogEvent],
+                                 state: GroupState[String]): Iterator[RepairedEvent] = {
         val sorted = it.toSeq.sortBy(_.ts.getTime)
         val out = scala.collection.mutable.ArrayBuffer.empty[RepairedEvent]
         var firstDay = state.getOption.orNull
@@ -49,9 +59,15 @@ object StatefulOps {
             out += RepairedEvent(e.mid, e.pageId, e.lastPageId, e.isNew, e.ts, repaired = false)
           }
         }
-        if (firstDay != null) state.update(firstDay)
+        if (firstDay != null) {
+          state.update(firstDay)
+          // 30-day idle TTL; timeout fires only in streaming (batch has
+          // no watermark), where the input carries one
+          if (sorted.nonEmpty)
+            try state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max, "30 days")
+            catch { case _: UnsupportedOperationException => () } // batch mode
+        }
         out.iterator
-    }
   }
 
   /** F2 — UV / first-visit-per-day dedup (UniqueVisitApp.java:69-124):
@@ -127,7 +143,7 @@ object StatefulOps {
                 pending = null // followed in time: pattern matched, discard
               }
             }
-            if (isEntry && pending == null) pending = Jump(e.mid, e.pageId, e.ts)
+            if (isEntry && pending == null) pending = Jump(e.mid, e.pageId, e.isNew, e.ts)
           }
           if (pending != null) {
             if (emitTrailing) out += pending

@@ -68,7 +68,7 @@ object WindowedStats {
       zero.as("pv_ct"), lit(1L).as("uv_ct"), zero.as("sv_ct"), zero.as("uj_ct"),
       zero.as("dur_sum"))
     val ujSeed = jumps.select(
-      lit("1").as("is_new"), col("ts").as("event_ts"),
+      col("isNew").as("is_new"), col("ts").as("event_ts"),
       zero.as("pv_ct"), zero.as("uv_ct"), zero.as("sv_ct"), lit(1L).as("uj_ct"),
       zero.as("dur_sum"))
     val unioned = pvSeed.unionByName(uvSeed).unionByName(ujSeed)

@@ -29,7 +29,6 @@ class VisitorStatsUnionSpec extends SparkSpec {
       .as[LogEvent]
     val uv = StatefulOps.uniqueVisit(typed).toDF()
     val jumps = StatefulOps.userJump(typed, gapMs = 10000L, emitTrailing = true).toDF()
-      .withColumn("isNew", lit("1"))
     val stats = WindowedStats.visitorStatsUnion(pages, uv, jumps)
       .orderBy(col("stt"))
       .collect()
