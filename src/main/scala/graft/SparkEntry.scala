@@ -259,7 +259,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events),
         |o AS (SELECT user_id, sec, value,
         |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e),
         |s AS (SELECT user_id, sec, value,
@@ -304,7 +304,7 @@ object SparkEntry {
     "q36_running_total" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q37_pivot" ->

@@ -267,8 +267,9 @@ object RefQueries {
   /** Session windows (beyond the reference — SURVEY.md §2.12 notes it has
     * only tumbling windows): gap-based sessionization via the native
     * `session_window` (merging session state, streaming-capable with a
-    * watermark). A new session opens when the gap since the previous event
-    * is >= the gap duration; oracle mirrors with gaps-and-islands SQL. */
+    * watermark). Spark merges an event landing exactly at the previous
+    * session's end (gap == duration): a new session opens only when the
+    * gap is STRICTLY greater; the gaps-and-islands oracle mirrors that. */
   def sessionize(s: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
     events(s, dir)
       .withColumn("ts_ts", timestamp_seconds(tsSec))
@@ -346,8 +347,13 @@ object RefQueries {
   /** Running aggregate with a window frame (beyond the reference): per
     * supplier, cumulative exact-decimal revenue in shipdate order. */
   def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    // l_extendedprice tiebreaker: the data contains duplicate
+    // (orderkey, linenumber) keys, and a full tie in the sort makes prefix
+    // sums order-dependent; ordering by the summed column itself makes any
+    // remaining ties sum-identical, so the result is engine-portable
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(s, dir, "lineitem")
       .withColumn("running_rev",
