@@ -26,13 +26,13 @@ object Apps {
   def baseLogApp(spark: SparkSession, c: Conf): StreamingQuery = {
     val raw = Kafka.stringSource(spark, c.brokers, "ods_base_log", "base_log_app")
     raw.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.persist()
+      // ONE from_json pass; clean and dirty branches both derive from it
+      val withRaw = LogPipeline.parseLogsKeepRaw(batch).persist()
       try {
-        // dirty records quarantined from the RAW strings (X1 side output)
-        LogPipeline.dirtyLogs(batch).write.mode("append")
+        LogPipeline.dirtyFromRaw(withRaw).write.mode("append")
           .parquet(s"${c.warehouseDir}/dwd/dwd_dirty_log")
-        LogPipeline.fanOutBatch(LogPipeline.parseLogs(batch), s"${c.warehouseDir}/dwd")
-      } finally { batch.unpersist(); () }
+        LogPipeline.fanOutBatch(LogPipeline.cleanFromRaw(withRaw), s"${c.warehouseDir}/dwd")
+      } finally { withRaw.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/base_log").start()
   }
 
@@ -95,11 +95,13 @@ object Apps {
       // J3: per-batch dim snapshot broadcast join replaces async lookups
       val users = spark.read.parquet(s"$dimDir/dim_user_info")
       val enriched = batch.join(broadcast(users),
-          batch("userId") === users("pk").cast("long"), "left")
-      enriched.write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
-      // downstream SQL app consumes the same rows as flat JSON
-      enriched.select(to_json(struct(batch.columns.map(batch(_)): _*)).as("value"))
-        .write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide_json")
+          batch("userId") === users("pk").cast("long"), "left").persist()
+      try {
+        enriched.write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
+        // downstream SQL app consumes the same rows as flat JSON
+        Kafka.toJsonValue(enriched.select(batch.columns.map(batch(_)): _*))
+          .write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide_json")
+      } finally { enriched.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/order_wide").start()
   }
 
@@ -116,7 +118,7 @@ object Apps {
       try {
         batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats")
         // flat JSON mirror: the shape keywordStats4ProductApp consumes
-        batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
+        Kafka.toJsonValue(batch)
           .write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats_json")
       } finally { batch.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/product_stats").start()
@@ -132,7 +134,7 @@ object Apps {
       .select(col("p.*")).as[Model.PaymentInfo]
     val orders = Kafka.stringSource(spark, c.brokers, "dwd_order_info", "payment_wide_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP")).as("o"))
+        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP, provinceId BIGINT")).as("o"))
       .select(col("o.*")).as[Model.OrderInfo]
     val wide = IntervalJoins.paymentWide(payments, orders)
     Kafka.stringSink(wide, c.brokers, "dwm_payment_wide",

@@ -37,11 +37,17 @@ object Kafka {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** Serialize all columns into the single JSON `value` column every
+    * downstream from_json consumer parses — the one definition all
+    * producer sites share so shapes cannot silently diverge. */
+  def toJsonValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** K1 — fixed-topic JSON string sink (MyKafkaUtil.getKafkaSink,
     * MyKafkaUtil.java:31-36): serialize all columns to one JSON value. */
   def stringSink(df: DataFrame, brokers: String, topic: String,
                  checkpoint: String): DataStreamWriter[Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    toJsonValue(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)

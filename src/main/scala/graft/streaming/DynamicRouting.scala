@@ -60,9 +60,13 @@ object DynamicRouting {
         val spark = routedDf.sparkSession
         // ONLY the missing-path case means "first write"; any other failure
         // (IO error, corrupt footer) must propagate — treating it as absent
-        // would silently drop every previously-upserted row
+        // would silently drop every previously-upserted row. Existence goes
+        // through the Hadoop FileSystem API so HDFS/S3 paths work, not just
+        // local files.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(path).exists) Some(spark.read.parquet(path)) else None
+          if (fs.exists(hPath)) Some(spark.read.parquet(path)) else None
         val unioned = existing.map(_.unionByName(withPk)).getOrElse(withPk)
         val w = Window.partitionBy(col("pk")).orderBy(col("ts").desc)
         val latest = unioned
@@ -73,10 +77,7 @@ object DynamicRouting {
         val tmp = path + "_tmp"
         latest.write.mode(SaveMode.Overwrite).parquet(tmp)
         spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
       }
     } finally dims.unpersist()
   }

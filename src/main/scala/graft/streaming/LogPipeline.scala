@@ -54,6 +54,28 @@ object LogPipeline {
     StructField("ts", LongType),
     StructField("data", MapType(StringType, StringType))))
 
+  /** P1: parse a JSON-string column into the log struct, keeping the raw
+    * string alongside — the single-parse form that both the clean and the
+    * dirty branch derive from. */
+  def parseLogsKeepRaw(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.withColumn("_log", from_json(col(jsonCol), logSchema))
+
+  private def dirtyCond: org.apache.spark.sql.Column =
+    col("_log").isNull ||
+      (col("_log.common").isNull && col("_log.start").isNull &&
+       col("_log.page").isNull && col("_log.ts").isNull)
+
+  /** Clean branch of a raw-preserving parse: the parsed-log shape the
+    * split functions consume. */
+  def cleanFromRaw(withRaw: DataFrame): DataFrame =
+    withRaw.filter(!dirtyCond)
+      .select(col("_log.*"))
+      .withColumn("event_ts", timestamp_millis(col("ts")))
+
+  /** Dirty branch of a raw-preserving parse: the raw strings to quarantine. */
+  def dirtyFromRaw(withRaw: DataFrame, jsonCol: String = "value"): DataFrame =
+    withRaw.filter(dirtyCond).select(col(jsonCol))
+
   /** P1: parse a JSON-string column into the log struct. */
   def parseLogs(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw.select(from_json(col(jsonCol), logSchema).as("log"))
@@ -64,13 +86,8 @@ object LogPipeline {
     * records into a dirty side output): rows where from_json produced no
     * recognizable log structure. Routed to a quarantine sink, never
     * dropped silently. */
-  def dirtyLogs(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
-    val parsed = raw.withColumn("_log", from_json(col(jsonCol), logSchema))
-    parsed.filter(col("_log").isNull ||
-        (col("_log.common").isNull && col("_log.start").isNull &&
-         col("_log.page").isNull && col("_log.ts").isNull))
-      .select(col(jsonCol))
-  }
+  def dirtyLogs(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    dirtyFromRaw(parseLogsKeepRaw(raw, jsonCol), jsonCol)
 
   /** X1 — start-log branch (BaseLogAPP.java:152-160). */
   def startLogs(parsed: DataFrame): DataFrame =

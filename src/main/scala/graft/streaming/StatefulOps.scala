@@ -28,7 +28,8 @@ object StatefulOps {
     * idle days after a mid's last event (bounds state at scale; a client
     * returning after >30 idle days claiming is_new=1 escapes repair — the
     * accepted trade of any TTL'd dedup state, cf. UniqueVisitApp's 1-day
-    * TTL in the reference). */
+    * TTL in the reference). Streaming callers MUST watermark `ts`
+    * (EventTimeTimeout requires it); batch mode needs none. */
   def visitorRepair(events: Dataset[LogEvent]): Dataset[RepairedEvent] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.mid).flatMapGroupsWithState(
