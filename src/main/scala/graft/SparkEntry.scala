@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_semi_anti"       -> (RefQueries.customerOrderExistence _),
     "q36_running_total"   -> (RefQueries.runningRevenue _),
     "q37_pivot"           -> (RefQueries.eventPivot _),
+    "q38_avg_metrics"     -> (RefQueries.avgMetrics _),
   )
 
   /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
@@ -315,5 +316,12 @@ object SparkEntry {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q38_avg_metrics" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

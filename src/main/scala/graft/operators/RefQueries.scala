@@ -326,6 +326,20 @@ object RefQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic averages (A-class breadth): exact decimal sums divided
+    * by counts in double — engine-portable unlike native avg() over
+    * doubles, whose partial-aggregation order varies. */
+  def avgMetrics(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Semi/anti joins (absent from the reference per SURVEY §2.6; engine
     * completeness): per market segment, customers with vs without orders.
     * Semi/anti shuffle only the key columns — at scale this is the correct
