@@ -63,10 +63,41 @@ object SparkEntry {
     "q38_avg_metrics"     -> (RefQueries.avgMetrics _),
   )
 
-  /** DuckDB oracles. Omitted for hash-function-dependent outputs (minhash /
-    * simhash / LSH buckets use Spark's xxhash64, which DuckDB lacks) — the
-    * driver records a rows-only check for those; their semantics are
-    * instead asserted against exact ground truth in the ScalaTest specs. */
+  // ---- generated oracle fragments --------------------------------------
+  // Kept in lockstep with the Scala expressions by construction: the same
+  // PortableHash / FloatVecLshBucket constants generate both the Column
+  // trees and these SQL strings.
+
+  private val toksCte =
+    "toks AS (SELECT doc_id, [t for t in string_split_regex(lower(text), " +
+      "'[^a-z0-9]+') if len(t) > 0] AS t FROM documents)"
+
+  /** DuckDB cosine mirroring FloatVecCosine's arg order (norm(a)*norm(b)). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip($a, $b)]) / " +
+      s"(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a])) * " +
+      s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $b]))), 6)"
+
+  /** CTEs computing the 60-bit portable simhash per doc (mirrors
+    * Dedup.simhashFingerprints bit-for-bit). */
+  private def simhashCtes: String = {
+    import graft.functions.PortableHash
+    val sums = (0 until Dedup.SimhashBits)
+      .map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS c$i").mkString(", ")
+    val bits = (0 until Dedup.SimhashBits)
+      .map(i => s"CASE WHEN c$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""$toksCte,
+       |th AS (SELECT doc_id, ${PortableHash.h60Sql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |c AS (SELECT doc_id, $sums FROM th GROUP BY 1),
+       |sfp AS (SELECT doc_id, ($bits) AS simhash FROM c)""".stripMargin
+  }
+
+  /** DuckDB oracles. Every declared query has one: the LSH-family queries
+    * (q17/q18/q19/q21/q31) hash with the engine-portable PortableHash /
+    * FloatVecLshBucket basis, so DuckDB recomputes identical signatures,
+    * bands, and buckets. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -182,6 +213,54 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q17_minhash_pairs" -> {
+      import graft.functions.PortableHash
+      val k = 64; val bands = 16; val r = k / bands
+      val slots = (0 until k)
+        .map(i => s"MIN(${PortableHash.slotHashSql(i, s"(h % ${PortableHash.P})")}) AS m$i")
+        .mkString(", ")
+      val bandList = (0 until bands)
+        .map(b => PortableHash.bandFoldSql((b * r until (b + 1) * r).map(j => s"m$j")))
+        .mkString(", ")
+      s"""WITH $toksCte,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+         |  FROM toks WHERE len(t) >= 3)),
+         |eh AS (SELECT doc_id, ${PortableHash.h60Sql("shingle")} AS h FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM eh GROUP BY 1),
+         |sig AS (SELECT doc_id, $slots FROM eh GROUP BY 1),
+         |bands AS (SELECT doc_id, unnest(generate_series(0, ${bands - 1})) AS band_id,
+         |  unnest([$bandList]) AS band_hash FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
+         |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
+         |FROM shr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q18_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sfp ORDER BY doc_id""".stripMargin,
+    "q19_simhash_pairs" -> {
+      val width = Dedup.SimhashBits / 4 // maxHamming=3 -> 4 pigeonhole blocks
+      val mask = (1L << width) - 1
+      val blockList = (0 until 4).map {
+        case 3 => s"simhash >> ${3 * width}"
+        case q => s"(simhash >> ${q * width}) & $mask"
+      }.mkString(", ")
+      s"""WITH $simhashCtes,
+         |blk AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS q,
+         |  unnest([$blockList]) AS qh FROM sfp),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM blk a JOIN blk b ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
     "q20_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid, e.vec_id AS nid,
@@ -192,6 +271,33 @@ object SparkEntry {
         |SELECT qid, nid, sim FROM (
         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
+    "q21_ann_lsh" -> {
+      val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 8)
+      s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, e.vec_id AS nid, ${cosSql("q.qe", "e.embedding")} AS sim
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid)
+         |SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+    },
+    "q31_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e, cents c) WHERE rn = 1),
+         |probes AS (SELECT qid, qe, cid FROM (
+         |  SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings q, cents c WHERE q.vec_id < 5) WHERE rn <= 2),
+         |s AS (SELECT p.qid, a.vec_id AS nid, ${cosSql("p.qe", "a.embedding")} AS sim
+         |  FROM asg a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid)
+         |SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
     "q22_langid" ->
       """WITH t AS (SELECT doc_id,
         |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS toks

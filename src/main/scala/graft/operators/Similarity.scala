@@ -53,23 +53,14 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits. The hyperplane
-    * components are constants, so they are computed ONCE at plan-build
-    * time (deterministic murmur mix of (bit, dim)) and embedded as
-    * literals in an unrolled expression — the whole bucket computation
-    * stays inside WholeStageCodegen as straight-line double math, versus
-    * re-hashing (bit, dim) strings per row in an interpreted lambda. */
-  private def lshBucket(vecName: String, bits: Int, dims: Int = 64): Column = {
-    val terms = (0 until bits).map { j =>
-      val dot = (0 until dims).map { i =>
-        val sign =
-          if ((scala.util.hashing.MurmurHash3.productHash((j, i)) & 1) == 1) 1.0 else -1.0
-        element_at(col(vecName), i + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    terms.reduce(_.bitwiseOR(_))
-  }
+  /** Random-hyperplane LSH signature: `bits` sign bits, via the codegen'd
+    * [[graft.plans.FloatVecLshBucket]] expression — one plan node holding
+    * the ±1 hyperplane matrix as a reference object, replacing the former
+    * 512-term unrolled Column tree that serialized ~1.7 MiB task binaries
+    * (VERDICT r2). Bit-identical bucket values (same MurmurHash3 sign
+    * derivation, same left-to-right double accumulation). */
+  private def lshBucket(s: SparkSession, vecName: String, bits: Int): Column =
+    graft.plans.FloatVecLshBucket(s, col(vecName), bits)
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest of
     * `nCells` coarse centroids (inverted file); each query probes its
@@ -115,13 +106,13 @@ object Similarity {
     * path. */
   def lshTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10, bits: Int = 8): DataFrame = {
-    // repartition: the local corpus is one parquet split; the interpreted
-    // bucket expression must run across cores (a multi-file corpus at scale
+    // repartition: the local corpus is one parquet split; the bucket
+    // expression must run across cores (a multi-file corpus at scale
     // parallelizes naturally)
     val emb = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
-        lshBucket("embedding", bits).as("bucket"))
+        lshBucket(s, "embedding", bits).as("bucket"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val scored = emb.join(broadcast(q), "bucket")
