@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_running_total"   -> (RefQueries.runningRevenue _),
     "q37_pivot"           -> (RefQueries.eventPivot _),
     "q38_avg_metrics"     -> (RefQueries.avgMetrics _),
+    "q39_product_stats_full" -> (RefQueries.productStatsFull _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -429,5 +430,60 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_product_stats_full" -> {
+      // one SELECT per seed stream, mirroring MetricUnion.seed's
+      // null-id / zero-metric padding column-for-column
+      val idNames = Seq("order_id", "paid_order_id", "refund_order_id")
+      val ctNames = Seq("click_ct", "display_ct", "favor_ct", "cart_ct",
+        "order_sku_num", "comment_ct", "good_comment_ct")
+      val amNames = Seq("order_amount", "payment_amount", "refund_amount")
+      def seedSql(from: String, ids: Map[String, String],
+                  vals: Map[String, String], where: String = ""): String = {
+        val cols =
+          idNames.map(c => s"${ids.getOrElse(c, "NULL::VARCHAR")} AS $c") ++
+          ctNames.map(c => s"${vals.getOrElse(c, "0::BIGINT")} AS $c") ++
+          amNames.map(c => s"${vals.getOrElse(c, "0.0")} AS $c")
+        s"SELECT sku_id, sec, ${cols.mkString(", ")} FROM $from" +
+          (if (where.isEmpty) "" else s" WHERE $where")
+      }
+      val seeds = Seq(
+        seedSql("ev", Map.empty, Map("click_ct" -> "1::BIGINT"), "event_type = 'click'"),
+        seedSql("ev", Map.empty, Map("display_ct" -> "1::BIGINT"), "event_type = 'view'"),
+        seedSql("ev", Map.empty, Map("favor_ct" -> "1::BIGINT"), "event_type = 'signup'"),
+        seedSql("ev", Map.empty, Map("cart_ct" -> "1::BIGINT"), "event_type = 'purchase'"),
+        seedSql("ev", Map.empty, Map("comment_ct" -> "1::BIGINT",
+          "good_comment_ct" -> "CASE WHEN value > 50.0 THEN 1::BIGINT ELSE 0::BIGINT END"),
+          "event_type = 'error'"),
+        seedSql("li", Map("order_id" -> "CAST(l_orderkey AS VARCHAR)"),
+          Map("order_sku_num" -> "CAST(l_quantity AS BIGINT)",
+            "order_amount" -> "l_extendedprice")),
+        seedSql("li", Map("paid_order_id" -> "CAST(l_orderkey AS VARCHAR)"),
+          Map("payment_amount" -> "l_extendedprice")),
+        seedSql("li", Map("refund_order_id" -> "CAST(l_orderkey AS VARCHAR)"),
+          Map("refund_amount" -> "l_extendedprice"), "l_returnflag = 'R'"))
+      s"""WITH ev AS (SELECT CAST(event_id % 100 AS VARCHAR) AS sku_id,
+         |    epoch_ns(ts)//1000000000 AS sec, event_type, value FROM events),
+         |li AS (SELECT CAST(l_partkey % 100 AS VARCHAR) AS sku_id,
+         |    epoch_ns(l_shipdate)//1000000000 AS sec, l_orderkey, l_quantity,
+         |    l_extendedprice, l_returnflag FROM lineitem),
+         |u AS (${seeds.mkString("\n  UNION ALL ")})
+         |SELECT sku_id,
+         |  CAST(SUM(click_ct) AS BIGINT) AS click_ct,
+         |  CAST(SUM(display_ct) AS BIGINT) AS display_ct,
+         |  CAST(SUM(favor_ct) AS BIGINT) AS favor_ct,
+         |  CAST(SUM(cart_ct) AS BIGINT) AS cart_ct,
+         |  CAST(SUM(order_sku_num) AS BIGINT) AS order_sku_num,
+         |  CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+         |  COUNT(DISTINCT order_id) AS order_ct,
+         |  CAST(SUM(CAST(payment_amount AS DECIMAL(18,2))) AS DOUBLE) AS payment_amount,
+         |  COUNT(DISTINCT paid_order_id) AS paid_order_ct,
+         |  CAST(SUM(CAST(refund_amount AS DECIMAL(18,2))) AS DOUBLE) AS refund_amount,
+         |  COUNT(DISTINCT refund_order_id) AS refund_order_ct,
+         |  CAST(SUM(comment_ct) AS BIGINT) AS comment_ct,
+         |  CAST(SUM(good_comment_ct) AS BIGINT) AS good_comment_ct,
+         |  strftime(to_timestamp((sec//86400)*86400), '%Y-%m-%d %H:%M:%S') AS stt,
+         |  strftime(to_timestamp((sec//86400)*86400 + 86400), '%Y-%m-%d %H:%M:%S') AS edt
+         |FROM u GROUP BY sku_id, sec//86400 ORDER BY stt, sku_id""".stripMargin
+    },
   )
 }

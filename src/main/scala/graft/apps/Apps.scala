@@ -105,14 +105,41 @@ object Apps {
     }.option("checkpointLocation", s"${c.checkpointRoot}/order_wide").start()
   }
 
-  /** ProductStatsApp / VisitorStatsApp (reference app/dws package): unioned
-    * metric seeds -> 10 s tumble -> DWS store. */
+  /** ProductStatsApp (app/dws/ProductStatsApp.java:70-260): the full
+    * SEVEN-stream union — page log (clicks + displays), favor, cart,
+    * order-wide, payment-wide, refund, comment — each seeded onto the
+    * unified 13-metric schema, 10 s tumble, DWS store. */
   def productStatsApp(spark: SparkSession, c: Conf): StreamingQuery = {
+    val g = "product_stats_app"
     val parsed = LogPipeline.parseLogs(
-      Kafka.stringSource(spark, c.brokers, "dwd_page_log", "product_stats_app"))
+      Kafka.stringSource(spark, c.brokers, "dwd_page_log", g))
+    // dwd CDC side streams (sku_id/create_time[/order_id/appraise/amount]
+    // flat JSON, the shapes BaseDBApp routes to these topics)
+    def dwd(topic: String, ddl: String) =
+      Kafka.stringSource(spark, c.brokers, topic, g)
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("r"))
+        .select(col("r.*"))
+    val favors = dwd("dwd_favor_info", "sku_id STRING, create_time TIMESTAMP")
+    val carts = dwd("dwd_cart_info", "sku_id STRING, create_time TIMESTAMP")
+    val refunds = dwd("dwd_order_refund_info",
+      "sku_id STRING, order_id STRING, refund_amount DOUBLE, create_time TIMESTAMP")
+    val comments = dwd("dwd_comment_info",
+      "sku_id STRING, appraise STRING, create_time TIMESTAMP")
+    // dwm wide streams: the flat JSON mirrors orderWideApp/paymentWideApp emit
+    val orderWide = dwd("dwm_order_wide",
+      "orderId BIGINT, skuId BIGINT, splitAmount DOUBLE, d_time TIMESTAMP")
+    val paymentWide = dwd("dwm_payment_wide",
+      "orderId BIGINT, skuId BIGINT, splitAmount DOUBLE, p_time TIMESTAMP")
     val stats = MetricUnion.productStats(Seq(
       MetricUnion.fromClicks(LogPipeline.pageLogs(parsed)),
-      MetricUnion.fromDisplays(LogPipeline.displayLogs(parsed))), streaming = true)
+      MetricUnion.fromDisplays(LogPipeline.displayLogs(parsed)),
+      MetricUnion.fromFavors(favors),
+      MetricUnion.fromCarts(carts),
+      MetricUnion.fromOrders(orderWide),
+      MetricUnion.fromPayments(paymentWide),
+      MetricUnion.fromRefunds(refunds),
+      MetricUnion.fromComments(comments)), streaming = true)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       batch.persist()
       try {
@@ -124,19 +151,25 @@ object Apps {
     }.option("checkpointLocation", s"${c.checkpointRoot}/product_stats").start()
   }
 
-  /** PaymentWideApp (app/dwm/PaymentWideApp.java): payment ⋈ order within
-    * 30 min after order time. */
+  /** PaymentWideApp (app/dwm/PaymentWideApp.java:114-131): payment ⋈
+    * ORDER-WIDE within 30 min after the detail time — the joined stream
+    * carries skuId/splitAmount so ProductStats can seed payment metrics
+    * per sku (reference parity; the payment ⋈ order variant remains in
+    * IntervalJoins for the reduced shape). */
   def paymentWideApp(spark: SparkSession, c: Conf): StreamingQuery = {
     import spark.implicits._
     val payments = Kafka.stringSource(spark, c.brokers, "dwd_payment_info", "payment_wide_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
         "paymentId BIGINT, orderId BIGINT, amount DOUBLE, callbackTime TIMESTAMP")).as("p"))
       .select(col("p.*")).as[Model.PaymentInfo]
-    val orders = Kafka.stringSource(spark, c.brokers, "dwd_order_info", "payment_wide_app")
+    val orderWide = Kafka.stringSource(spark, c.brokers, "dwm_order_wide", "payment_wide_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "orderId BIGINT, userId BIGINT, totalAmount DOUBLE, createTime TIMESTAMP, provinceId BIGINT")).as("o"))
-      .select(col("o.*")).as[Model.OrderInfo]
-    val wide = IntervalJoins.paymentWide(payments, orders)
+        "orderId BIGINT, userId BIGINT, provinceId BIGINT, totalAmount DOUBLE, " +
+          "o_time TIMESTAMP, detailId BIGINT, skuId BIGINT, splitAmount DOUBLE, " +
+          "d_time TIMESTAMP")).as("o"))
+      .select(col("o.*"))
+      .withWatermark("d_time", "3 seconds")
+    val wide = IntervalJoins.paymentWideFull(payments, orderWide)
     Kafka.stringSink(wide, c.brokers, "dwm_payment_wide",
       s"${c.checkpointRoot}/payment_wide").start()
   }

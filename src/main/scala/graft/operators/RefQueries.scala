@@ -391,6 +391,51 @@ object RefQueries {
       .orderBy(col("dow"))
   }
 
+  /** U1/P7/A1 at full reference parity (ProductStatsApp.java:76-312): the
+    * SEVEN-stream ProductStats union — click/display/favor/cart/order/
+    * payment/refund/comment seeds over one unified 13-metric schema,
+    * window-reduced per sku with three exact distinct-id sets — run through
+    * the production [[graft.streaming.MetricUnion]] operator in batch mode.
+    *
+    * Fixture mapping (the sandbox has no dwd topics): page-interaction
+    * streams come from `events` (click→click, view→display, signup→favor,
+    * purchase→cart, error→comment with value>50 as a good appraise);
+    * order/payment/refund streams come from `lineitem` (sku = partkey mod
+    * 100, order id = orderkey, amounts = extendedprice, refunds =
+    * returnflag 'R'; lineitem carries only l_shipdate, so payment shares
+    * the ship timestamp). 1-day tumble. */
+  def productStatsFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MetricUnion
+    val ev = events(s, dir)
+      .withColumn("event_ts", timestamp_seconds(tsSec))
+      .withColumn("sku", (col("event_id") % 100).cast("string"))
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("sku", (col("l_partkey") % 100).cast("string"))
+    def evSeed(t: String, vals: Map[String, Column]) =
+      MetricUnion.seed(ev.filter(col("event_type") === t),
+        col("sku"), col("event_ts"), values = vals)
+    val streams = Seq(
+      evSeed("click", Map("click_ct" -> lit(1L))),
+      evSeed("view", Map("display_ct" -> lit(1L))),
+      evSeed("signup", Map("favor_ct" -> lit(1L))),
+      evSeed("purchase", Map("cart_ct" -> lit(1L))),
+      evSeed("error", Map("comment_ct" -> lit(1L),
+        "good_comment_ct" -> when(col("value") > 50.0, 1L).otherwise(0L))),
+      MetricUnion.seed(li, col("sku"), col("l_shipdate"),
+        ids = Map("order_id" -> col("l_orderkey")),
+        values = Map("order_sku_num" -> col("l_quantity"),
+          "order_amount" -> col("l_extendedprice"))),
+      MetricUnion.seed(li, col("sku"), col("l_shipdate"),
+        ids = Map("paid_order_id" -> col("l_orderkey")),
+        values = Map("payment_amount" -> col("l_extendedprice"))),
+      MetricUnion.seed(li.filter(col("l_returnflag") === "R"),
+        col("sku"), col("l_shipdate"),
+        ids = Map("refund_order_id" -> col("l_orderkey")),
+        values = Map("refund_amount" -> col("l_extendedprice"))))
+    MetricUnion.productStats(streams, "1 day")
+      .orderBy(col("stt"), col("sku_id"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */

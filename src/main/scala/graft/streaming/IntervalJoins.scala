@@ -35,6 +35,24 @@ object IntervalJoins {
        col("o_time"), col("detailId"), col("skuId"), col("splitAmount"), col("d_time"))
   }
 
+  /** J2 at reference parity — payment ⋈ ORDER-WIDE within `bandSec` after
+    * the detail time (PaymentWideApp.java:114-131 joins paymentInfo with
+    * the dwm_order_wide stream, so the payment stream carries sku_id and
+    * split amounts for ProductStats seeding). Input `orderWide` is the
+    * [[orderWide]] output shape. */
+  def paymentWideFull(payments: Dataset[PaymentInfo], orderWide: DataFrame,
+                      bandSec: Long = 1800,
+                      watermarkDelay: String = "3 seconds"): DataFrame = {
+    val p = payments.toDF().withWatermark("callbackTime", watermarkDelay)
+      .withColumnRenamed("orderId", "p_orderId")
+    p.join(orderWide,
+      col("p_orderId") === col("orderId") &&
+      col("callbackTime") >= col("d_time") &&
+      col("callbackTime") <= col("d_time") + expr(s"INTERVAL $bandSec SECONDS"))
+     .select(col("paymentId"), col("orderId"), col("skuId"), col("splitAmount"),
+       col("amount"), col("callbackTime").as("p_time"), col("d_time"))
+  }
+
   /** J2 — payment ⋈ order, payment within `bandSec` AFTER the order
     * (reference: 30 min, PaymentWideApp.java:123). */
   def paymentWide(payments: Dataset[PaymentInfo], orders: Dataset[OrderInfo],

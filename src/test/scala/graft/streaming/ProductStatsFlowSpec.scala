@@ -31,11 +31,67 @@ class ProductStatsFlowSpec extends SparkSpec {
     val sku10 = stats.filter(col("sku_id") === "10").collect()
     assert(sku10.length === 1) // one 10s window
     val r = sku10.head
-    assert(r.getAs[Double]("click_ct") === 2.0)
-    assert(r.getAs[Double]("display_ct") === 1.0)
-    assert(r.getAs[Double]("order_ct") === 3.0)       // 3 detail rows
-    assert(r.getAs[Int]("order_distinct_ct") === 2)   // but 2 distinct orders
+    assert(r.getAs[Long]("click_ct") === 2L)
+    assert(r.getAs[Long]("display_ct") === 1L)
+    assert(r.getAs[Long]("order_sku_num") === 3L)  // 3 detail rows × default 1
+    assert(r.getAs[Long]("order_ct") === 2L)       // reference: DISTINCT orders
     assert(r.getAs[Double]("order_amount") === 95.0)
-    assert(stats.filter(col("sku_id") === "77").head().getAs[Double]("display_ct") === 1.0)
+    // untouched metrics stay zero, not null
+    assert(r.getAs[Long]("favor_ct") === 0L)
+    assert(r.getAs[Double]("refund_amount") === 0.0)
+    assert(r.getAs[Long]("paid_order_ct") === 0L)
+    assert(stats.filter(col("sku_id") === "77").head().getAs[Long]("display_ct") === 1L)
+  }
+
+  test("P7 parity: favor/cart/payment/refund/comment seeds (ProductStatsApp.java:146-246)") {
+    val s = spark
+    import s.implicits._
+    val favors = Seq(("10", ts(1000L)), ("10", ts(2000L)))
+      .toDF("sku_id", "create_time")
+    val carts = Seq(("10", ts(3000L))).toDF("sku_id", "create_time")
+    // paymentWideFull shape: two details of the same paid order
+    val pays = Seq((1L, 10L, 25.0, ts(4000L)), (1L, 10L, 30.0, ts(4500L)))
+      .toDF("orderId", "skuId", "splitAmount", "p_time")
+    val refunds = Seq(("10", "7", 12.5, ts(5000L)))
+      .toDF("sku_id", "order_id", "refund_amount", "create_time")
+    val comments = Seq(
+      ("10", MetricUnion.AppraiseGood, ts(6000L)),
+      ("10", "1203", ts(7000L)))
+      .toDF("sku_id", "appraise", "create_time")
+
+    val stats = MetricUnion.productStats(Seq(
+      MetricUnion.fromFavors(favors),
+      MetricUnion.fromCarts(carts),
+      MetricUnion.fromPayments(pays),
+      MetricUnion.fromRefunds(refunds),
+      MetricUnion.fromComments(comments)))
+
+    val r = stats.filter(col("sku_id") === "10").head()
+    assert(r.getAs[Long]("favor_ct") === 2L)
+    assert(r.getAs[Long]("cart_ct") === 1L)
+    assert(r.getAs[Double]("payment_amount") === 55.0)
+    assert(r.getAs[Long]("paid_order_ct") === 1L)    // distinct orders, not rows
+    assert(r.getAs[Double]("refund_amount") === 12.5)
+    assert(r.getAs[Long]("refund_order_ct") === 1L)
+    assert(r.getAs[Long]("comment_ct") === 2L)
+    assert(r.getAs[Long]("good_comment_ct") === 1L)  // only APPRAISE_GOOD
+    assert(r.getAs[Long]("click_ct") === 0L)
+  }
+
+  test("J2 parity: paymentWideFull joins payment to order-wide within band") {
+    val s = spark
+    import s.implicits._
+    val payments = Seq(
+      Model.PaymentInfo(100L, 1L, 55.0, ts(10000L)),   // within 30 min
+      Model.PaymentInfo(101L, 2L, 40.0, ts(7200000L))) // 2 h later -> dropped
+      .toDS()
+    val orderWide = Seq(
+      (1L, 10L, 25.0, ts(5000L)), (1L, 11L, 30.0, ts(6000L)),
+      (2L, 12L, 40.0, ts(7000L)))
+      .toDF("orderId", "skuId", "splitAmount", "d_time")
+    val wide = IntervalJoins.paymentWideFull(payments, orderWide).collect()
+    assert(wide.length === 2) // order 1's two details; order 2 out of band
+    assert(wide.map(_.getAs[Long]("skuId")).toSet === Set(10L, 11L))
+    assert(wide.forall(_.getAs[Long]("orderId") === 1L))
   }
 }
