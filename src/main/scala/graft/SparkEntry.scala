@@ -62,6 +62,8 @@ object SparkEntry {
     "q37_pivot"           -> (RefQueries.eventPivot _),
     "q38_avg_metrics"     -> (RefQueries.avgMetrics _),
     "q39_product_stats_full" -> (RefQueries.productStatsFull _),
+    "q40_order_wide_enriched" -> (RefQueries.orderWideEnriched _),
+    "q41_visitor_stats_full" -> (RefQueries.visitorStatsFull _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -485,5 +487,37 @@ object SparkEntry {
          |  strftime(to_timestamp((sec//86400)*86400 + 86400), '%Y-%m-%d %H:%M:%S') AS edt
          |FROM u GROUP BY sku_id, sec//86400 ORDER BY stt, sku_id""".stripMargin
     },
+    "q40_order_wide_enriched" ->
+      s"""SELECT n_name, c_mktsegment, p_brand,
+         |  (epoch_ms(TIMESTAMP '1998-12-01 00:00:00') - epoch_ms(o_orderdate))
+         |    // ${graft.streaming.OrderWideEnrich.MsPerYear} AS user_age,
+         |  COUNT(*) AS line_ct,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q41_visitor_stats_full" ->
+      """WITH e AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS vc, event_type AS ch,
+        |    'a' || CAST(user_id % 5 AS VARCHAR) AS ar,
+        |    CASE WHEN value > 50.0 THEN '1' ELSE '0' END AS is_new,
+        |    epoch_ns(ts)//1000000000 AS sec, event_id, value FROM events),
+        |u AS (
+        |  SELECT vc, ch, ar, is_new, sec, 1::BIGINT AS pv_ct, 0::BIGINT AS uv_ct,
+        |    CASE WHEN event_id % 7 = 0 THEN 1::BIGINT ELSE 0::BIGINT END AS sv_ct,
+        |    0::BIGINT AS uj_ct, CAST(event_id % 60 AS BIGINT) AS dur_sum FROM e
+        |  UNION ALL SELECT vc, ch, ar, is_new, sec, 0::BIGINT, 1::BIGINT, 0::BIGINT,
+        |    0::BIGINT, 0::BIGINT FROM e WHERE value < 10.0
+        |  UNION ALL SELECT vc, ch, ar, is_new, sec, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+        |    1::BIGINT, 0::BIGINT FROM e WHERE value > 90.0)
+        |SELECT vc, ch, ar, is_new,
+        |  CAST(SUM(pv_ct) AS BIGINT) AS pv_ct, CAST(SUM(uv_ct) AS BIGINT) AS uv_ct,
+        |  CAST(SUM(sv_ct) AS BIGINT) AS sv_ct, CAST(SUM(uj_ct) AS BIGINT) AS uj_ct,
+        |  CAST(SUM(dur_sum) AS BIGINT) AS dur_sum,
+        |  strftime(to_timestamp((sec//3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(to_timestamp((sec//3600)*3600 + 3600), '%Y-%m-%d %H:%M:%S') AS edt
+        |FROM u GROUP BY vc, ch, ar, is_new, sec//3600
+        |ORDER BY stt, vc, ch, ar, is_new""".stripMargin,
   )
 }

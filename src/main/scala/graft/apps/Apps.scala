@@ -59,7 +59,9 @@ object Apps {
         Kafka.stringSource(spark, c.brokers, "dwd_page_log", group)))
       .select(col("common.mid").as("mid"), col("page.page_id").as("pageId"),
         col("page.last_page_id").as("lastPageId"), col("common.is_new").as("isNew"),
-        col("event_ts").as("ts"))
+        col("event_ts").as("ts"),
+        col("common.vc").as("vc"), col("common.ch").as("ch"),
+        col("common.ar").as("ar"))
       .as[Model.LogEvent]
       .withWatermark("ts", "1 second")
   }
@@ -92,10 +94,9 @@ object Apps {
       .select(col("d.*")).as[Model.OrderDetail]
     val wide = IntervalJoins.orderWide(orders, details, bandMs = 5)
     wide.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      // J3: per-batch dim snapshot broadcast join replaces async lookups
-      val users = spark.read.parquet(s"$dimDir/dim_user_info")
-      val enriched = batch.join(broadcast(users),
-          batch("userId") === users("pk").cast("long"), "left").persist()
+      // J3/J4: the full 6-dim broadcast enrichment + derived age/gender
+      // (OrderWideApp.java:155-281) replaces chained async lookups
+      val enriched = OrderWideEnrich.enrich(batch, spark, dimDir).persist()
       try {
         enriched.write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
         // downstream SQL app consumes the same rows as flat JSON
@@ -184,12 +185,16 @@ object Apps {
       Kafka.stringSource(spark, c.brokers, "dwd_page_log", "visitor_stats_app")))
     val uv = Kafka.stringSource(spark, c.brokers, "dwm_unique_visit", "visitor_stats_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "mid STRING, pageId STRING, lastPageId STRING, isNew STRING, ts TIMESTAMP")).as("u"))
-      .select(col("u.mid"), col("u.isNew"), col("u.ts"))
+        "mid STRING, pageId STRING, lastPageId STRING, isNew STRING, ts TIMESTAMP, " +
+          "vc STRING, ch STRING, ar STRING")).as("u"))
+      .select(col("u.mid"), col("u.isNew"), col("u.ts"),
+        col("u.vc"), col("u.ch"), col("u.ar"))
     val jumps = Kafka.stringSource(spark, c.brokers, "dwm_user_jump_detail", "visitor_stats_app")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
-        "mid STRING, pageId STRING, isNew STRING, ts TIMESTAMP")).as("j"))
-      .select(col("j.mid"), col("j.isNew"), col("j.ts"))
+        "mid STRING, pageId STRING, isNew STRING, ts TIMESTAMP, " +
+          "vc STRING, ch STRING, ar STRING")).as("j"))
+      .select(col("j.mid"), col("j.isNew"), col("j.ts"),
+        col("j.vc"), col("j.ch"), col("j.ar"))
     val stats = WindowedStats.visitorStatsUnion(pages, uv, jumps, streaming = true)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.sinks.Warehouse.writeDws(batch, s"${c.warehouseDir}/dws_visitor_stats")

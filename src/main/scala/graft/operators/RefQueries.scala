@@ -436,6 +436,68 @@ object RefQueries {
       .orderBy(col("stt"), col("sku_id"))
   }
 
+  /** J3/J4 analogue (OrderWideApp.java:155-281): the OrderWide enrichment
+    * with the reference's DERIVED-AGE arithmetic — age in years =
+    * millisecond difference div (1000·60·60·24·365), floored (J4,
+    * OrderWideApp.java:176-186; the wall-clock "now" becomes the fixed
+    * dataset horizon 1998-12-01 so the result is reproducible). Customer
+    * plays the user dim (mktsegment ~ gender), nation the province dim,
+    * part the sku dim — a 5-table enrichment star grouped to a compact
+    * verifiable aggregate. */
+  def orderWideEnriched(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o  = Tables.load(s, dir, "orders")
+    val c  = Tables.load(s, dir, "customer")
+    val n  = Tables.load(s, dir, "nation")
+    val p  = Tables.load(s, dir, "part")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn("user_age", expr(
+        // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session makes the
+        // cast a pure reinterpretation, matching DuckDB's epoch_ms
+        "(unix_millis(TIMESTAMP '1998-12-01 00:00:00') - unix_millis(CAST(o_orderdate AS TIMESTAMP))) " +
+          s"div ${graft.streaming.OrderWideEnrich.MsPerYear}"))
+      .groupBy(col("n_name"), col("c_mktsegment"), col("p_brand"), col("user_age"))
+      .agg(
+        count(lit(1)).as("line_ct"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("n_name"), col("c_mktsegment"), col("p_brand"), col("user_age"))
+  }
+
+  /** U2/A2 at full reference parity (VisitorStatsApp.java:80-196): the
+    * VisitorStats 4-way union — pv/sv, uv, and jump seeds over one unified
+    * schema — window-reduced keyed by the reference's full
+    * (vc, ch, ar, is_new) dimension key, run through the production
+    * [[graft.streaming.WindowedStats.visitorStatsUnion]] operator in batch.
+    *
+    * Fixture mapping over `events`: vc = 'v'+(user_id mod 3), ch =
+    * event_type, ar = 'a'+(user_id mod 5), is_new = value>50, session
+    * entry = (event_id mod 7 = 0), during_time = event_id mod 60; the uv
+    * stream is events with value<10, the jump stream value>90. 1 h tumble. */
+  def visitorStatsFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("event_ts", timestamp_seconds(tsSec))
+    def vc = concat(lit("v"), col("user_id") % 3)
+    def ar = concat(lit("a"), col("user_id") % 5)
+    def isNew = when(col("value") > 50.0, "1").otherwise("0")
+    val pages = ev.select(
+      struct(vc.as("vc"), col("event_type").as("ch"), ar.as("ar"),
+        isNew.as("is_new"), col("user_id").cast("string").as("mid")).as("common"),
+      struct(
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(lit("p")).as("last_page_id"),
+        (col("event_id") % 60).as("during_time")).as("page"),
+      col("event_ts"))
+    def dwm(f: DataFrame) = f.select(vc.as("vc"), col("event_type").as("ch"),
+      ar.as("ar"), isNew.as("isNew"), col("event_ts").as("ts"))
+    val uv = dwm(ev.filter(col("value") < 10.0))
+    val jumps = dwm(ev.filter(col("value") > 90.0))
+    graft.streaming.WindowedStats.visitorStatsUnion(pages, uv, jumps, "1 hour")
+      .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */

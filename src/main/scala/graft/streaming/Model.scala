@@ -9,13 +9,20 @@ import java.sql.Timestamp
   */
 object Model {
 
-  /** Flattened page-log event (reference `page` log after parse). */
+  /** Flattened page-log event (reference `page` log after parse). Carries
+    * the reference's full VisitorStats dimension key — vc (app version),
+    * ch (channel), ar (area) — alongside is_new
+    * (VisitorStatsApp.java:156-166); defaults keep fixture construction
+    * terse where the dimensions don't matter. */
   case class LogEvent(
       mid: String,
       pageId: String,
       lastPageId: String, // null/"" = session entry
       isNew: String,      // "1" | "0"
-      ts: Timestamp)
+      ts: Timestamp,
+      vc: String = "",
+      ch: String = "",
+      ar: String = "")
 
   /** A repaired event (T1 output: is_new possibly rewritten). */
   case class RepairedEvent(
@@ -24,12 +31,17 @@ object Model {
       lastPageId: String,
       isNew: String,
       ts: Timestamp,
-      repaired: Boolean)
+      repaired: Boolean,
+      vc: String = "",
+      ch: String = "",
+      ar: String = "")
 
   /** Jump-out detection output (T2): the entry event that was never
-    * followed within the window. Carries the visitor's is_new flag so
-    * downstream visitor stats attribute the jump to the right bucket. */
-  case class Jump(mid: String, pageId: String, isNew: String, ts: Timestamp)
+    * followed within the window. Carries the visitor's full stats key
+    * (vc, ch, ar, is_new) so downstream visitor stats attribute the jump
+    * to the right bucket. */
+  case class Jump(mid: String, pageId: String, isNew: String, ts: Timestamp,
+                  vc: String = "", ch: String = "", ar: String = "")
 
   /** Order / order-detail shapes for the interval joins (J1/J2),
     * reference bean/OrderInfo.java, bean/OrderDetail.java (reduced to the

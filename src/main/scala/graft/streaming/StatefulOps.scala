@@ -50,14 +50,14 @@ object StatefulOps {
           if (e.isNew == "1") {
             if (firstDay == null) {
               firstDay = d
-              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "1", e.ts, repaired = false)
+              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "1", e.ts, repaired = false, e.vc, e.ch, e.ar)
             } else if (firstDay != d) {
-              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "0", e.ts, repaired = true)
+              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "0", e.ts, repaired = true, e.vc, e.ch, e.ar)
             } else {
-              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "1", e.ts, repaired = false)
+              out += RepairedEvent(e.mid, e.pageId, e.lastPageId, "1", e.ts, repaired = false, e.vc, e.ch, e.ar)
             }
           } else {
-            out += RepairedEvent(e.mid, e.pageId, e.lastPageId, e.isNew, e.ts, repaired = false)
+            out += RepairedEvent(e.mid, e.pageId, e.lastPageId, e.isNew, e.ts, repaired = false, e.vc, e.ch, e.ar)
           }
         }
         if (firstDay != null) {
@@ -144,7 +144,7 @@ object StatefulOps {
                 pending = null // followed in time: pattern matched, discard
               }
             }
-            if (isEntry && pending == null) pending = Jump(e.mid, e.pageId, e.isNew, e.ts)
+            if (isEntry && pending == null) pending = Jump(e.mid, e.pageId, e.isNew, e.ts, e.vc, e.ch, e.ar)
           }
           if (pending != null) {
             if (emitTrailing) out += pending

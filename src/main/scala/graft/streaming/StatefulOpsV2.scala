@@ -33,7 +33,7 @@ object StatefulOpsV2 {
           if (e.ts.getTime - p.ts.getTime > gapMs) out += p
           p = null
         }
-        if (isEntry && p == null) p = Jump(e.mid, e.pageId, e.isNew, e.ts)
+        if (isEntry && p == null) p = Jump(e.mid, e.pageId, e.isNew, e.ts, e.vc, e.ch, e.ar)
       }
       if (old != null && (p == null || p.ts != old.ts))
         getHandle.deleteTimer(old.ts.getTime + gapMs)

@@ -47,32 +47,36 @@ object WindowedStats {
   /** U2/A2 — the reference VisitorStatsApp's 4-way union
     * (VisitorStatsApp.java:140-141): page views, unique visits, session
     * entries, and jump-outs each seed one metric of a unified schema, are
-    * unioned, and window-reduced. Inputs: the parsed page frame (pv + sv +
-    * duration), the UniqueVisit output (uv), and the UserJump output (uj).
-    * The reference keys by (vc, ch, ar, is_new); the typed DWM outputs
-    * carry is_new only, so the unified key here is is_new — same shape,
-    * reduced key arity. */
+    * unioned, and window-reduced keyed by the reference's FULL 4-part
+    * dimension key (vc, ch, ar, is_new) — VisitorStatsApp.java:156-166.
+    * Inputs: the parsed page frame (pv + sv + duration), the UniqueVisit
+    * output (uv), and the UserJump output (uj); the typed DWM shapes carry
+    * vc/ch/ar through Model.LogEvent / Model.Jump. */
   def visitorStatsUnion(pages: DataFrame, uvEvents: DataFrame, jumps: DataFrame,
                         windowDur: String = "10 seconds",
                         streaming: Boolean = false): DataFrame = {
     val zero = lit(0L)
     val pvSeed = pages.select(
-      col("common.is_new").as("is_new"), col("event_ts"),
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+      col("event_ts"),
       lit(1L).as("pv_ct"), zero.as("uv_ct"),
       when(col("page.last_page_id").isNull || length(col("page.last_page_id")) === 0, 1L)
         .otherwise(0L).as("sv_ct"),
       zero.as("uj_ct"),
       coalesce(col("page.during_time"), lit(0L)).as("dur_sum"))
     val uvSeed = uvEvents.select(
-      col("isNew").as("is_new"), col("ts").as("event_ts"),
+      col("vc"), col("ch"), col("ar"), col("isNew").as("is_new"),
+      col("ts").as("event_ts"),
       zero.as("pv_ct"), lit(1L).as("uv_ct"), zero.as("sv_ct"), zero.as("uj_ct"),
       zero.as("dur_sum"))
     val ujSeed = jumps.select(
-      col("isNew").as("is_new"), col("ts").as("event_ts"),
+      col("vc"), col("ch"), col("ar"), col("isNew").as("is_new"),
+      col("ts").as("event_ts"),
       zero.as("pv_ct"), zero.as("uv_ct"), zero.as("sv_ct"), lit(1L).as("uj_ct"),
       zero.as("dur_sum"))
     val unioned = pvSeed.unionByName(uvSeed).unionByName(ujSeed)
-    tumble(unioned, "event_ts", Seq("is_new"),
+    tumble(unioned, "event_ts", Seq("vc", "ch", "ar", "is_new"),
       Seq(sum(col("pv_ct")).as("pv_ct"), sum(col("uv_ct")).as("uv_ct"),
         sum(col("sv_ct")).as("sv_ct"), sum(col("uj_ct")).as("uj_ct"),
         sum(col("dur_sum")).as("dur_sum")),
