@@ -49,7 +49,7 @@ object SparkEntry {
     "q24_token_count"     -> (TextQueries.tokenCount _),
     "q25_fingerprint"     -> (TextQueries.fingerprint _),
     "q26_media_stats"     -> (Multimodal.mediaStats _),
-    "q27_embed_dups"      -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    "q27_embed_dups"      -> ((s, d) => Dedup.embeddingDupPairsLsh(s, d)),
     "q28_latest_event"    -> (RefQueries.latestEventPerUser _),
     "q29_keyword_product" -> (RefQueries.keywordMetricCross _),
     "q30_sessionize"      -> ((s, d) => RefQueries.sessionize(s, d)),
@@ -341,15 +341,21 @@ object SparkEntry {
     "q26_media_stats" ->
       """SELECT doc_id, 'text/plain' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q27_embed_dups" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) AS n2
-        |  FROM embeddings WHERE vec_id < 2000),
-        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip(a.embedding, b.embedding)]) /
-        |    (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
-        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q27_embed_dups" -> {
+      // mirrors embeddingDupPairsLsh: 60-bit hyperplane bucket -> 15 bands
+      // of 4 bits -> any-band candidates -> exact cosine verify
+      val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 60)
+      val bandList = (0 until 15).map(b => s"(bucket >> ${b * 4}) & 15").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+         |bnd AS (SELECT vec_id, unnest(generate_series(0, 14)) AS band_id,
+         |  unnest([$bandList]) AS band_sig FROM e),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id
+         |    AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         |s AS (SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
     "q28_latest_event" ->
       """SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM (
         |  SELECT user_id, event_id, event_type, ts,

@@ -102,7 +102,11 @@ object FloatVecLshBucket {
 
   /** DuckDB SQL computing the identical bucket for a list(FLOAT) column:
     * per bit, an explicit left-to-right ±1-weighted sum over the vector
-    * elements (1-based list indexing), compared `> 0`. */
+    * elements (1-based list indexing), compared `> 0`. The per-bit double
+    * chains MUST stay left-associative (floating-point order parity with
+    * the codegen loop); the outer per-bit CASE sum is integer-exact, so it
+    * is chunked into a shallow tree to stay inside DuckDB's 128-level
+    * binder recursion limit at bits ≥ ~50. */
   def bucketSql(vecExpr: String, bits: Int, dims: Int = 64): String =
     (0 until bits).map { j =>
       val terms = (0 until dims).map { i =>
@@ -111,5 +115,5 @@ object FloatVecLshBucket {
         s"$sign * CAST($vecExpr[${i + 1}] AS DOUBLE)"
       }.mkString(" + ")
       s"CASE WHEN ($terms) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END"
-    }.mkString(" + ")
+    }.grouped(8).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
 }

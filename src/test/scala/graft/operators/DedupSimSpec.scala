@@ -25,6 +25,21 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(2) <= 3))
   }
 
+  test("banded embedding LSH dedup: subset of exact cartesian truth, same sims") {
+    val exact = Dedup.embeddingDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingDupPairsLsh(spark, sf).collect()
+    // candidates are exactly verified, so every emitted pair must appear in
+    // the ground truth with a bit-identical similarity
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"false positive $key")
+      assert(exact(key) === r.getDouble(2))
+    }
+    assert(lsh.length >= (exact.size * 0.7).toInt,
+      s"banded recall too low: ${lsh.length}/${exact.size}")
+  }
+
   test("brute-force ANN: self-similarity excluded, scores in [-1,1], k bounded") {
     val rows = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 5).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))

@@ -40,4 +40,54 @@ class DynamicRoutingSpec extends SparkSpec {
     assert(dim.count() === 1)
     assert(dim.head().getAs[Map[String, String]]("data")("tm_name") === "Apple Inc")
   }
+
+  test("K3 scale: an upsert batch rewrites ONLY its dirty pk-hash buckets") {
+    val s = spark
+    import s.implicits._
+    val config = Seq(
+      ("base_trademark", "insert", "dim", "dim_tm", "id,tm_name", "id"))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns", "sinkPk")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dims-bkt").toString
+
+    val cdc1 = (1 to 40).map(i => ("base_trademark", "insert", 1L,
+      Map("id" -> i.toString, "tm_name" -> s"name$i")))
+      .toDF("table", "type", "ts", "data")
+    DynamicRouting.upsertDims(DynamicRouting.routed(cdc1, config), dimDir)
+
+    // byte-level listing of every bucket partition's files
+    def files(): Map[String, Array[Byte]] = {
+      val root = java.nio.file.Paths.get(dimDir, "dim_tm")
+      val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (rel.startsWith("bucket=") && rel.endsWith(".parquet"))
+          out(rel) = java.nio.file.Files.readAllBytes(p)
+      }
+      out.toMap
+    }
+    val before = files()
+    assert(before.keySet.map(_.split("/")(0)).size > 1) // pks spread over buckets
+
+    // second batch touches exactly one pk
+    val cdc2 = Seq(("base_trademark", "insert", 2L,
+      Map("id" -> "1", "tm_name" -> "updated")))
+      .toDF("table", "type", "ts", "data")
+    DynamicRouting.upsertDims(DynamicRouting.routed(cdc2, config), dimDir)
+    val after = files()
+
+    val dirtyBucket = "bucket=" + s.range(1)
+      .select(pmod(xxhash64(lit("1")), lit(DynamicRouting.DimBuckets))).head().getLong(0)
+    // untouched buckets: identical file names AND identical bytes
+    val cleanBefore = before.filter(!_._1.startsWith(dirtyBucket))
+    val cleanAfter = after.filter(!_._1.startsWith(dirtyBucket))
+    assert(cleanBefore.keySet === cleanAfter.keySet)
+    cleanBefore.foreach { case (f, bytes) =>
+      assert(java.util.Arrays.equals(bytes, cleanAfter(f)), s"$f was rewritten")
+    }
+    // the upsert itself took effect, with last-write-wins
+    val dim = s.read.parquet(s"$dimDir/dim_tm")
+    assert(dim.count() === 40)
+    assert(dim.filter(col("pk") === "1").head()
+      .getAs[Map[String, String]]("data")("tm_name") === "updated")
+  }
 }
