@@ -64,6 +64,7 @@ object SparkEntry {
     "q39_product_stats_full" -> (RefQueries.productStatsFull _),
     "q40_order_wide_enriched" -> (RefQueries.orderWideEnriched _),
     "q41_visitor_stats_full" -> (RefQueries.visitorStatsFull _),
+    "q42_ann_lsh_banded"  -> ((s, d) => Similarity.lshTopKMulti(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -525,5 +526,22 @@ object SparkEntry {
         |  strftime(to_timestamp((sec//3600)*3600 + 3600), '%Y-%m-%d %H:%M:%S') AS edt
         |FROM u GROUP BY vc, ch, ar, is_new, sec//3600
         |ORDER BY stt, vc, ch, ar, is_new""".stripMargin,
+    "q42_ann_lsh_banded" -> {
+      // mirrors lshTopKMulti: 60-bit bucket -> 15 bands of 4 bits ->
+      // any-band candidates -> exact cosine -> top-10 per query
+      val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 60)
+      val bandList = (0 until 15).map(b => s"(bucket >> ${b * 4}) & 15").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+         |bnd AS (SELECT vec_id, unnest(generate_series(0, 14)) AS band_id,
+         |  unnest([$bandList]) AS band_sig FROM e),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM bnd c JOIN bnd q ON c.band_id = q.band_id AND c.band_sig = q.band_sig
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |s AS (SELECT qid, nid, ${cosSql("eq.embedding", "ec.embedding")} AS sim
+         |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e ec ON ec.vec_id = nid)
+         |SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+    },
   )
 }

@@ -142,13 +142,16 @@ object Apps {
       MetricUnion.fromRefunds(refunds),
       MetricUnion.fromComments(comments)), streaming = true)
     stats.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.persist()
+      // dim enrichment on the AGGREGATED rows (one lookup per sku-window,
+      // not per event — ProductStatsApp.java:316-397 does the same)
+      val enriched = OrderWideEnrich
+        .productStatsEnrich(batch, spark, s"${c.warehouseDir}/dims").persist()
       try {
-        batch.write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats")
+        enriched.write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats")
         // flat JSON mirror: the shape keywordStats4ProductApp consumes
-        Kafka.toJsonValue(batch)
+        Kafka.toJsonValue(enriched)
           .write.mode("append").parquet(s"${c.warehouseDir}/dws_product_stats_json")
-      } finally { batch.unpersist(); () }
+      } finally { enriched.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/product_stats").start()
   }
 

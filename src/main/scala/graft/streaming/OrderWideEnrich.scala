@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -40,6 +40,33 @@ object OrderWideEnrich {
       StructType.fromDDL("pk STRING, data MAP<STRING,STRING>"))
   }
 
+  /** The SKU dim chain shared by OrderWide and ProductStats enrichment:
+    * sku -> (sku_name, sku_price, spu_id, category3_id, tm_id), then
+    * spu_name / category3_name / tm_name through the foreign keys the sku
+    * row carries (OrderWideApp.java:218-281, ProductStatsApp.java:316-397).
+    * `skuKey` must already be a string (dim pks are strings). */
+  def skuChain(df: DataFrame, spark: SparkSession, dimDir: String,
+               skuKey: Column): DataFrame = {
+    def d(t: String) = dimOrEmpty(spark, dimDir, t)
+    val sku = d("dim_sku_info").select(col("pk").as("sk_pk"),
+      element_at(col("data"), "sku_name").as("sku_name"),
+      element_at(col("data"), "sku_price").as("sku_price"),
+      element_at(col("data"), "spu_id").as("spu_id"),
+      element_at(col("data"), "category3_id").as("category3_id"),
+      element_at(col("data"), "tm_id").as("tm_id"))
+    val spu = d("dim_spu_info").select(col("pk").as("sp_pk"),
+      element_at(col("data"), "spu_name").as("spu_name"))
+    val cat3 = d("dim_base_category3").select(col("pk").as("c3_pk"),
+      element_at(col("data"), "name").as("category3_name"))
+    val tm = d("dim_base_trademark").select(col("pk").as("tm_pk"),
+      element_at(col("data"), "tm_name").as("tm_name"))
+    df.join(broadcast(sku), skuKey === col("sk_pk"), "left")
+      .join(broadcast(spu), col("spu_id") === col("sp_pk"), "left")
+      .join(broadcast(cat3), col("category3_id") === col("c3_pk"), "left")
+      .join(broadcast(tm), col("tm_id") === col("tm_pk"), "left")
+      .drop("sk_pk", "sp_pk", "c3_pk", "tm_pk")
+  }
+
   /** Enrich an order-wide batch (orderId/userId/provinceId/skuId/.../o_time
     * — the [[IntervalJoins.orderWide]] output shape) with all six dims. */
   def enrich(batch: DataFrame, spark: SparkSession, dimDir: String): DataFrame = {
@@ -52,26 +79,18 @@ object OrderWideEnrich {
       element_at(col("data"), "area_code").as("province_area_code"),
       element_at(col("data"), "iso_code").as("province_iso_code"),
       element_at(col("data"), "iso_3166_2").as("province_3166_2_code"))
-    val sku = d("dim_sku_info").select(col("pk").as("sk_pk"),
-      element_at(col("data"), "sku_name").as("sku_name"),
-      element_at(col("data"), "spu_id").as("spu_id"),
-      element_at(col("data"), "category3_id").as("category3_id"),
-      element_at(col("data"), "tm_id").as("tm_id"))
-    val spu = d("dim_spu_info").select(col("pk").as("sp_pk"),
-      element_at(col("data"), "spu_name").as("spu_name"))
-    val cat3 = d("dim_base_category3").select(col("pk").as("c3_pk"),
-      element_at(col("data"), "name").as("category3_name"))
-    val tm = d("dim_base_trademark").select(col("pk").as("tm_pk"),
-      element_at(col("data"), "tm_name").as("tm_name"))
-    batch
+    val base = batch
       .join(broadcast(user), col("userId") === col("u_pk").cast("long"), "left")
       .withColumn("user_age",
         expr(s"(unix_millis(o_time) - unix_millis(CAST(birthday AS TIMESTAMP))) div $MsPerYear"))
       .join(broadcast(prov), col("provinceId") === col("pr_pk").cast("long"), "left")
-      .join(broadcast(sku), col("skuId") === col("sk_pk").cast("long"), "left")
-      .join(broadcast(spu), col("spu_id") === col("sp_pk"), "left")
-      .join(broadcast(cat3), col("category3_id") === col("c3_pk"), "left")
-      .join(broadcast(tm), col("tm_id") === col("tm_pk"), "left")
-      .drop("u_pk", "pr_pk", "sk_pk", "sp_pk", "c3_pk", "tm_pk", "birthday")
+    skuChain(base, spark, dimDir, col("skuId").cast("string"))
+      .drop("u_pk", "pr_pk", "birthday")
   }
+
+  /** ProductStats dim enrichment (ProductStatsApp.java:316-397): the sku
+    * chain joined onto the aggregated stats keyed by sku_id. */
+  def productStatsEnrich(stats: DataFrame, spark: SparkSession,
+                         dimDir: String): DataFrame =
+    skuChain(stats, spark, dimDir, col("sku_id"))
 }

@@ -63,6 +63,21 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall unexpectedly low: $recall") // nProbe=2/16 cells
   }
 
+  test("banded multi-table LSH ANN: same scores as brute force, amplified recall") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteAll = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.lshTopKMulti(spark, sf, nQueries = 3, k = 10).collect()
+    banded.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteAll.get(key).foreach(s2 => assert(s2 === r.getDouble(2)))
+    }
+    val bandedSet = banded.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bandedSet intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"banded recall too low: $recall")
+  }
+
   test("LSH ANN returns a subset of brute-force candidates with same scores") {
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 200).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

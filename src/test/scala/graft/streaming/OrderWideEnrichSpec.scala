@@ -50,4 +50,31 @@ class OrderWideEnrichSpec extends SparkSpec {
     assert(r2.getAs[String]("sku_name") === null)
     assert(r2.getAs[Double]("splitAmount") === 20.0)
   }
+
+  test("ProductStats dim enrichment: sku chain joins onto aggregated stats") {
+    val s = spark
+    import s.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dims-ps").toString
+    def writeDim(t: String, rows: Seq[(String, Map[String, String])]): Unit =
+      rows.toDF("pk", "data").write.parquet(s"$dimDir/$t")
+    writeDim("dim_sku_info", Seq(
+      "10" -> Map("sku_name" -> "phone x", "sku_price" -> "4999.00",
+        "spu_id" -> "100", "category3_id" -> "61", "tm_id" -> "5")))
+    writeDim("dim_spu_info", Seq("100" -> Map("spu_name" -> "phone")))
+    writeDim("dim_base_category3", Seq("61" -> Map("name" -> "mobiles")))
+    writeDim("dim_base_trademark", Seq("5" -> Map("tm_name" -> "acme")))
+
+    val stats = Seq(("10", 3L, 95.0), ("77", 1L, 10.0))
+      .toDF("sku_id", "click_ct", "order_amount")
+    val out = OrderWideEnrich.productStatsEnrich(stats, s, dimDir).collect()
+      .map(r => r.getAs[String]("sku_id") -> r).toMap
+    val r10 = out("10")
+    assert(r10.getAs[String]("sku_name") === "phone x")
+    assert(r10.getAs[String]("sku_price") === "4999.00")
+    assert(r10.getAs[String]("spu_name") === "phone")
+    assert(r10.getAs[String]("category3_name") === "mobiles")
+    assert(r10.getAs[String]("tm_name") === "acme")
+    assert(r10.getAs[Long]("click_ct") === 3L) // metrics untouched
+    assert(out("77").getAs[String]("sku_name") === null) // miss-safe
+  }
 }
