@@ -8,10 +8,13 @@ import graft.Tables
   *
   * Media (image/audio/video) is modeled as an opaque `binary` payload plus
   * typed metadata — the schema a 100 TB multimodal training corpus uses in
-  * parquet. The decode step is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * payload bytes. Everything around it — schema, typed Dataset encoders,
-  * per-partition batch processing, partition sizing — is real and tested.
+  * parquet. Decode is REAL for every codec the JDK ships (zero added
+  * dependencies): images via javax.imageio (PNG/JPEG/BMP/GIF — decode,
+  * mean-RGB features, resize + re-encode) and audio via
+  * javax.sound.sampled (WAV/AU/AIFF — channels, rate, duration, RMS).
+  * Only video frame demuxing has no JDK codec and remains a clearly-marked
+  * deterministic stub. Everything around the decoders — schema, typed
+  * Dataset encoders, per-partition batch processing — is real and tested.
   *
   * At scale: `mapPartitions` keeps the decode batched per task (the Scala
   * analogue of mapInPandas batches); payloads never shuffle — feature
@@ -24,6 +27,81 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                            features: Array[Float])
 
+  /** Decoded image metadata + channel means (0..255 scale). */
+  case class ImageMeta(width: Int, height: Int,
+                       meanR: Double, meanG: Double, meanB: Double)
+
+  /** Decoded audio metadata; rms is over normalized [-1, 1] samples. */
+  case class AudioMeta(channels: Int, sampleRateHz: Float, frames: Long,
+                       durationSec: Double, rms: Double)
+
+  /** REAL image decode (JDK javax.imageio): None when the payload is not a
+    * decodable image. Pixel scan is one pass over the raster. */
+  def decodeImage(payload: Array[Byte]): Option[ImageMeta] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toDouble * img.getHeight
+        Some(ImageMeta(img.getWidth, img.getHeight, r / n, g / n, b / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL image resize: decode, nearest-quality rescale via Graphics2D,
+    * re-encode as PNG. None when the payload is not a decodable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = out.createGraphics()
+        try gfx.drawImage(img, 0, 0, w, h, null) finally gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode (JDK javax.sound.sampled): header metadata plus RMS
+    * amplitude over 16-bit PCM samples. None for undecodable payloads. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val bytes = in.readAllBytes()
+        var sumSq = 0.0; var n = 0
+        if (fmt.getSampleSizeInBits == 16) {
+          val order =
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          while (buf.hasRemaining) {
+            val v = buf.get() / 32768.0
+            sumSq += v * v; n += 1
+          }
+        }
+        Some(AudioMeta(fmt.getChannels, fmt.getSampleRate, frames,
+          if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Stand-in corpus: the documents table with its text re-encoded as the
     * opaque binary payload (real pipelines read true binary columns; the
     * schema and plumbing are identical). */
@@ -33,9 +111,8 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decode: a real implementation would decode the image/audio here
-    * (e.g. JPEG -> HxWx3). Deterministic fake: `dim` features folded from
-    * the payload bytes. Runs batched per partition, like mapInPandas. */
+  /** Fallback feature fold for media types with no JDK codec: `dim`
+    * features deterministically folded from the payload bytes. */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val f = new Array[Float](dim)
     var i = 0
@@ -43,18 +120,39 @@ object Multimodal {
     f
   }
 
-  /** Feature extraction over the media table: typed mapPartitions so the
-    * (stubbed) decoder amortizes any per-batch setup, exactly where a model
-    * session / codec context would be opened once per task. */
-  def extractFeatures(s: SparkSession, dir: String, dim: Int = 8): Dataset[MediaFeatures] = {
-    import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+  /** Per-row feature dispatch by media type: real image / audio decode
+    * through the JDK codecs, byte-fold fallback elsewhere (and for corrupt
+    * payloads — a 100 TB corpus always contains some). */
+  def featuresOf(r: MediaRow, dim: Int): Array[Float] = {
+    val decoded =
+      if (r.media_type.startsWith("image/"))
+        decodeImage(r.payload).map(m => Array(m.width.toFloat, m.height.toFloat,
+          m.meanR.toFloat, m.meanG.toFloat, m.meanB.toFloat))
+      else if (r.media_type.startsWith("audio/"))
+        decodeAudio(r.payload).map(m => Array(m.channels.toFloat, m.sampleRateHz,
+          m.frames.toFloat, m.durationSec.toFloat, m.rms.toFloat))
+      else None
+    decoded.getOrElse(decodeStub(r.payload, dim))
+  }
+
+  /** Feature extraction over a media Dataset: typed mapPartitions so codec
+    * setup amortizes per task, exactly where a model session would be
+    * opened once per task (the Scala analogue of mapInPandas batches). */
+  def extract(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       // per-task setup would go here (codec/model init)
       rows.map { r =>
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          decodeStub(r.payload, dim))
+          featuresOf(r, dim))
       }
     }
+  }
+
+  /** Feature extraction over the corpus media table. */
+  def extractFeatures(s: SparkSession, dir: String, dim: Int = 8): Dataset[MediaFeatures] = {
+    import s.implicits._
+    extract(mediaTable(s, dir).as[MediaRow], dim)
   }
 
   /** STUB resize: a real implementation would decode, rescale to

@@ -26,6 +26,69 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.frame_bytes > 0))
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(rateHz: Float, seconds: Double, amp: Double): Array[Byte] = {
+    val n = (rateHz * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n)
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / rateHz) * amp * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode: JDK codec roundtrip, mean RGB, resize") {
+    val red = pngBytes(8, 6, 0xC80000) // R=200
+    val meta = Multimodal.decodeImage(red).get
+    assert(meta.width === 8 && meta.height === 6)
+    assert(meta.meanR === 200.0 && meta.meanG === 0.0 && meta.meanB === 0.0)
+    val resized = Multimodal.resizeImage(red, 4, 3).get
+    val rMeta = Multimodal.decodeImage(resized).get
+    assert(rMeta.width === 4 && rMeta.height === 3)
+    assert(rMeta.meanR === 200.0) // solid color survives rescale exactly
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("REAL audio decode: WAV header metadata and RMS amplitude") {
+    val wav = wavBytes(8000f, 0.5, amp = 0.5)
+    val meta = Multimodal.decodeAudio(wav).get
+    assert(meta.channels === 1)
+    assert(meta.sampleRateHz === 8000f)
+    assert(math.abs(meta.durationSec - 0.5) < 0.01)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(meta.rms - 0.3536) < 0.01)
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("feature dispatch: decoded media vs byte-fold fallback, distributed") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngBytes(5, 4, 0x0000FF)),
+      Multimodal.MediaRow(2L, "audio/wav", wavBytes(8000f, 0.25, 0.9)),
+      Multimodal.MediaRow(3L, "text/plain", "hello".getBytes("UTF-8")),
+      Multimodal.MediaRow(4L, "image/png", "corrupt".getBytes("UTF-8")))
+    val out = Multimodal.extract(rows.toDS(), dim = 8).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).features.take(2).sameElements(Array(5f, 4f))) // real decode
+    assert(out(2L).features(1) === 8000f)                        // real audio rate
+    assert(out(3L).features.length === 8)                        // fallback fold
+    assert(out(4L).features.length === 8)                        // corrupt -> fallback
+  }
+
   test("media stats match text byte lengths") {
     val s = spark
     import org.apache.spark.sql.functions._
