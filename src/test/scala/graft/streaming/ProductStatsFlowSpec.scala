@@ -78,6 +78,34 @@ class ProductStatsFlowSpec extends SparkSpec {
     assert(r.getAs[Long]("click_ct") === 0L)
   }
 
+  test("A1 streaming: metric union emits closed windows in append mode") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val orders = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val seeds = MetricUnion.fromOrders(
+      orders.toDF().toDF("orderId", "skuId", "splitAmount", "d_time"))
+    val stats = MetricUnion.productStats(Seq(seeds), streaming = true)
+    // nonzero event times (epoch-0 sits at the initial watermark); the late
+    // 60 s event advances the watermark past the first 10 s window's end
+    orders.addData((1L, 10L, 25.0, ts(12000L)), (2L, 10L, 30.0, ts(13000L)))
+    val q = stats.writeStream.format("memory").queryName("ps_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      orders.addData((3L, 99L, 1.0, ts(60000L))) // watermark pusher
+      q.processAllAvailable()
+      val rows = s.table("ps_stream").collect()
+      assert(rows.length === 1) // only the closed [10s,20s) window emitted
+      val r = rows.head
+      assert(r.getAs[String]("sku_id") === "10")
+      assert(r.getAs[Long]("order_ct") === 2L)
+      assert(r.getAs[Double]("order_amount") === 55.0)
+      assert(r.getAs[String]("stt") === "1970-01-01 00:00:10")
+    } finally q.stop()
+  }
+
   test("J2 parity: paymentWideFull joins payment to order-wide within band") {
     val s = spark
     import s.implicits._
