@@ -39,4 +39,26 @@ class FloatVecCosineSpec extends SparkSpec {
     val withNull = s.sql("SELECT float_vec_cosine(a, CAST(NULL AS ARRAY<FLOAT>)) FROM vec_pairs")
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
+
+  test("extensions builders: SQL float_vec_lsh_bucket matches the Column API") {
+    val s = spark
+    // the same builders GraftExtensions injects, registered on the live
+    // session (a shared test session cannot take extensions post-start)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_lsh_bucket", GraftExtensions.lshBucketBuilder, "built-in")
+    val emb = graft.Tables.load(s, sf, "embeddings").limit(50)
+    emb.createOrReplaceTempView("emb_ext")
+    val viaSql = s.sql(
+      "SELECT vec_id, float_vec_lsh_bucket(embedding, 8) AS b FROM emb_ext ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = emb.select(col("vec_id"),
+        FloatVecLshBucket(s, col("embedding"), 8).as("b"))
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.sameElements(viaCol))
+    // explicit dims arg parses too
+    val withDims = s.sql(
+      "SELECT float_vec_lsh_bucket(embedding, 8, 64) AS b FROM emb_ext ORDER BY vec_id")
+      .collect().map(_.getLong(0))
+    assert(withDims.sameElements(viaSql.map(_._2)))
+  }
 }
