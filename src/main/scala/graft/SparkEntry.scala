@@ -65,6 +65,7 @@ object SparkEntry {
     "q40_order_wide_enriched" -> (RefQueries.orderWideEnriched _),
     "q41_visitor_stats_full" -> (RefQueries.visitorStatsFull _),
     "q42_ann_lsh_banded"  -> ((s, d) => Similarity.lshTopKMulti(s, d)),
+    "q43_winnow"          -> ((s, d) => Dedup.winnowFingerprints(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -542,6 +543,22 @@ object SparkEntry {
          |SELECT qid, nid, sim FROM (
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+    },
+    "q43_winnow" -> {
+      import graft.functions.PortableHash
+      // k=3 token grams, w=4 winnowing window — mirrors winnowFingerprints
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS pos,
+         |    unnest([${PortableHash.h60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+         |      for i in generate_series(1, len(t) - 2)]) AS h
+         |  FROM toks WHERE len(t) >= 3),
+         |m AS (SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g)
+         |SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos + 3 <= n
+         |ORDER BY doc_id, fp""".stripMargin
     },
   )
 }

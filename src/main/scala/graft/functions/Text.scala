@@ -39,10 +39,14 @@ object Text {
   /** n-token shingles (default 3), distinct, joined by a single space.
     * Returns an empty array for docs shorter than n tokens. */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+    array_distinct(shinglesPositional(toks, n))
+
+  /** Positional (non-distinct, document-order) n-token shingles — the form
+    * rolling-hash winnowing needs, where position matters. */
+  def shinglesPositional(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
 
   /** MinHash signature: each shingle string is hashed ONCE (xxhash64); the
     * k "independent" hash functions re-hash that base long together with

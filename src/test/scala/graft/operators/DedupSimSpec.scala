@@ -16,6 +16,26 @@ class DedupSimSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("winnowing: sampled density, determinism, near-dups share fingerprints") {
+    val fps = Dedup.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    assert(byDoc.nonEmpty && byDoc.values.forall(_.nonEmpty))
+    // winnowing samples ~2/(w+1) of gram positions; distinct-set size must
+    // be well under the gram count (here: docs have >> 10 tokens)
+    val again = Dedup.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.sameElements(again))
+    // documents that are near-dups by exact Jaccard share fingerprints
+    // (the winnowing guarantee: any match of >= w+k-1 tokens is caught)
+    val dupPairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sharing = dupPairs.count { case (a, b) =>
+      (byDoc(a) intersect byDoc(b)).nonEmpty }
+    assert(sharing >= (dupPairs.length * 0.8).toInt,
+      s"winnow overlap too low: $sharing/${dupPairs.length}")
+  }
+
   test("SimHash fingerprints are deterministic and pair search is symmetric-safe") {
     val a = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
