@@ -66,6 +66,8 @@ object SparkEntry {
     "q41_visitor_stats_full" -> (RefQueries.visitorStatsFull _),
     "q42_ann_lsh_banded"  -> ((s, d) => Similarity.lshTopKMulti(s, d)),
     "q43_winnow"          -> ((s, d) => Dedup.winnowFingerprints(s, d)),
+    "q44_pii_scan"        -> (TextQueries.piiScan _),
+    "q45_repetition"      -> (TextQueries.repetition _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -560,5 +562,36 @@ object SparkEntry {
          |SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos + 3 <= n
          |ORDER BY doc_id, fp""".stripMargin
     },
+    "q44_pii_scan" -> {
+      import graft.operators.TextQueries.{EmailRe, PhoneRe, UrlRe}
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS email_ct,
+         |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS url_ct,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS phone_ct,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5,
+         |  CASE WHEN len(regexp_extract_all(text, '$EmailRe'))
+         |    + len(regexp_extract_all(text, '$UrlRe'))
+         |    + len(regexp_extract_all(text, '$PhoneRe')) > 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS has_pii
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q45_repetition" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+         |    [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS g
+         |  FROM toks),
+         |tt AS (SELECT doc_id, MAX(ct) AS top_ct FROM (
+         |  SELECT doc_id, tok, COUNT(*) AS ct FROM (
+         |    SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT b.doc_id,
+         |  round(1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_token_ratio,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_bigram_ratio,
+         |  round(CAST(top_ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_tok_share
+         |FROM b JOIN tt ON tt.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin,
   )
 }

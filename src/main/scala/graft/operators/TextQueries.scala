@@ -80,6 +80,72 @@ object TextQueries {
           .cast("long").as("re_tokens"))
       .orderBy(col("doc_id"))
 
+  /** PII patterns shared by the Spark query and the generated oracle —
+    * deliberately restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+    * interpret identically: literal classes, \d/\s, bounded quantifiers,
+    * no backrefs or lookarounds. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII scan + redaction fingerprint: counts of email / URL / phone-shaped
+    * spans per document, a 0/1 flag, and the md5 of the text with those
+    * spans replaced by typed placeholders (email, then url, then phone —
+    * order mirrored in the oracle) — the scrubbing pass a training-data
+    * pipeline runs before release. Per-row, scan-speed. */
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    piiScanDf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[piiScan]] over any (doc_id, text) frame. */
+  def piiScanDf(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>")
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("email_ct"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("url_ct"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("phone_ct"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("has_pii",
+        (col("email_ct") + col("url_ct") + col("phone_ct") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition metrics (the Gopher-rule family): duplicate-token ratio,
+    * duplicate-bigram ratio, and the most frequent token's share of the
+    * document. High values flag boilerplate/spam for quality filtering.
+    * The top-token pass shuffles (doc_id, token) counts only. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionDf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[repetition]] over any (doc_id, text) frame. */
+  def repetitionDf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("grams", Text.shinglesPositional(col("toks"), 2))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id")).agg(max(col("ct")).as("top_ct"))
+    base
+      .select(col("doc_id"), col("n"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / col("n").cast("double"), 6).as("dup_token_ratio"),
+        when(size(col("grams")) > 0,
+          round(lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+            / size(col("grams")).cast("double"), 6)).otherwise(0.0)
+          .as("dup_bigram_ratio"))
+      .join(top, "doc_id")
+      .select(col("doc_id"), col("dup_token_ratio"), col("dup_bigram_ratio"),
+        round(col("top_ct").cast("double") / col("n").cast("double"), 6)
+          .as("top_tok_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over the normalized token stream (the
     * oracle-checkable twin of the rolling-hash fingerprint; dedupable by
     * equality). */
