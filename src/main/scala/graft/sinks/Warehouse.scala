@@ -31,4 +31,19 @@ object Warehouse {
   def readDay(spark: org.apache.spark.sql.SparkSession, path: String,
               day: String): DataFrame =
     spark.read.parquet(path).filter(col("dt") === day)
+
+  /** Bucketed catalog table: hash-co-locates (and sorts) rows by the join
+    * key at WRITE time, so every downstream equi-join or aggregation on
+    * that key between same-bucketing tables runs with NO exchange — the
+    * planner proves both sides share HashPartitioning(buckets). This is
+    * the 100 TB answer to repeated fact⋈fact joins (e.g. orders⋈lineitem
+    * every night): pay the shuffle once at ingest, never again.
+    * BucketedJoinSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
