@@ -68,6 +68,7 @@ object SparkEntry {
     "q43_winnow"          -> ((s, d) => Dedup.winnowFingerprints(s, d)),
     "q44_pii_scan"        -> (TextQueries.piiScan _),
     "q45_repetition"      -> (TextQueries.repetition _),
+    "q46_bm25_terms"      -> ((s, d) => TextQueries.bm25TopTerms(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -593,5 +594,24 @@ object SparkEntry {
          |    ELSE 0.0 END AS dup_bigram_ratio,
          |  round(CAST(top_ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_tok_share
          |FROM b JOIN tt ON tt.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q46_bm25_terms" ->
+      s"""WITH $toksCte,
+         |tt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+         |  FROM tt GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+         |  FROM toks),
+         |sc AS (SELECT doc_id, term, round(
+         |    (tf * (1.2 + 1.0) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_len))) *
+         |    ((n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+         |  FROM tf JOIN dft USING (term) CROSS JOIN st)
+         |SELECT doc_id, term, score, rk FROM (
+         |  SELECT doc_id, term, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |  FROM sc)
+         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -146,6 +146,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 keyword extraction: top-`topK` terms per document by BM25 weight.
+    * The idf factor is the raw Robertson ratio (N-df+0.5)/(df+0.5) WITHOUT
+    * the log — rank-equivalent per fixed df ordering and, unlike ln(),
+    * pure IEEE +,*,/ arithmetic, which both engines evaluate bit-identically
+    * when the expression tree is mirrored (transcendental libm calls are
+    * the one place Spark/DuckDB doubles can drift).
+    *
+    * Scale shape: one shuffle for (doc, term) tf, one for term df, corpus
+    * stats broadcast as a single row; raw text never shuffles. */
+  def bm25TopTerms(s: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    bm25TopTermsDf(Tables.load(s, dir, "documents"), topK)
+
+  /** Core of [[bm25TopTerms]] over any (doc_id, text) frame. */
+  def bm25TopTermsDf(docsRaw: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = 1.2; val b = 0.75
+    val docs = docsRaw.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val t = docs.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val tf = t.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val st = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_len"))
+    val score =
+      (col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avg_len")))) *
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dft, "term").crossJoin(broadcast(st))
+      .withColumn("score", round(score, 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Document fingerprint: md5 over the normalized token stream (the
     * oracle-checkable twin of the rolling-hash fingerprint; dedupable by
     * equality). */

@@ -25,6 +25,25 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[String]("redacted_md5") === expected)
   }
 
+  test("BM25 keyword extraction: rare terms outrank corpus-wide terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "banana cherry"),
+      (3L, "banana date date date")).toDF("doc_id", "text")
+    val out = TextQueries.bm25TopTermsDf(docs, topK = 2).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[String]("term")) }
+    // banana appears in every doc (df=3) -> lowest idf; each doc's unique
+    // term must rank first
+    assert(byDoc(1L).head === "apple")
+    assert(byDoc(2L).head === "cherry")
+    assert(byDoc(3L).head === "date")
+    assert(out.forall(_.getAs[Long]("rk") <= 2))
+    assert(out.forall(_.getAs[Double]("score") > 0.0))
+  }
+
   test("repetition metrics: duplicate token/bigram ratios, top token share") {
     val s = spark
     import s.implicits._
