@@ -69,6 +69,8 @@ object SparkEntry {
     "q44_pii_scan"        -> (TextQueries.piiScan _),
     "q45_repetition"      -> (TextQueries.repetition _),
     "q46_bm25_terms"      -> ((s, d) => TextQueries.bm25TopTerms(s, d)),
+    "q47_split_assign"    -> (Dedup.splitAssign _),
+    "q48_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -613,5 +615,32 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |  FROM sc)
          |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "q47_split_assign" -> {
+      import graft.functions.PortableHash
+      s"""SELECT doc_id, ${PortableHash.h60Sql("text")} % 100 AS bucket,
+         |  CASE WHEN ${PortableHash.h60Sql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${PortableHash.h60Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE $toksCte,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+         |  FROM toks WHERE len(t) >= 3)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -36,6 +36,36 @@ class DedupSimSpec extends SparkSpec {
       s"winnow overlap too low: $sharing/${dupPairs.length}")
   }
 
+  test("split assignment is a pure function of content: dups share a split") {
+    val splits = Dedup.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
+    // exact duplicates (same text -> same hash) must land in the same split
+    val groups = Dedup.exactDupGroups(spark, sf).collect()
+    // may be empty at this SF; the invariant is vacuous then but still checked
+    assert(groups.forall { g =>
+      val keep = g.getAs[Long]("keep_id")
+      splits.contains(keep)
+    })
+    // near-identical docs (jaccard pairs) are NOT guaranteed same split —
+    // only exact content equality is; no assertion there
+  }
+
+  test("dup clusters: pairs collapse to min-labeled connected components") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in a pair is labeled, both ends share a cluster, and the
+    // label is the min id of the component (<= both endpoints)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b))
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // labels are themselves cluster members (roots label themselves)
+    clusters.values.foreach(l => assert(clusters(l) === l))
+  }
+
   test("SimHash fingerprints are deterministic and pair search is symmetric-safe") {
     val a = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
