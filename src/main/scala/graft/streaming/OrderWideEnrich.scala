@@ -80,10 +80,17 @@ object OrderWideEnrich {
       element_at(col("data"), "iso_code").as("province_iso_code"),
       element_at(col("data"), "iso_3166_2").as("province_3166_2_code"))
     val base = batch
-      .join(broadcast(user), col("userId") === col("u_pk").cast("long"), "left")
+      // try_cast everywhere a dim value feeds an expression: dim rows are
+      // schema-on-read CDC maps, and under ANSI mode a single malformed pk
+      // or birthday would otherwise kill the whole micro-batch — a lookup
+      // miss (null) is the correct degradation, like the reference's
+      // failed async lookup
+      .join(broadcast(user),
+        col("userId") === expr("try_cast(u_pk AS LONG)"), "left")
       .withColumn("user_age",
-        expr(s"(unix_millis(o_time) - unix_millis(CAST(birthday AS TIMESTAMP))) div $MsPerYear"))
-      .join(broadcast(prov), col("provinceId") === col("pr_pk").cast("long"), "left")
+        expr(s"(unix_millis(o_time) - unix_millis(try_cast(birthday AS TIMESTAMP))) div $MsPerYear"))
+      .join(broadcast(prov),
+        col("provinceId") === expr("try_cast(pr_pk AS LONG)"), "left")
     skuChain(base, spark, dimDir, col("skuId").cast("string"))
       .drop("u_pk", "pr_pk", "birthday")
   }

@@ -51,6 +51,27 @@ class OrderWideEnrichSpec extends SparkSpec {
     assert(r2.getAs[Double]("splitAmount") === 20.0)
   }
 
+  test("malformed dim values degrade to lookup misses, not batch failure") {
+    val s = spark
+    import s.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dims-bad").toString
+    // junk pk (non-numeric) and junk birthday: under ANSI mode a plain
+    // CAST would throw and kill the micro-batch
+    Seq(
+      ("not-a-number", Map("birthday" -> "1990-01-01", "gender" -> "M")),
+      ("7", Map("birthday" -> "never", "gender" -> "F")))
+      .toDF("pk", "data").write.parquet(s"$dimDir/dim_user_info")
+    val batch = Seq(
+      (1L, 7L, 3L, 55.0, ts(1591000000000L), 11L, 10L, 55.0, ts(1591000000005L)))
+      .toDF("orderId", "userId", "provinceId", "totalAmount", "o_time",
+        "detailId", "skuId", "splitAmount", "d_time")
+    val out = OrderWideEnrich.enrich(batch, s, dimDir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("user_gender") === "F") // pk 7 still matched
+    assert(r.getAs[Any]("user_age") === null)      // junk birthday -> null age
+  }
+
   test("ProductStats dim enrichment: sku chain joins onto aggregated stats") {
     val s = spark
     import s.implicits._
