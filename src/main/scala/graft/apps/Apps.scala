@@ -57,6 +57,10 @@ object Apps {
     import spark.implicits._
     LogPipeline.pageLogs(LogPipeline.parseLogs(
         Kafka.stringSource(spark, c.brokers, "dwd_page_log", group)))
+      // operator-boundary guard: the stateful ops sort/compare event time
+      // and would NPE on a null ts (belt to LogPipeline's dirty-branch
+      // suspenders — dwd topics written by other producers may differ)
+      .filter(col("event_ts").isNotNull)
       .select(col("common.mid").as("mid"), col("page.page_id").as("pageId"),
         col("page.last_page_id").as("lastPageId"), col("common.is_new").as("isNew"),
         col("event_ts").as("ts"),

@@ -62,8 +62,12 @@ object LogPipeline {
 
   private def dirtyCond: org.apache.spark.sql.Column =
     col("_log").isNull ||
+      // no ts = no event time: such a record cannot enter watermarked
+      // processing (a null Timestamp would NPE inside the stateful
+      // operators), so it quarantines with the unparseable rows
+      col("_log.ts").isNull ||
       (col("_log.common").isNull && col("_log.start").isNull &&
-       col("_log.page").isNull && col("_log.ts").isNull)
+       col("_log.page").isNull)
 
   /** Clean branch of a raw-preserving parse: the parsed-log shape the
     * split functions consume. */

@@ -58,8 +58,10 @@ class ChainedStatefulSpec extends SparkSpec {
     val raw = Seq(
       """{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":1000}""",
       """not json at all{{{""",
-      """{"some":"other","shape":"entirely"}""").toDF("value")
-    assert(LogPipeline.dirtyLogs(raw).count() === 2)
+      """{"some":"other","shape":"entirely"}""",
+      // structurally valid but NO ts: cannot enter event-time processing
+      """{"common":{"mid":"m2"},"page":{"page_id":"home"}}""").toDF("value")
+    assert(LogPipeline.dirtyLogs(raw).count() === 3)
     val parsed = LogPipeline.parseLogs(raw)
     assert(LogPipeline.pageLogs(parsed).filter(col("common.mid") === "m1").count() === 1)
   }
