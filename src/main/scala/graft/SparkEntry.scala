@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_bm25_terms"      -> ((s, d) => TextQueries.bm25TopTerms(s, d)),
     "q47_split_assign"    -> (Dedup.splitAssign _),
     "q48_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q49_dedup_keep"      -> (Dedup.dedupKeepSet _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -642,5 +643,25 @@ object SparkEntry {
          |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id)
          |SELECT id AS doc_id, MIN(label) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q49_dedup_keep" ->
+      s"""WITH RECURSIVE $toksCte,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+         |  FROM toks WHERE len(t) >= 3)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drp)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

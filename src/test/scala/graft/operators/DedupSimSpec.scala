@@ -66,6 +66,19 @@ class DedupSimSpec extends SparkSpec {
     clusters.values.foreach(l => assert(clusters(l) === l))
   }
 
+  test("dedup keep set: exactly cluster roots survive, singletons untouched") {
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nonRoots = clusters.count { case (id, c) => c != id }
+    val kept = Dedup.dedupKeepSet(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(kept.size === (total - nonRoots))
+    // every cluster root kept, every non-root dropped
+    clusters.foreach { case (id, c) =>
+      if (c == id) assert(kept.contains(id)) else assert(!kept.contains(id))
+    }
+  }
+
   test("SimHash fingerprints are deterministic and pair search is symmetric-safe") {
     val a = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.simhashFingerprints(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
