@@ -20,7 +20,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
       }
       spark.sqlContext.clearCache() // warm code, cold data
     }
@@ -31,9 +32,16 @@ object Bench {
     val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        // standalone honesty: q48/q49 share a memoized cluster frame in a
+        // pipeline run; benching a query must not read another run's cache
+        graft.operators.Dedup.clearClusterCache()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        // noop write = full materialization of every output column; a
+        // count() lets Catalyst prune the projection, under-measuring
+        // expression-heavy queries (VERDICT r3 "What's wrong" #3)
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
         if (ok) secs else -secs
       }

@@ -70,7 +70,7 @@ object SparkEntry {
     "q45_repetition"      -> (TextQueries.repetition _),
     "q46_bm25_terms"      -> ((s, d) => TextQueries.bm25TopTerms(s, d)),
     "q47_split_assign"    -> (Dedup.splitAssign _),
-    "q48_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q48_dup_clusters"    -> ((s, d) => Dedup.sharedClusters(s, d)),
     "q49_dedup_keep"      -> (Dedup.dedupKeepSet _),
   )
 

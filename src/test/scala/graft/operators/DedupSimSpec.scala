@@ -51,24 +51,31 @@ class DedupSimSpec extends SparkSpec {
     // only exact content equality is; no assertion there
   }
 
-  test("dup clusters: pairs collapse to min-labeled connected components") {
-    val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val clusters = Dedup.dupClusters(spark, sf).collect()
+  test("dup clusters: LSH-edge components match the exact-edge ground truth") {
+    // the declared edge source (LSH candidates) and the exact quadratic
+    // twin must cluster identically on this corpus — the invariant that
+    // keeps the recursive-CTE oracle (exact edges) valid for q48
+    val viaLsh = Dedup.dupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExact = Dedup.dupClusters(spark, sf,
+        edgeSource = Some(Dedup.ngramJaccardPairs(spark, sf))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh === viaExact)
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     // every doc in a pair is labeled, both ends share a cluster, and the
     // label is the min id of the component (<= both endpoints)
     pairs.foreach { case (a, b) =>
-      assert(clusters(a) === clusters(b))
-      assert(clusters(a) <= math.min(a, b))
+      assert(viaLsh(a) === viaLsh(b))
+      assert(viaLsh(a) <= math.min(a, b))
     }
     // labels are themselves cluster members (roots label themselves)
-    clusters.values.foreach(l => assert(clusters(l) === l))
+    viaLsh.values.foreach(l => assert(viaLsh(l) === l))
   }
 
   test("dedup keep set: exactly cluster roots survive, singletons untouched") {
     val total = graft.Tables.load(spark, sf, "documents").count()
-    val clusters = Dedup.dupClusters(spark, sf).collect()
+    val clusters = Dedup.sharedClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val nonRoots = clusters.count { case (id, c) => c != id }
     val kept = Dedup.dedupKeepSet(spark, sf).collect().map(_.getLong(0)).toSet
@@ -77,6 +84,15 @@ class DedupSimSpec extends SparkSpec {
     clusters.foreach { case (id, c) =>
       if (c == id) assert(kept.contains(id)) else assert(!kept.contains(id))
     }
+  }
+
+  test("q48 + q49 execute the clustering once per pipeline run") {
+    Dedup.clearClusterCache()
+    val before = Dedup.clusteringRuns.get()
+    Dedup.sharedClusters(spark, sf).count()   // q48
+    Dedup.dedupKeepSet(spark, sf).count()     // q49 — must reuse, not recompute
+    Dedup.dedupKeepSet(spark, sf).count()     // and again
+    assert(Dedup.clusteringRuns.get() - before === 1)
   }
 
   test("SimHash fingerprints are deterministic and pair search is symmetric-safe") {
