@@ -83,7 +83,18 @@ object TextQueries {
   /** PII patterns shared by the Spark query and the generated oracle —
     * deliberately restricted to syntax Java regex (Spark) and RE2 (DuckDB)
     * interpret identically: literal classes, \d/\s, bounded quantifiers,
-    * no backrefs or lookarounds. */
+    * no backrefs or lookarounds.
+    *
+    * Matching-discipline caveat (ADVICE r3): Java is leftmost-FIRST with
+    * backtracking, RE2 is leftmost-LONGEST — these can pick different
+    * spans for patterns with overlapping sub-matches. The patterns here
+    * avoid the trap because every variable-length piece is a single greedy
+    * class (greedy + no alternation ⇒ first == longest), and \s/\d stay
+    * ASCII in both engines (NBSP is NOT whitespace to either). Pinned by
+    * TextQueriesSpec's adversarial fixtures (trailing/doubled dots,
+    * dot-run local parts, NBSP in URLs), whose expected values were
+    * cross-checked against DuckDB's RE2 verbatim. Any pattern edit must
+    * keep to this subset and re-check both engines. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val UrlRe = "https?://[^\\s]+"
   val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"

@@ -40,15 +40,24 @@ case class FloatVecLshBucket(child: Expression, bits: Int, dims: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "float_vec_lsh_bucket"
 
+  // Null/short-vector parity with the DuckDB oracle: bucketSql indexes
+  // vec[1..dims], and an out-of-range index or NULL element poisons every
+  // per-bit sum to NULL, which the `> 0` sign test maps to bit 0 — so the
+  // oracle's bucket is 0 for any vector that is shorter than `dims` or
+  // contains a NULL in its first `dims` elements. Mirror that exactly
+  // (previously such vectors silently truncated/zero-filled and the two
+  // engines diverged — ADVICE r3).
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(dims, a.numElements())
+    if (a.numElements() < dims) return 0L
+    var i = 0
+    while (i < dims) { if (a.isNullAt(i)) return 0L; i += 1 }
     var bucket = 0L
     var j = 0
     while (j < bits) {
       var acc = 0.0
-      var i = 0
-      while (i < n) { acc += signs(j * dims + i) * a.getFloat(i).toDouble; i += 1 }
+      i = 0
+      while (i < dims) { acc += signs(j * dims + i) * a.getFloat(i).toDouble; i += 1 }
       if (acc > 0) bucket |= (1L << j)
       j += 1
     }
@@ -58,20 +67,25 @@ case class FloatVecLshBucket(child: Expression, bits: Int, dims: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val signsRef = ctx.addReferenceObj("lshSigns", signs, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
+      val poisoned = ctx.freshName("poisoned")
       s"""
-         |int $n = java.lang.Math.min($dims, $a.numElements());
          |long $bucket = 0L;
-         |for (int $j = 0; $j < $bits; $j++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $signsRef[$j * $dims + $i] * (double) $a.getFloat($i);
+         |boolean $poisoned = $a.numElements() < $dims;
+         |for (int $i = 0; !$poisoned && $i < $dims; $i++) {
+         |  $poisoned = $a.isNullAt($i);
+         |}
+         |if (!$poisoned) {
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      $acc += $signsRef[$j * $dims + $i] * (double) $a.getFloat($i);
+         |    }
+         |    if ($acc > 0) $bucket |= (1L << $j);
          |  }
-         |  if ($acc > 0) $bucket |= (1L << $j);
          |}
          |${ev.value} = $bucket;
        """.stripMargin
@@ -94,10 +108,15 @@ object FloatVecLshBucket {
   }
 
   def apply(spark: SparkSession, v: Column, bits: Int, dims: Int = 64): Column = {
+    // one registered name per (bits, dims): a single shared name captured
+    // bits/dims from whichever call registered LAST, so building Columns
+    // with two different configurations before analysis silently resolved
+    // both to the later one (ADVICE r3) — the parameters now live in the
+    // name, making resolution order-independent
+    val name = s"float_vec_lsh_bucket_${bits}_$dims"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_lsh_bucket",
-      exprs => FloatVecLshBucket(exprs(0), bits, dims), "built-in")
-    org.apache.spark.sql.functions.call_function("float_vec_lsh_bucket", v)
+      name, exprs => FloatVecLshBucket(exprs(0), bits, dims), "built-in")
+    org.apache.spark.sql.functions.call_function(name, v)
   }
 
   /** DuckDB SQL computing the identical bucket for a list(FLOAT) column:

@@ -86,7 +86,15 @@ object DynamicRouting {
         val dirty = withPk.select(col("bucket")).distinct().collect()
           .map(_.getInt(0)).toSeq
         val unioned = existing match {
-          // partition pruning: only dirty buckets are read back
+          // partition pruning: only dirty buckets are read back. A snapshot
+          // written by a pre-bucketing version has no `bucket` column —
+          // migrate it once by deriving the bucket from pk and folding the
+          // WHOLE snapshot in (every bucket is dirty for this one batch);
+          // subsequent batches see a bucketed snapshot and prune again.
+          case Some(e) if !e.columns.contains("bucket") =>
+            e.withColumn("bucket",
+                pmod(xxhash64(col("pk")), lit(nBuckets)).cast("int"))
+              .unionByName(withPk)
           case Some(e) => e.filter(col("bucket").isin(dirty: _*)).unionByName(withPk)
           case None => withPk
         }

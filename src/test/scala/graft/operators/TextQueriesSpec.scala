@@ -25,6 +25,45 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[String]("redacted_md5") === expected)
   }
 
+  test("PII adversarial fixtures: Java-regex behavior pinned to RE2's") {
+    // Shapes where Java's leftmost-first and RE2's leftmost-longest could
+    // plausibly diverge (trailing dots, doubled dots before the TLD,
+    // dot-runs in the local part, NBSP inside a URL, phone at sentence
+    // end). Expected values below were produced by BOTH engines — DuckDB
+    // 'regexp_extract_all'/'regexp_replace' and java.util.regex — and
+    // agree on every fixture; this test pins the Java side so a pattern
+    // edit that breaks cross-engine parity fails here first.
+    val s = spark
+    import s.implicits._
+    val fixtures = Seq(
+      (1L, "mail me at a@b.com. thanks", 1L, 0L, 0L, "mail me at <EMAIL>. thanks"),
+      (2L, "x@y..com trailing", 1L, 0L, 0L, "<EMAIL> trailing"),
+      (3L, "weird user@sub.domain..com end", 1L, 0L, 0L, "weird <EMAIL> end"),
+      (4L, "first.last+tag@ex-ample.co.uk!", 1L, 0L, 0L, "<EMAIL>!"),
+      (5L, "tld too short a@b.c here", 0L, 0L, 0L, "tld too short a@b.c here"),
+      // \s is ASCII-only in both engines: the NBSP is NOT a boundary, so
+      // the URL match swallows it and the following word
+      (6L, "url http://x.com\u00a0nbsp tail", 0L, 1L, 0L, "url <URL> tail"),
+      (7L, "url https://a.b/c?d=e#f end", 0L, 1L, 0L, "url <URL> end"),
+      (8L, "phone 123-456.7890 and 555.123-4567.", 0L, 0L, 2L, "phone <PHONE> and <PHONE>."),
+      // dot-run local part: the email match extends left through "dots..."
+      (9L, "dots...a@b.com...z", 1L, 0L, 0L, "<EMAIL>...z"),
+      (10L, "A@b.CoM.Org mixed", 1L, 0L, 0L, "<EMAIL> mixed"))
+    val docs = fixtures.map { case (id, t, _, _, _, _) => (id, t) }.toDF("doc_id", "text")
+    val out = TextQueries.piiScanDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    import org.apache.spark.sql.functions._
+    val expectedMd5 = fixtures.map { case (id, _, _, _, _, red) => (id, red) }
+      .toDF("doc_id", "red").select(col("doc_id"), md5(col("red")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (id, _, e, u, p, _) =>
+      assert(out(id).getAs[Long]("email_ct") === e, s"email_ct doc $id")
+      assert(out(id).getAs[Long]("url_ct") === u, s"url_ct doc $id")
+      assert(out(id).getAs[Long]("phone_ct") === p, s"phone_ct doc $id")
+      assert(out(id).getAs[String]("redacted_md5") === expectedMd5(id), s"redaction doc $id")
+    }
+  }
+
   test("BM25 keyword extraction: rare terms outrank corpus-wide terms") {
     val s = spark
     import s.implicits._

@@ -90,4 +90,36 @@ class DynamicRoutingSpec extends SparkSpec {
     assert(dim.filter(col("pk") === "1").head()
       .getAs[Map[String, String]]("data")("tm_name") === "updated")
   }
+
+  test("K3 migration: a pre-bucketing (unbucketed) snapshot upgrades in place") {
+    val s = spark
+    import s.implicits._
+    val config = Seq(
+      ("base_trademark", "insert", "dim", "dim_mig", "id,tm_name", "id"))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns", "sinkPk")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dims-mig").toString
+
+    // simulate a snapshot written by the pre-bucketing format: data/ts/pk,
+    // no bucket column, flat directory
+    Seq(
+      (Map("id" -> "1", "tm_name" -> "old1"), 1L, "1"),
+      (Map("id" -> "2", "tm_name" -> "old2"), 1L, "2"))
+      .toDF("data", "ts", "pk")
+      .write.parquet(s"$dimDir/dim_mig")
+
+    val cdc = Seq(("base_trademark", "insert", 2L,
+      Map("id" -> "1", "tm_name" -> "new1")))
+      .toDF("table", "type", "ts", "data")
+    // pre-fix this threw AnalysisException (filter on the missing bucket
+    // column) and the micro-batch died; now it migrates with a full rewrite
+    DynamicRouting.upsertDims(DynamicRouting.routed(cdc, config), dimDir)
+
+    val dim = s.read.parquet(s"$dimDir/dim_mig")
+    assert(dim.columns.contains("bucket")) // snapshot is now bucketed
+    assert(dim.count() === 2)              // legacy rows survived
+    assert(dim.filter(col("pk") === "1").head()
+      .getAs[Map[String, String]]("data")("tm_name") === "new1")
+    assert(dim.filter(col("pk") === "2").head()
+      .getAs[Map[String, String]]("data")("tm_name") === "old2")
+  }
 }
