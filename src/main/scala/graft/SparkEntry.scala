@@ -72,6 +72,8 @@ object SparkEntry {
     "q47_split_assign"    -> (Dedup.splitAssign _),
     "q48_dup_clusters"    -> ((s, d) => Dedup.sharedClusters(s, d)),
     "q49_dedup_keep"      -> (Dedup.dedupKeepSet _),
+    "q50_salted_agg"      -> ((s, d) => graft.operators.Skew.saltedEventStats(s, d)),
+    "q51_uv_approx"       -> ((s, d) => RefQueries.uvPerDayApprox(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -663,5 +665,25 @@ object SparkEntry {
          |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM drp)
          |ORDER BY doc_id""".stripMargin,
+    // the salted two-phase aggregate is semantics-neutral: the oracle is
+    // the plain group-by, and the hash-compare proves the equivalence
+    "q50_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q51_uv_approx" -> {
+      import graft.functions.{KmvDistinct, PortableHash}
+      // mirrors uvPerDayApprox: the k-th smallest distinct h60(user_id)
+      // per day drives the same KMV estimate arithmetic bit-for-bit
+      s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    ${PortableHash.h60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |pv AS (SELECT day, COUNT(*) AS pv_ct FROM e GROUP BY 1),
+         |d AS (SELECT DISTINCT day, h FROM e),
+         |r AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM d),
+         |st AS (SELECT day, COUNT(*) AS nd, MAX(CASE WHEN rn = 64 THEN h END) AS hk
+         |  FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT st.day, ${KmvDistinct.estimateSql(64)} AS uv_est, pv.pv_ct
+         |FROM st JOIN pv ON pv.day = st.day ORDER BY st.day""".stripMargin
+    },
   )
 }

@@ -139,6 +139,25 @@ object RefQueries {
       .orderBy(col("day"))
   }
 
+  /** Approx twin of [[uvPerDay]] (SURVEY §2.8's O(1)-state form): per-day
+    * unique visitors via the portable KMV sketch
+    * ([[graft.functions.KmvDistinct]]). The exact form shuffles every
+    * distinct user_id per day; this shuffles ≤ k longs per (day,
+    * partition) — the shape that survives a 100 TB fact table. k=64 →
+    * ~13% relative error; the DuckDB oracle recomputes the identical
+    * estimate (same hashes, same k-th-minimum arithmetic), so the check
+    * is a full hash compare, not a tolerance band. */
+  def uvPerDayApprox(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val kmv = graft.functions.KmvDistinct.columnAgg(k)
+    events(s, dir)
+      .withColumn("day", day(tsSec))
+      .select(col("day"),
+        graft.functions.PortableHash.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("day"))
+      .agg(kmv(col("h")).as("uv_est"), count(lit(1)).as("pv_ct"))
+      .orderBy(col("day"))
+  }
+
   /** T2 analogue (CEP jump-out detection, UserJumpApp.java:88-158): a
     * "jump" is an event with no follow-up from the same user within 10
     * minutes — batch form of the timeout side-output, via `lead`. The true

@@ -35,6 +35,26 @@ object Skew {
     partial.groupBy(col(key)).agg(finalCols.head, finalCols.drop(1): _*)
   }
 
+  /** Declared q50: per-event-type traffic stats over `events` computed
+    * through the SALTED two-phase plan. event_type is the canonical hot
+    * key (5 distinct values over the whole fact table — at 100 TB a naive
+    * groupBy funnels ~20 TB into each of 5 reducers); salting fans the
+    * partial aggregation across `salts` sub-groups per key, then combines
+    * the metadata-sized partials. Salting is semantics-neutral for
+    * algebraic aggregates, so the DuckDB oracle is the PLAIN group-by —
+    * the hash-compare proves the two-phase plan equals the naive one.
+    * Sums stay decimal-exact through both phases (DECIMAL widening is
+    * associative; a double two-phase sum would not hash-match). */
+  def saltedEventStats(s: org.apache.spark.sql.SparkSession, dir: String,
+                       salts: Int = 8): DataFrame =
+    saltedAggregate(
+      graft.Tables.load(s, dir, "events"), "event_type", salts,
+      aggs = Seq(("1", "count"), ("CAST(value AS DECIMAL(18,2))", "sum")))
+      .select(col("event_type"),
+        col("agg_0").cast("long").as("pv_ct"),
+        col("agg_1").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** Salted broadcast join for a skewed fact⋈dim equi join: replicate the
     * (small) dim `salts` times, salt the fact side, join on (key, salt) —
     * splits a hot key's rows across `salts` tasks. With a broadcast dim

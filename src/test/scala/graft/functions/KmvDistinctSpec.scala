@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmvDistinctSpec extends SparkSpec {
+
+  test("KMV is exact below k and within tolerance above it") {
+    val s = spark
+    import s.implicits._
+    val kmv = KmvDistinct.columnAgg(64)
+    // 40 distinct (< k): exact
+    val small = (1 to 200).map(i => ("g", s"v${i % 40}")).toDF("g", "v")
+      .select(col("g"), PortableHash.h60(col("v")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("est")).head().getLong(1)
+    assert(small === 40L)
+    // 5000 distinct (>> k): estimate within 4 standard errors (~1/sqrt(62))
+    val big = (1 to 5000).map(i => ("g", s"value$i")).toDF("g", "v")
+      .select(col("g"), PortableHash.h60(col("v")).as("h"))
+      .groupBy("g").agg(kmv(col("h")).as("est")).head().getLong(1)
+    assert(math.abs(big - 5000.0) / 5000.0 < 0.5, s"estimate $big too far from 5000")
+  }
+
+  test("KMV estimate is invariant under partitioning (merge correctness)") {
+    val s = spark
+    import s.implicits._
+    val kmv = KmvDistinct.columnAgg(64)
+    def run(parts: Int): Long =
+      (1 to 3000).map(i => ("g", s"item$i")).toDF("g", "v").repartition(parts)
+        .select(col("g"), PortableHash.h60(col("v")).as("h"))
+        .groupBy("g").agg(kmv(col("h")).as("est")).head().getLong(1)
+    // partial sketches merge to the same k-minimum set regardless of split
+    assert(run(1) === run(7))
+    assert(run(7) === run(32))
+  }
+
+  test("q51 tracks the exact per-day UV within KMV tolerance") {
+    val approx = graft.operators.RefQueries.uvPerDayApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.RefQueries.uvPerDay(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (dy, ex) =>
+      val est = approx(dy)
+      if (ex < 64) assert(est === ex, s"day $dy: below-k must be exact")
+      else assert(math.abs(est - ex.toDouble) / ex < 0.5,
+        s"day $dy: est $est vs exact $ex out of tolerance")
+    }
+  }
+}

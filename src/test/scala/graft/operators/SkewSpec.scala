@@ -21,6 +21,26 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("q50: salted event stats match the naive group-by and plan is two-stage") {
+    val naive = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect()
+    val q50 = Skew.saltedEventStats(spark, sf)
+    val salted = q50.collect()
+    assert(naive.length === salted.length)
+    naive.zip(salted).foreach { case (n, s2) =>
+      assert(n.getString(0) === s2.getString(0))
+      assert(n.getLong(1) === s2.getLong(1))
+      assert(n.getDouble(2) === s2.getDouble(2)) // decimal-exact, bitwise
+    }
+    // plan shape: the pre-aggregation really groups by (key, salt) — the
+    // two-phase structure exists physically, not just logically
+    val plan = q50.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"expected salted partial aggregate in plan:\n$plan")
+  }
+
   test("salted join equals plain join") {
     val li = graft.Tables.load(spark, sf, "lineitem").limit(500)
     val p = graft.Tables.load(spark, sf, "part")
