@@ -19,15 +19,20 @@ import Model._
   * iterator (`it.toSeq.sortBy`) to restore event-time order — memory is
   * O(events per mid per trigger), fine for page-view keys (a device emits
   * a handful of events per trigger) but a pathological hot key would
-  * buffer its whole trigger. The fix at that scale is a secondary sort via
-  * transformWithState's ordered list state (see StatefulOpsV2).
+  * buffer its whole trigger. The hot-key-safe forms live in
+  * [[StatefulOpsV2]]: transformWithState with per-timestamp MapState and
+  * event-time timers, where the timer queue itself restores order and
+  * per-drain memory is bounded by one millisecond's events. These FMGWS
+  * versions remain the batch-capable implementations (timers never fire
+  * in batch queries).
   */
 object StatefulOps {
 
   // shared immutable formatter: the per-event path must not allocate
   private val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
     .withZone(java.time.ZoneOffset.UTC)
-  private def day(ts: Timestamp): String = dayFmt.format(ts.toInstant)
+  private[streaming] def dayOf(ts: Timestamp): String = dayFmt.format(ts.toInstant)
+  private def day(ts: Timestamp): String = dayOf(ts)
 
   /** T1 — new/old-visitor repair (BaseLogAPP.java:74-130): keyed by mid,
     * state = first-visit day. An `is_new=1` event on a later day than the

@@ -9,6 +9,136 @@ import org.apache.spark.sql.streaming.OutputMode
   * must match the flatMapGroupsWithState one exactly. */
 class StatefulOpsV2Spec extends SparkSpec {
 
+  private def withRocksDb[T](body: => T): T = {
+    val s = spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("T1 visitorRepair on transformWithState: later-day repeat repaired") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      val input = MemoryStream[LogEvent]
+      input.addData(
+        LogEvent("m1", "home", null, "1", ts(day1)),
+        LogEvent("m1", "home", null, "1", ts(day2)), // lying "new": repair
+        LogEvent("m2", "home", null, "0", ts(day2)))
+      val out = StatefulOpsV2.visitorRepair(
+        input.toDS().withWatermark("ts", "1 second"))
+      val q = out.writeStream.format("memory").queryName("vr_v2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day2 + 86400000L)))
+        q.processAllAvailable()
+        val got = s.table("vr_v2").as[RepairedEvent].collect()
+          .filter(_.mid != "zz")
+        val m1d2 = got.find(e => e.mid == "m1" && e.ts.getTime == day2).get
+        assert(m1d2.isNew === "0" && m1d2.repaired)
+        assert(got.find(e => e.mid == "m1" && e.ts.getTime == day1).get.isNew === "1")
+        assert(got.find(_.mid == "m2").get.isNew === "0")
+      } finally q.stop()
+    }
+  }
+
+  test("T1 visitorRepair V2: out-of-order arrival within a batch drains in event-time order") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      val input = MemoryStream[LogEvent]
+      // day2 event arrives FIRST: a naive arrival-order fold would let it
+      // claim first-visit and wrongly repair the day1 event; the timer
+      // queue must drain day1 before day2
+      input.addData(
+        LogEvent("m1", "home", null, "1", ts(day2)),
+        LogEvent("m1", "home", null, "1", ts(day1)))
+      val out = StatefulOpsV2.visitorRepair(
+        input.toDS().withWatermark("ts", "1 second"))
+      val q = out.writeStream.format("memory").queryName("vr_v2_ooo")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day2 + 86400000L)))
+        q.processAllAvailable()
+        val got = s.table("vr_v2_ooo").as[RepairedEvent].collect()
+          .filter(_.mid == "m1").sortBy(_.ts.getTime)
+        assert(got.map(_.isNew).toSeq === Seq("1", "0"))
+        assert(got.last.repaired)
+      } finally q.stop()
+    }
+  }
+
+  test("F2 uniqueVisit on transformWithState: first entry per day passes") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      val input = MemoryStream[LogEvent]
+      input.addData(
+        LogEvent("m1", "home", null, "1", ts(day1)),         // pass
+        LogEvent("m1", "list", "", "1", ts(day1 + 1000)),    // same day: drop
+        LogEvent("m1", "detail", "home", "1", ts(day1 + 2000)), // mid-session: drop
+        LogEvent("m1", "home", null, "1", ts(day2)),         // pass
+        LogEvent("m2", "home", "", "0", ts(day1)))           // pass
+      val out = StatefulOpsV2.uniqueVisit(
+        input.toDS().withWatermark("ts", "1 second"))
+      val q = out.writeStream.format("memory").queryName("uv_v2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day2 + 86400000L)))
+        q.processAllAvailable()
+        val got = s.table("uv_v2").as[LogEvent].collect().filter(_.mid != "zz")
+        assert(got.length === 3)
+        assert(got.count(_.mid == "m1") === 2)
+      } finally q.stop()
+    }
+  }
+
+  test("V2 ordered drain survives a large key group (hot-key shape)") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      // one hot mid, 4000 session entries over two days, distinct
+      // timestamps — the FMGWS form would buffer+sort all of them on the
+      // heap per trigger; the V2 form drains per-timestamp
+      val evs = (0 until 4000).map { i =>
+        val base = if (i % 2 == 0) day1 else day2
+        LogEvent("hot", "home", null, "1", ts(base + i * 7L))
+      }
+      val input = MemoryStream[LogEvent]
+      input.addData(evs: _*)
+      val out = StatefulOpsV2.uniqueVisit(
+        input.toDS().withWatermark("ts", "1 second"))
+      val q = out.writeStream.format("memory").queryName("uv_v2_hot")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day2 + 86400000L)))
+        q.processAllAvailable()
+        val got = s.table("uv_v2_hot").as[LogEvent].collect().filter(_.mid == "hot")
+        // exactly the first entry of each of the two days
+        assert(got.length === 2)
+        assert(got.map(e => StatefulOps.dayOf(e.ts)).toSet.size === 2)
+        assert(got.map(_.ts.getTime).toSet === Set(day1, day2 + 7L))
+      } finally q.stop()
+    }
+  }
+
   test("T2 userJump on transformWithState: canonical fixture") {
     val s = spark
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
