@@ -294,23 +294,40 @@ object SparkEntry {
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
     },
-    "q31_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         |asg AS (SELECT vec_id, embedding, cid FROM (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-         |  FROM embeddings e, cents c) WHERE rn = 1),
+    "q31_ann_ivf" -> {
+      // mirrors ivfTopK's 2-round Lloyd refinement: assignment by
+      // round(cosine,6), member means via EXACT decimal sums (order-free →
+      // bit-identical across engines), components narrowed to FLOAT
+      val dims = 64
+      def assignCte(out: String, cin: String): String =
+        s"""$out AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+           |  FROM embeddings e, $cin c) WHERE rn = 1)""".stripMargin
+      def lloydCte(r: Int, ain: String, cout: String): String =
+        s"""m$r AS (SELECT cid, t.generate_series AS pos,
+           |    CAST(CAST(SUM(CAST(embedding[t.generate_series] AS DECIMAL(27,7))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS comp
+           |  FROM $ain, generate_series(1, $dims) t GROUP BY 1, 2),
+           |$cout AS (SELECT cid, list(comp ORDER BY pos) AS ce FROM m$r GROUP BY cid)""".stripMargin
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |${assignCte("a1", "c0")},
+         |${lloydCte(1, "a1", "c1")},
+         |${assignCte("a2", "c1")},
+         |${lloydCte(2, "a2", "c2")},
+         |${assignCte("asg", "c2")},
          |probes AS (SELECT qid, qe, cid FROM (
          |  SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid) AS rn
-         |  FROM embeddings q, cents c WHERE q.vec_id < 5) WHERE rn <= 2),
+         |  FROM embeddings q, c2 c WHERE q.vec_id < 5) WHERE rn <= 2),
          |s AS (SELECT p.qid, a.vec_id AS nid, ${cosSql("p.qe", "a.embedding")} AS sim
          |  FROM asg a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.qid)
          |SELECT qid, nid, sim FROM (
          |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
-         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
+         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+    },
     "q22_langid" ->
       """WITH t AS (SELECT doc_id,
         |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS toks

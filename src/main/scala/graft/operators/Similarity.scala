@@ -62,30 +62,63 @@ object Similarity {
   private def lshBucket(s: SparkSession, vecName: String, bits: Int): Column =
     graft.plans.FloatVecLshBucket(s, col(vecName), bits)
 
-  /** IVF-style ANN: corpus vectors are assigned to their nearest of
-    * `nCells` coarse centroids (inverted file); each query probes its
-    * `nProbe` nearest cells and scores only those cells' members — the
-    * second scale path next to LSH. Centroids here are deterministic seed
-    * vectors (the first nCells corpus vectors) so plans are reproducible;
-    * a production build would Lloyd-iterate them, which changes recall,
-    * not the operator shape. All scoring runs through the codegen'd
+  /** Nearest-centroid assignment (round(cosine,6) desc, cid asc). */
+  private def assignCells(s: SparkSession, emb: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** One Lloyd update: per (cell, dimension), the member mean — computed
+    * through an EXACT decimal sum so it is order-independent and therefore
+    * bit-identical in Spark and DuckDB (a double sum would depend on
+    * partition order and break the oracle). The exact sum is cast to
+    * double (one IEEE op), divided by the member count (one IEEE op), and
+    * narrowed to float (round-to-nearest-even in both engines); float
+    * values can never tie at the 8th decimal (5·10^-8 is not dyadic), so
+    * the decimal cast rounds identically too. Empty cells drop out (their
+    * seed attracted no members — Lloyd's standard degeneracy). */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), (col("pos") + 1).as("pos"))
+      .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
+        count(lit(1))).cast("float").as("comp"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("ce"))
+
+  /** IVF ANN with deterministic Lloyd refinement: corpus vectors are
+    * assigned to their nearest of `nCells` coarse centroids (inverted
+    * file); each query probes its `nProbe` nearest cells and scores only
+    * those cells' members — the second scale path next to LSH.
+    *
+    * Centroids: seeded from the first nCells corpus vectors, then
+    * `lloydRounds` k-means updates (assign → decimal-exact member mean).
+    * Everything is deterministic and engine-portable, so the q31 oracle
+    * re-derives the IDENTICAL centroids and the driver check stays a full
+    * hash compare. At 100 TB each round is one broadcast-join assignment
+    * pass plus a (cell × dim)-sized aggregation — shuffle volume is
+    * corpus-proportional with metadata-sized outputs, the standard
+    * distributed-k-means shape. All scoring runs through the codegen'd
     * FloatVecCosine. */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
-    val cents = broadcast(emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = emb.crossJoin(cents)
-      .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .persist()
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(assignCells(s, emb, cents))
+    val assigned = assignCells(s, emb, cents)
     val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
       .select(col("qid"), col("qe"), col("cid"))

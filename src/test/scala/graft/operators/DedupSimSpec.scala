@@ -127,7 +127,7 @@ class DedupSimSpec extends SparkSpec {
     assert(perQ.forall(_ == 5))
   }
 
-  test("IVF ANN scores agree with brute force and recall is reasonable") {
+  test("IVF ANN scores agree with brute force; Lloyd refinement keeps recall") {
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRows = Similarity.ivfTopK(spark, sf, nQueries = 3, k = 10).collect()
@@ -140,6 +140,13 @@ class DedupSimSpec extends SparkSpec {
     val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf intersect brute).size.toDouble / brute.size
     assert(recall >= 0.2, s"IVF recall unexpectedly low: $recall") // nProbe=2/16 cells
+    // Lloyd-refined centroids must not lose recall vs the raw seeds
+    // (VERDICT r3 #6: "recall measured against q20 brute force, >= current")
+    val seedRows = Similarity.ivfTopK(spark, sf, nQueries = 3, k = 10, lloydRounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seedRecall = (seedRows intersect brute).size.toDouble / brute.size
+    assert(recall >= seedRecall,
+      s"Lloyd refinement lost recall: $recall < seed-centroid $seedRecall")
   }
 
   test("banded multi-table LSH ANN: same scores as brute force, amplified recall") {
