@@ -74,6 +74,7 @@ object SparkEntry {
     "q49_dedup_keep"      -> (Dedup.dedupKeepSet _),
     "q50_salted_agg"      -> ((s, d) => graft.operators.Skew.saltedEventStats(s, d)),
     "q51_uv_approx"       -> ((s, d) => RefQueries.uvPerDayApprox(s, d)),
+    "q52_province_approx" -> ((s, d) => RefQueries.provinceStatsApprox(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -701,6 +702,29 @@ object SparkEntry {
          |  FROM r WHERE rn <= 64 GROUP BY 1)
          |SELECT st.day, ${KmvDistinct.estimateSql(64)} AS uv_est, pv.pv_ct
          |FROM st JOIN pv ON pv.day = st.day ORDER BY st.day""".stripMargin
+    },
+    "q52_province_approx" -> {
+      import graft.functions.{KmvDistinct, PortableHash}
+      def sketch(cte: String, keyExpr: String, out: String): String =
+        s"""d_$out AS (SELECT DISTINCT r_name, n_name,
+           |    ${PortableHash.h60Sql(keyExpr)} AS h FROM $cte),
+           |r_$out AS (SELECT r_name, n_name, h, row_number() OVER (
+           |    PARTITION BY r_name, n_name ORDER BY h) AS rn FROM d_$out),
+           |s_$out AS (SELECT r_name, n_name, COUNT(*) AS nd,
+           |    MAX(CASE WHEN rn = 64 THEN h END) AS hk
+           |  FROM r_$out WHERE rn <= 64 GROUP BY 1, 2),
+           |e_$out AS (SELECT r_name, n_name,
+           |    ${KmvDistinct.estimateSql(64)} AS $out FROM s_$out)""".stripMargin
+      s"""WITH j AS (SELECT r_name, n_name, o_orderkey, o_custkey
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |${sketch("j", "CAST(o_orderkey AS VARCHAR)", "order_est")},
+         |${sketch("j", "CAST(o_custkey AS VARCHAR)", "customer_est")}
+         |SELECT a.r_name, a.n_name, a.order_est, b.customer_est
+         |FROM e_order_est a JOIN e_customer_est b
+         |  ON a.r_name = b.r_name AND a.n_name = b.n_name
+         |ORDER BY a.r_name, a.n_name""".stripMargin
     },
   )
 }

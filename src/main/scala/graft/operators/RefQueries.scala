@@ -158,6 +158,26 @@ object RefQueries {
       .orderBy(col("day"))
   }
 
+  /** Approx twin of [[provinceStats]] (q03): the KMV sketch composed AFTER
+    * the star join — per (region, nation), approximate distinct orders and
+    * customers. Proves the sketch is a drop-in for COUNT(DISTINCT) in
+    * joined/grouped plans: the exact form shuffles every distinct
+    * (orderkey, custkey) per group; this ships two ≤ k-long sketches per
+    * group per partition with map-side combine. */
+  def provinceStatsApprox(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.{KmvDistinct, PortableHash}
+    val kmv = KmvDistinct.columnAgg(k)
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        kmv(PortableHash.h60(col("o_orderkey").cast("string"))).as("order_est"),
+        kmv(PortableHash.h60(col("o_custkey").cast("string"))).as("customer_est"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** T2 analogue (CEP jump-out detection, UserJumpApp.java:88-158): a
     * "jump" is an event with no follow-up from the same user within 10
     * minutes — batch form of the timeout side-output, via `lead`. The true

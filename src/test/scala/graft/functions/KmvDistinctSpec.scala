@@ -34,6 +34,26 @@ class KmvDistinctSpec extends SparkSpec {
     assert(run(7) === run(32))
   }
 
+  test("q52 tracks exact province distinct counts; plan has map-side partials") {
+    val q52 = graft.operators.RefQueries.provinceStatsApprox(spark, sf)
+    val approx = q52.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.operators.RefQueries.provinceStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (key, (oc, cc)) =>
+      val (oe, ce) = approx(key)
+      if (oc < 64) assert(oe === oc) else assert(math.abs(oe - oc.toDouble) / oc < 0.5)
+      if (cc < 64) assert(ce === cc) else assert(math.abs(ce - cc.toDouble) / cc < 0.5)
+    }
+    // the sketch aggregate must partial-combine map-side (an Aggregator
+    // via udaf gets ObjectHashAggregate partial/final — the property that
+    // keeps the shuffle at <= k longs per group per partition)
+    val plan = q52.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmvdistinct"),
+      s"expected partial KMV aggregation in plan:\n$plan")
+  }
+
   test("q51 tracks the exact per-day UV within KMV tolerance") {
     val approx = graft.operators.RefQueries.uvPerDayApprox(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
