@@ -62,15 +62,22 @@ object Similarity {
   private def lshBucket(s: SparkSession, vecName: String, bits: Int): Column =
     graft.plans.FloatVecLshBucket(s, col(vecName), bits)
 
-  /** Nearest-centroid assignment (round(cosine,6) desc, cid asc). */
+  /** Nearest-centroid assignment (round(cosine,6) desc, cid asc) — argmax
+    * via max_by on the (csim, -cid) ordering struct rather than a
+    * row_number window: a hash aggregate with MAP-SIDE partial combine
+    * (each partition collapses its nCells candidate rows per vector
+    * before the shuffle) instead of shuffling and SORTING the full
+    * corpus × nCells cross product. Same result: struct comparison is
+    * lexicographic and (cid) is unique, so no ties exist. */
   private def assignCells(s: SparkSession, emb: DataFrame,
-                          cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+                          cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("csim"), col("cid") * -1)).as("_best"))
+      .select(col("vec_id"), col("_best.embedding").as("embedding"),
+        col("_best.cid").as("cid"))
 
   /** One Lloyd update: per (cell, dimension), the member mean — computed
     * through an EXACT decimal sum so it is order-independent and therefore
