@@ -75,6 +75,8 @@ object SparkEntry {
     "q50_salted_agg"      -> ((s, d) => graft.operators.Skew.saltedEventStats(s, d)),
     "q51_uv_approx"       -> ((s, d) => RefQueries.uvPerDayApprox(s, d)),
     "q52_province_approx" -> ((s, d) => RefQueries.provinceStatsApprox(s, d)),
+    "q53_pack_assign"     -> ((s, d) => graft.operators.Corpus.packAssign(s, d)),
+    "q54_chunk_spans"     -> ((s, d) => graft.operators.Corpus.chunkSpans(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -725,6 +727,34 @@ object SparkEntry {
          |FROM e_order_est a JOIN e_customer_est b
          |  ON a.r_name = b.r_name AND a.n_name = b.n_name
          |ORDER BY a.r_name, a.n_name""".stripMargin
+    },
+    "q53_pack_assign" -> {
+      val budget = 2048; val shard = graft.operators.Corpus.PackShardDocs
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    doc_id // $shard AS shard FROM toks),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |  FROM n)
+         |SELECT doc_id, n_tokens,
+         |  shard * 1000000 + cum_before // $budget AS bin,
+         |  cum_before % $budget AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q54_chunk_spans" -> {
+      import graft.functions.PortableHash
+      val sz = 32; val ov = 8; val stride = sz - ov
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |x AS (SELECT doc_id, t, n,
+         |    unnest(generate_series(0, GREATEST(1, (n - $ov + $stride - 1) // $stride) - 1)) AS chunk_id
+         |  FROM n),
+         |sp AS (SELECT doc_id, chunk_id, chunk_id * $stride + 1 AS start_tok,
+         |    LEAST(chunk_id * $stride + $sz, n) AS end_tok, t FROM x)
+         |SELECT doc_id, chunk_id, start_tok, end_tok,
+         |  ${PortableHash.h60Sql("array_to_string(t[start_tok:end_tok], ' ')")} AS chunk_hash
+         |FROM sp ORDER BY doc_id, chunk_id""".stripMargin
     },
   )
 }
