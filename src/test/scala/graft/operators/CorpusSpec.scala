@@ -54,4 +54,22 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(chunks.map(c => (c._1, c._2, c._5)).sameElements(again))
   }
+
+  test("training-corpus app: dedup -> keep -> pack/chunk composes with one clustering") {
+    Dedup.clearClusterCache()
+    val before = Dedup.clusteringRuns.get()
+    val (kept, packed, chunks) = graft.apps.Apps.trainingCorpusApp(spark, sf)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val chunkIds = chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // downstream stages see exactly the cleaned corpus
+    assert(packedIds === keptIds)
+    assert(chunkIds === keptIds)
+    // no dropped (non-root cluster member) doc leaks through
+    val dropped = Dedup.sharedClusters(spark, sf)
+      .filter(col("cluster") =!= col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(dropped).isEmpty)
+    // the whole app ran ONE clustering (keep set + drop check share it)
+    assert(Dedup.clusteringRuns.get() - before === 1)
+  }
 }
