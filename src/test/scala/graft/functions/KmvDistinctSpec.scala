@@ -54,6 +54,35 @@ class KmvDistinctSpec extends SparkSpec {
       s"expected partial KMV aggregation in plan:\n$plan")
   }
 
+  test("KMV aggregates in streaming mode and matches the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val kmv = KmvDistinct.columnAgg(64)
+    val data = (1 to 600).map(i => ("g", s"user${i % 200}"))
+    val in = MemoryStream[(String, String)]
+    val agg = in.toDF().toDF("g", "v")
+      .select(col("g"), PortableHash.h60(col("v")).as("h"))
+      .groupBy(col("g")).agg(kmv(col("h")).as("est"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // two micro-batches: the sketch state must merge across triggers
+      in.addData(data.take(300): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(300): _*)
+      q.processAllAvailable()
+      val streamed = s.table("kmv_stream").head().getLong(1)
+      val batch = data.toDF("g", "v")
+        .select(col("g"), PortableHash.h60(col("v")).as("h"))
+        .groupBy(col("g")).agg(kmv(col("h")).as("est")).head().getLong(1)
+      assert(streamed === batch)
+      assert(math.abs(streamed - 200.0) / 200.0 < 0.5)
+    } finally q.stop()
+  }
+
   test("q51 tracks the exact per-day UV within KMV tolerance") {
     val approx = graft.operators.RefQueries.uvPerDayApprox(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
