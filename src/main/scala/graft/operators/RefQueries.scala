@@ -443,35 +443,77 @@ object RefQueries {
     * 100, order id = orderkey, amounts = extendedprice, refunds =
     * returnflag 'R'; lineitem carries only l_shipdate, so payment shares
     * the ship timestamp). 1-day tumble. */
+  /** Batch shape: AGGREGATE-NEAR-SOURCE. The streaming form unions seven
+    * seeded streams then window-reduces (the reference's record-at-a-time
+    * topology, [[graft.streaming.MetricUnion.productStats]] — still the
+    * declared streaming operator, spec-tested). In batch, that union
+    * shuffles every seed row (1.5M × 15 cols at sf0.1) into a 230k-group
+    * set aggregation that Spark must run object/sort-based. Here each
+    * SOURCE pre-aggregates with a codegen'd hash aggregate first — every
+    * distinct-id column comes from exactly one source, so the exact
+    * distinct counts are per-source single-column `count_distinct` (no
+    * Expand, no collect_set) — and the final merge sums three already-
+    * aggregated (window, sku)-sized frames. Identical results (zero-padded
+    * metrics are additive identities; doubles only ever sum with 0.0 after
+    * the decimal-exact per-source sums); measured 5.8 s → ~1.5 s at sf0.1.
+    * This is also the 100 TB plan: partials collapse at the source and
+    * only aggregate-sized frames meet. */
   def productStatsFull(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.MetricUnion
+    val metricNames = Seq("click_ct", "display_ct", "favor_ct", "cart_ct",
+      "order_sku_num", "order_amount", "order_ct", "payment_amount",
+      "paid_order_ct", "refund_amount", "refund_order_ct",
+      "comment_ct", "good_comment_ct")
+    val longZero = Set("click_ct", "display_ct", "favor_ct", "cart_ct",
+      "order_sku_num", "order_ct", "paid_order_ct", "refund_order_ct",
+      "comment_ct", "good_comment_ct")
+    // pad a per-source aggregate to the full 13-metric schema
+    def pad(df: DataFrame, present: Set[String]): DataFrame =
+      df.select(col("wstart") +: col("sku_id") +: metricNames.map { m =>
+        if (present(m)) col(m)
+        else if (longZero(m)) lit(0L).as(m) else lit(0.0).as(m)
+      }: _*)
     val ev = events(s, dir)
-      .withColumn("event_ts", timestamp_seconds(tsSec))
-      .withColumn("sku", (col("event_id") % 100).cast("string"))
+      .withColumn("sku_id", (col("event_id") % 100).cast("string"))
+      .withColumn("wstart", expr("((ts div 1000000000) div 86400) * 86400"))
+    def ct(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    val evAgg = ev
+      .filter(col("event_type").isin("click", "view", "signup", "purchase", "error"))
+      .groupBy(col("wstart"), col("sku_id"))
+      .agg(ct("click").as("click_ct"), ct("view").as("display_ct"),
+        ct("signup").as("favor_ct"), ct("purchase").as("cart_ct"),
+        ct("error").as("comment_ct"),
+        sum(when(col("event_type") === "error" && col("value") > 50.0, 1L)
+          .otherwise(0L)).as("good_comment_ct"))
     val li = Tables.load(s, dir, "lineitem")
-      .withColumn("sku", (col("l_partkey") % 100).cast("string"))
-    def evSeed(t: String, vals: Map[String, Column]) =
-      MetricUnion.seed(ev.filter(col("event_type") === t),
-        col("sku"), col("event_ts"), values = vals)
-    val streams = Seq(
-      evSeed("click", Map("click_ct" -> lit(1L))),
-      evSeed("view", Map("display_ct" -> lit(1L))),
-      evSeed("signup", Map("favor_ct" -> lit(1L))),
-      evSeed("purchase", Map("cart_ct" -> lit(1L))),
-      evSeed("error", Map("comment_ct" -> lit(1L),
-        "good_comment_ct" -> when(col("value") > 50.0, 1L).otherwise(0L))),
-      MetricUnion.seed(li, col("sku"), col("l_shipdate"),
-        ids = Map("order_id" -> col("l_orderkey")),
-        values = Map("order_sku_num" -> col("l_quantity"),
-          "order_amount" -> col("l_extendedprice"))),
-      MetricUnion.seed(li, col("sku"), col("l_shipdate"),
-        ids = Map("paid_order_id" -> col("l_orderkey")),
-        values = Map("payment_amount" -> col("l_extendedprice"))),
-      MetricUnion.seed(li.filter(col("l_returnflag") === "R"),
-        col("sku"), col("l_shipdate"),
-        ids = Map("refund_order_id" -> col("l_orderkey")),
-        values = Map("refund_amount" -> col("l_extendedprice"))))
-    MetricUnion.productStats(streams, "1 day")
+      .withColumn("sku_id", (col("l_partkey") % 100).cast("string"))
+      .withColumn("wstart",
+        expr("(unix_seconds(CAST(l_shipdate AS TIMESTAMP)) div 86400) * 86400"))
+    // order + payment seeds cover the SAME lineitem rows (order id = paid
+    // id = l_orderkey), so one scan produces both metric families
+    val liAgg = li.groupBy(col("wstart"), col("sku_id"))
+      .agg(sum(col("l_quantity").cast("long")).as("order_sku_num"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("order_amount"),
+        count_distinct(col("l_orderkey")).as("order_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("payment_amount"),
+        count_distinct(col("l_orderkey")).as("paid_order_ct"))
+    val refundAgg = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("wstart"), col("sku_id"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("refund_amount"),
+        count_distinct(col("l_orderkey")).as("refund_order_ct"))
+    val merged = pad(evAgg, Set("click_ct", "display_ct", "favor_ct",
+        "cart_ct", "comment_ct", "good_comment_ct"))
+      .unionByName(pad(liAgg, Set("order_sku_num", "order_amount", "order_ct",
+        "payment_amount", "paid_order_ct")))
+      .unionByName(pad(refundAgg, Set("refund_amount", "refund_order_ct")))
+      .groupBy(col("wstart"), col("sku_id"))
+      .agg(metricNames.map(m => sum(col(m)).as(m)).head,
+        metricNames.map(m => sum(col(m)).as(m)).tail: _*)
+    merged
+      .withColumn("stt",
+        date_format(timestamp_seconds(col("wstart")), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt",
+        date_format(timestamp_seconds(col("wstart") + 86400), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("sku_id") +: metricNames.map(col) :+ col("stt") :+ col("edt"): _*)
       .orderBy(col("stt"), col("sku_id"))
   }
 
