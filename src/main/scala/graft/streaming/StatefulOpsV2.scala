@@ -226,9 +226,20 @@ object StatefulOpsV2 {
     }
   }
 
-  def uniqueVisit(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+  /** `chainTs`: pass the output's event-time column name to keep the
+    * stream chainable into FURTHER stateful operators (windowed aggs,
+    * joins) — Spark re-derives the watermark from the declared column
+    * (the transformWithState analogue of the reference's DWM→DWS
+    * topology, where UniqueVisit feeds VisitorStats). */
+  def uniqueVisit(events: Dataset[LogEvent],
+                  chainTs: Option[String] = None): Dataset[LogEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.mid)
-      .transformWithState(new UniqueVisitProcessor, TimeMode.EventTime(), OutputMode.Append())
+    val grouped = events.groupByKey(_.mid)
+    chainTs match {
+      case Some(tsCol) =>
+        grouped.transformWithState(new UniqueVisitProcessor, tsCol, OutputMode.Append())
+      case None =>
+        grouped.transformWithState(new UniqueVisitProcessor, TimeMode.EventTime(), OutputMode.Append())
+    }
   }
 }

@@ -139,6 +139,41 @@ class StatefulOpsV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 uniqueVisit chains into a windowed aggregation (DWM -> DWS)") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.functions._
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      val input = MemoryStream[LogEvent]
+      input.addData(
+        LogEvent("m1", "home", null, "1", ts(day1)),
+        LogEvent("m1", "list", "", "1", ts(day1 + 1000)),  // same day: deduped
+        LogEvent("m2", "home", "", "0", ts(day1 + 2000)),
+        LogEvent("m1", "home", null, "1", ts(day2)))
+      // the chained form declares its event-time column so the downstream
+      // tumble re-derives a watermark — two stateful operators, one query
+      val uv = StatefulOpsV2.uniqueVisit(
+        input.toDS().withWatermark("ts", "1 second"), chainTs = Some("ts"))
+      val daily = uv.groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("uv_ct"))
+      val q = daily.writeStream.format("memory").queryName("uv_chain")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day2 + 2 * 86400000L)))
+        q.processAllAvailable()
+        val rows = s.table("uv_chain").collect()
+          .map(r => r.getStruct(0).getTimestamp(0).getTime -> r.getLong(1)).toMap
+        val d1win = (day1 / 86400000L) * 86400000L
+        val d2win = (day2 / 86400000L) * 86400000L
+        assert(rows.get(d1win).contains(2L)) // m1 + m2 on day1 (dup dropped)
+        assert(rows.get(d2win).contains(1L)) // m1 on day2
+      } finally q.stop()
+    }
+  }
+
   test("T2 userJump on transformWithState: canonical fixture") {
     val s = spark
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
