@@ -730,6 +730,7 @@ object SparkEntry {
     },
     "q53_pack_assign" -> {
       val budget = 2048; val shard = graft.operators.Corpus.PackShardDocs
+      val binsPerShard = graft.operators.Corpus.PackBinsPerShard
       s"""WITH $toksCte,
          |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          |    doc_id // $shard AS shard FROM toks),
@@ -738,7 +739,7 @@ object SparkEntry {
          |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
          |  FROM n)
          |SELECT doc_id, n_tokens,
-         |  shard * 1000000 + cum_before // $budget AS bin,
+         |  shard * ${binsPerShard}::BIGINT + cum_before // $budget AS bin,
          |  cum_before % $budget AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin
     },
@@ -746,7 +747,8 @@ object SparkEntry {
       import graft.functions.PortableHash
       val sz = 32; val ov = 8; val stride = sz - ov
       s"""WITH $toksCte,
-         |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+         |  WHERE len(t) > 0),
          |x AS (SELECT doc_id, t, n,
          |    unnest(generate_series(0, GREATEST(1, (n - $ov + $stride - 1) // $stride) - 1)) AS chunk_id
          |  FROM n),

@@ -300,10 +300,14 @@ object Apps {
                         chunkOverlap: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{Corpus, Dedup}
     val kept = Dedup.dedupKeepSet(spark, dir) // shares q48's cached clustering
-    val packed = Corpus.packAssign(spark, dir, budget)
+    // pack/chunk the CLEANED corpus: the layout must be computed over the
+    // surviving docs, or dropped dups leave token-sized holes in the bins
+    // (filtering the pack output instead of its input would do exactly
+    // that)
+    val cleaned = graft.Tables.load(spark, dir, "documents")
       .join(kept, Seq("doc_id"), "left_semi")
-    val chunks = Corpus.chunkSpans(spark, dir, chunkSize, chunkOverlap)
-      .join(kept, Seq("doc_id"), "left_semi")
+    val packed = Corpus.packAssignDf(cleaned, budget)
+    val chunks = Corpus.chunkSpansDf(cleaned, chunkSize, chunkOverlap)
     (kept, packed, chunks)
   }
 }

@@ -22,6 +22,13 @@ object Corpus {
     * trade to any sharded concat-then-chunk pipeline). */
   val PackShardDocs = 100000L
 
+  /** Bin-id namespace per shard (2^30): collision across shards would need
+    * a single shard to exceed 2^30 bins — budget × 2^30 tokens (≈2.2e12 at
+    * the default budget, ~22M tokens per doc) — far beyond any real
+    * corpus shape; the headroom is checked structurally by the spec's
+    * layout replay. */
+  val PackBinsPerShard = 1L << 30
+
   /** q53 — sequence-packing assignment: documents are laid end-to-end in
     * doc_id order (deterministic, reshard-stable) and cut into bins of
     * `budget` tokens; each doc is assigned the bin where it STARTS, with
@@ -30,16 +37,23 @@ object Corpus {
     * the next — the chunker, not the packer, splits); bin ids are unique
     * via (shard, local bin) encoding. One narrow window per shard; the
     * shuffle carries (doc_id, n_tokens) only. */
-  def packAssign(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+  def packAssign(s: SparkSession, dir: String, budget: Int = 2048): DataFrame =
+    packAssignDf(Tables.load(s, dir, "documents"), budget)
+
+  /** Core of [[packAssign]] over any (doc_id, text) frame — the layout is
+    * a function of the frame it is given, so packing a CLEANED corpus
+    * (post-dedup) lays out only the surviving docs (see
+    * [[graft.apps.Apps.trainingCorpusApp]]). */
+  def packAssignDf(docs: DataFrame, budget: Int = 2048): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("shard") * 1000000L + expr(s"cum_before div $budget")).as("bin"),
+        (col("shard") * PackBinsPerShard + expr(s"cum_before div $budget")).as("bin"),
         (col("cum_before") % budget).as("bin_offset"))
       .orderBy(col("doc_id"))
   }
@@ -52,12 +66,20 @@ object Corpus {
     * Chunk count = ceil((n - overlap) / stride), min 1 — every token is
     * covered and consecutive chunks share `overlap` tokens. */
   def chunkSpans(s: SparkSession, dir: String,
-                 size: Int = 32, overlap: Int = 8): DataFrame = {
+                 size: Int = 32, overlap: Int = 8): DataFrame =
+    chunkSpansDf(Tables.load(s, dir, "documents"), size, overlap)
+
+  /** Core of [[chunkSpans]] over any (doc_id, text) frame. Zero-token
+    * documents emit NO chunks (a phantom (1, 0) span would give every
+    * empty doc one shared h60("") identity and an invalid inclusive
+    * range). */
+  def chunkSpansDf(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
     require(size > overlap && overlap >= 0, s"need size > overlap >= 0: $size/$overlap")
     val stride = size - overlap
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("n", size_(col("toks")))
+      .filter(col("n") > 0)
       .withColumn("n_chunks",
         greatest(lit(1L), expr(s"(n - $overlap + $stride - 1) div $stride")))
       .select(col("doc_id"), col("toks"), col("n"),

@@ -113,6 +113,11 @@ object Similarity {
     * FloatVecCosine. */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+    // persist: the corpus feeds every Lloyd assignment pass plus the final
+    // assignment/probe/scoring — without it each pass re-scans and
+    // re-decodes the parquet. The cache entry lives until session end or
+    // eviction (MEMORY_AND_DISK, LRU); callers looping over many dirs
+    // should spark.sqlContext.clearCache() between corpora.
     val emb = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))

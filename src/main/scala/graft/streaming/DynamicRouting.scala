@@ -85,13 +85,14 @@ object DynamicRouting {
         // dirty-bucket list is metadata-sized (≤ nBuckets entries)
         val dirty = withPk.select(col("bucket")).distinct().collect()
           .map(_.getInt(0)).toSeq
+        val migrating = existing.exists(e => !e.columns.contains("bucket"))
         val unioned = existing match {
           // partition pruning: only dirty buckets are read back. A snapshot
           // written by a pre-bucketing version has no `bucket` column —
           // migrate it once by deriving the bucket from pk and folding the
           // WHOLE snapshot in (every bucket is dirty for this one batch);
           // subsequent batches see a bucketed snapshot and prune again.
-          case Some(e) if !e.columns.contains("bucket") =>
+          case Some(e) if migrating =>
             e.withColumn("bucket",
                 pmod(xxhash64(col("pk")), lit(nBuckets)).cast("int"))
               .unionByName(withPk)
@@ -112,6 +113,17 @@ object DynamicRouting {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(path)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+        if (migrating) {
+          // dynamic partition overwrite only replaces bucket=N/ dirs: the
+          // legacy flat files at the snapshot root would otherwise survive
+          // forever and RESURFACE overwritten rows to any reader that does
+          // not use Spark partition discovery (duckdb/pyarrow/Hive).
+          // Their rows were folded into the bucketed rewrite above; drop
+          // the dead files now.
+          fs.listStatus(hPath).foreach { st =>
+            if (st.isFile) fs.delete(st.getPath, false): Unit
+          }
+        }
       }
     } finally dims.unpersist()
   }

@@ -129,9 +129,15 @@ object StatefulOpsV2 {
       val evs = buf.getValue(t)
       if (evs == null) {
         // not a drain timer: idle-cleanup if it is the CURRENT horizon
-        // (an older, superseded cleanup timer is ignored)
+        // (an older, superseded cleanup timer is ignored) — and ONLY if
+        // nothing is buffered: a later event already waiting past the
+        // horizon proves the key is not idle, and clearing here would
+        // diverge from the FMGWS twin (whose event-time timeout never
+        // fires in a trigger where the key has data). The pending drain
+        // reschedules the horizon when it fires.
         if (cleanupAt.exists && cleanupAt.get() == t) {
-          clearOp(); cleanupAt.clear()
+          if (!buf.exists()) clearOp()
+          cleanupAt.clear()
         }
         Iterator.empty
       } else {

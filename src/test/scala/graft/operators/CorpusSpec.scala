@@ -60,16 +60,35 @@ class CorpusSpec extends SparkSpec {
     val before = Dedup.clusteringRuns.get()
     val (kept, packed, chunks) = graft.apps.Apps.trainingCorpusApp(spark, sf)
     val keptIds = kept.collect().map(_.getLong(0)).toSet
-    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedRows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val packedIds = packedRows.map(_._1).toSet
     val chunkIds = chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     // downstream stages see exactly the cleaned corpus
     assert(packedIds === keptIds)
     assert(chunkIds === keptIds)
+    // the packing is a layout of the CLEANED corpus: replaying the greedy
+    // fill over kept docs reproduces every bin/offset with NO holes where
+    // dups were dropped (this fails if packing ran over the full corpus)
+    var cum = 0L
+    packedRows.sortBy(_._1).foreach { case (_, n, bin, off) =>
+      assert(bin === cum / 2048)
+      assert(off === cum % 2048)
+      cum += n
+    }
     // no dropped (non-root cluster member) doc leaks through
     val dropped = Dedup.sharedClusters(spark, sf)
       .filter(col("cluster") =!= col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(keptIds.intersect(dropped).isEmpty)
     // the whole app ran ONE clustering (keep set + drop check share it)
     assert(Dedup.clusteringRuns.get() - before === 1)
+  }
+
+  test("zero-token documents emit no chunks (no phantom shared-identity span)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "real words here"), (2L, "!!! ??? ..."), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.chunkSpansDf(docs).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
   }
 }

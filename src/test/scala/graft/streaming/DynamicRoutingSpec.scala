@@ -121,5 +121,16 @@ class DynamicRoutingSpec extends SparkSpec {
       .getAs[Map[String, String]]("data")("tm_name") === "new1")
     assert(dim.filter(col("pk") === "2").head()
       .getAs[Map[String, String]]("data")("tm_name") === "old2")
+    // the legacy flat files are GONE — a non-Spark reader scanning every
+    // parquet file under the root must see only the bucketed snapshot
+    // (stale root files would resurrect the overwritten pk=1 row)
+    val rootParquet = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dimDir, "dim_mig"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count()
+    assert(rootParquet === 0, "legacy unbucketed files left at snapshot root")
+    val allFiles = s.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dimDir/dim_mig")
+    assert(allFiles.count() === 2)
   }
 }

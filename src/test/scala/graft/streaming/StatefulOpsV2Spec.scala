@@ -77,6 +77,40 @@ class StatefulOpsV2Spec extends SparkSpec {
     }
   }
 
+  test("T1 V2: idle cleanup must not clear state while later events sit buffered") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val day1 = 1700000000000L
+      val day = 86400000L
+      val input = MemoryStream[LogEvent]
+      val out = StatefulOpsV2.visitorRepair(
+        input.toDS().withWatermark("ts", "1 second"))
+      val q = out.writeStream.format("memory").queryName("vr_v2_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // day1 visit drains; the 30-day cleanup horizon lands at day31
+        input.addData(LogEvent("m1", "home", null, "1", ts(day1)))
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day1 + 2 * day)))
+        q.processAllAvailable()
+        // a lying "new" visit on day40 is BUFFERED (watermark still low)
+        input.addData(LogEvent("m1", "home", null, "1", ts(day1 + 40 * day)))
+        q.processAllAvailable()
+        // watermark jumps past BOTH the day31 cleanup and the day40 drain;
+        // the cleanup fires first — it must see the buffered event and
+        // keep firstDay, so day40 is repaired like the FMGWS twin would
+        input.addData(LogEvent("zz", "home", "x", "0", ts(day1 + 80 * day)))
+        q.processAllAvailable()
+        val m1 = s.table("vr_v2_ttl").as[RepairedEvent].collect()
+          .filter(_.mid == "m1").sortBy(_.ts.getTime)
+        assert(m1.length === 2)
+        assert(m1.last.isNew === "0" && m1.last.repaired,
+          "idle cleanup wiped first-visit state despite a buffered event")
+      } finally q.stop()
+    }
+  }
+
   test("F2 uniqueVisit on transformWithState: first entry per day passes") {
     withRocksDb {
       val s = spark
