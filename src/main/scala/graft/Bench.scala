@@ -33,8 +33,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         // standalone honesty: q48/q49 share a memoized cluster frame in a
-        // pipeline run; benching a query must not read another run's cache
+        // pipeline run; benching a query must not read another run's cache.
+        // clearCache drops the persisted frames earlier runs left behind
+        // (each call builds fresh frames, so nothing legitimate is lost —
+        // without this, dozens of dead cache entries accumulate by the
+        // later queries and their GC pressure skews the medians)
         graft.operators.Dedup.clearClusterCache()
+        spark.sqlContext.clearCache()
         val t0 = System.nanoTime()
         // noop write = full materialization of every output column; a
         // count() lets Catalyst prune the projection, under-measuring
