@@ -94,6 +94,39 @@ object SparkEntry {
       s"(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a])) * " +
       s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $b]))), 6)"
 
+  /** CTEs producing the banded-MinHash verified near-dup pair basis —
+    * `shr` (candidate pairs with shared-hash counts) and `cnt` (per-doc
+    * distinct shingle-hash counts) — mirroring Dedup.minhashLshPairs
+    * bit-for-bit. Shared by q17 AND the q48/q49 clustering oracles, so the
+    * oracle's edge set is the ENGINE's edge definition (banded candidates,
+    * exact verification), not the quadratic twin: a banding miss on some
+    * future corpus changes both sides identically instead of failing the
+    * gate spuriously. */
+  private def minhashPairCtes: String = {
+    import graft.functions.PortableHash
+    val k = 64; val bands = 16; val r = k / bands
+    val slots = (0 until k)
+      .map(i => s"MIN(${PortableHash.slotHashSql(i, s"(h % ${PortableHash.P})")}) AS m$i")
+      .mkString(", ")
+    val bandList = (0 until bands)
+      .map(b => PortableHash.bandFoldSql((b * r until (b + 1) * r).map(j => s"m$j")))
+      .mkString(", ")
+    s"""$toksCte,
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+       |  FROM toks WHERE len(t) >= 3)),
+       |eh AS (SELECT doc_id, ${PortableHash.h60Sql("shingle")} AS h FROM sh),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM eh GROUP BY 1),
+       |sig AS (SELECT doc_id, $slots FROM eh GROUP BY 1),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${bands - 1})) AS band_id,
+       |  unnest([$bandList]) AS band_hash FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
+       |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** CTEs computing the 60-bit portable simhash per doc (mirrors
     * Dedup.simhashFingerprints bit-for-bit). */
   private def simhashCtes: String = {
@@ -229,35 +262,13 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
-    "q17_minhash_pairs" -> {
-      import graft.functions.PortableHash
-      val k = 64; val bands = 16; val r = k / bands
-      val slots = (0 until k)
-        .map(i => s"MIN(${PortableHash.slotHashSql(i, s"(h % ${PortableHash.P})")}) AS m$i")
-        .mkString(", ")
-      val bandList = (0 until bands)
-        .map(b => PortableHash.bandFoldSql((b * r until (b + 1) * r).map(j => s"m$j")))
-        .mkString(", ")
-      s"""WITH $toksCte,
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
-         |  FROM toks WHERE len(t) >= 3)),
-         |eh AS (SELECT doc_id, ${PortableHash.h60Sql("shingle")} AS h FROM sh),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM eh GROUP BY 1),
-         |sig AS (SELECT doc_id, $slots FROM eh GROUP BY 1),
-         |bands AS (SELECT doc_id, unnest(generate_series(0, ${bands - 1})) AS band_id,
-         |  unnest([$bandList]) AS band_hash FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-         |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
-         |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
-         |  GROUP BY 1, 2)
+    "q17_minhash_pairs" ->
+      s"""WITH $minhashPairCtes
          |SELECT id_a, id_b,
          |  round(CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE), 6) AS jaccard
          |FROM shr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          |WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
     "q18_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sfp ORDER BY doc_id""".stripMargin,
@@ -646,16 +657,12 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // q48/q49: clustering over the SAME banded-candidate verified pairs
+    // the engine uses (minhashPairCtes) — oracle and engine share the edge
+    // definition by construction
     "q48_dup_clusters" ->
-      s"""WITH RECURSIVE $toksCte,
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
-         |  FROM toks WHERE len(t) >= 3)),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jp AS (SELECT id_a, id_b FROM inter
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
          |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
          |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
@@ -666,15 +673,8 @@ object SparkEntry {
          |SELECT id AS doc_id, MIN(label) AS cluster FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q49_dedup_keep" ->
-      s"""WITH RECURSIVE $toksCte,
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
-         |  FROM toks WHERE len(t) >= 3)),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jp AS (SELECT id_a, id_b FROM inter
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
          |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
          |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
