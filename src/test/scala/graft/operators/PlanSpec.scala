@@ -41,6 +41,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "expected partial aggregation")
   }
 
+  test("corpus/sketch queries prune to exactly the columns they touch") {
+    // q53's layout needs only (doc_id, text); reading more at 100 TB
+    // multiplies the scan cost by the untouched columns' width
+    val packPlan = planOf(Corpus.packAssign(spark, sf))
+    assert(packPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q53 scan not pruned to (doc_id, text):\n$packPlan")
+    val chunkPlan = planOf(Corpus.chunkSpans(spark, sf))
+    assert(chunkPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q54 scan not pruned to (doc_id, text):\n$chunkPlan")
+    // q51's sketch needs only (user_id, ts) from events
+    val kmvPlan = planOf(RefQueries.uvPerDayApprox(spark, sf))
+    assert(kmvPlan.contains("ReadSchema: struct<user_id:bigint,ts:bigint>")
+        || kmvPlan.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      s"q51 scan not pruned to (user_id, ts):\n$kmvPlan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
