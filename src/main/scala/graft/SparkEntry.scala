@@ -77,6 +77,11 @@ object SparkEntry {
     "q52_province_approx" -> ((s, d) => RefQueries.provinceStatsApprox(s, d)),
     "q53_pack_assign"     -> ((s, d) => graft.operators.Corpus.packAssign(s, d)),
     "q54_chunk_spans"     -> ((s, d) => graft.operators.Corpus.chunkSpans(s, d)),
+    // the composed pipeline as its own gated query: dedup (q48/q49's shared
+    // clustering) -> pack the CLEANED corpus — the end-to-end
+    // trainingCorpusApp layout carries its own hash row instead of
+    // inheriting trust from its parts (VERDICT r4 ask #4)
+    "q55_corpus_packed"   -> ((s, d) => graft.apps.Apps.trainingCorpusApp(s, d)._2),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -735,8 +740,36 @@ object SparkEntry {
          |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          |    doc_id // $shard AS shard FROM toks),
          |c AS (SELECT doc_id, n_tokens, shard,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+         |  FROM n)
+         |SELECT doc_id, n_tokens,
+         |  shard * ${binsPerShard}::BIGINT + cum_before // $budget AS bin,
+         |  cum_before % $budget AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    // q55: q53's packing chain over the q49-cleaned corpus — the drop set
+    // derives from the SAME banded-candidate clustering CTEs, so the
+    // oracle replays the trainingCorpusApp composition end-to-end
+    "q55_corpus_packed" -> {
+      val budget = 2048; val shard = graft.operators.Corpus.PackShardDocs
+      val binsPerShard = graft.operators.Corpus.PackBinsPerShard
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id),
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    doc_id // $shard AS shard FROM toks
+         |  WHERE doc_id NOT IN (SELECT id FROM drp)),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
          |  FROM n)
          |SELECT doc_id, n_tokens,
          |  shard * ${binsPerShard}::BIGINT + cum_before // $budget AS bin,

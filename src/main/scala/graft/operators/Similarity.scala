@@ -62,22 +62,35 @@ object Similarity {
   private def lshBucket(s: SparkSession, vecName: String, bits: Int): Column =
     graft.plans.FloatVecLshBucket(s, col(vecName), bits)
 
-  /** Nearest-centroid assignment (round(cosine,6) desc, cid asc) — argmax
-    * via max_by on the (csim, -cid) ordering struct rather than a
-    * row_number window: a hash aggregate with MAP-SIDE partial combine
-    * (each partition collapses its nCells candidate rows per vector
-    * before the shuffle) instead of shuffling and SORTING the full
-    * corpus × nCells cross product. Same result: struct comparison is
-    * lexicographic and (cid) is unique, so no ties exist. */
+  /** Nearest-centroid assignment (round(cosine,6) desc, cid asc) — the
+    * argmax is encoded into ONE bigint so the aggregate is a plain
+    * `max(long)`: HashAggregate with map-side partial combine in both the
+    * partial and final stages. (`max_by` — and `max(struct)` too — carry
+    * struct-typed aggregation buffers, which the fixed-width hash-agg map
+    * cannot hold, so they plan as SortAggregate: a partition-local sort of
+    * corpus × nCells rows on every assignment pass; VERDICT r4 #2.)
+    *
+    * Encoding: round(csim, 6) is exactly k/1e6 for an integer
+    * k ∈ [-1e6, 1e6], recovered exactly by round(csim·1e6); the rounded
+    * doubles order the same way k does. enc = k·2³² − cid is strictly
+    * ordered by (csim asc, cid desc), so max(enc) picks (max csim,
+    * min cid) — the identical tie-free ordering the max_by struct used.
+    * cid < 2³² decodes as pmod(−enc, 2³²). The shuffle carries
+    * (vec_id, enc) — 16 bytes, no embedding — and the embedding is joined
+    * back from the vec_id-partitioned persisted corpus, which needs no
+    * exchange: both sides are already hash-partitioned on vec_id. */
   private def assignCells(s: SparkSession, emb: DataFrame,
-                          cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
+                          cents: DataFrame): DataFrame = {
+    val radix = lit(1L << 32)
+    val best = emb.crossJoin(broadcast(cents))
       .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
+      .select(col("vec_id"),
+        (round(col("csim") * 1000000d, 0).cast("long") * radix - col("cid")).as("enc"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("cid")),
-        struct(col("csim"), col("cid") * -1)).as("_best"))
-      .select(col("vec_id"), col("_best.embedding").as("embedding"),
-        col("_best.cid").as("cid"))
+      .agg(max(col("enc")).as("enc"))
+      .select(col("vec_id"), pmod(-col("enc"), radix).as("cid"))
+    emb.join(best, "vec_id").select(col("vec_id"), col("embedding"), col("cid"))
+  }
 
   /** One Lloyd update: per (cell, dimension), the member mean — computed
     * through an EXACT decimal sum so it is order-independent and therefore
@@ -118,8 +131,10 @@ object Similarity {
     // re-decodes the parquet. The cache entry lives until session end or
     // eviction (MEMORY_AND_DISK, LRU); callers looping over many dirs
     // should spark.sqlContext.clearCache() between corpora.
+    // hash-partitioned on vec_id (not round-robin) so each assignment
+    // pass's join-back of the winning cid meets the corpus exchange-free
     val emb = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
     var cents = emb.filter(col("vec_id") < nCells)

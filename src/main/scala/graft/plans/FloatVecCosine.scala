@@ -76,10 +76,16 @@ case class FloatVecCosine(left: Expression, right: Expression)
 }
 
 object FloatVecCosine {
-  /** Register as a SQL function and return a Column-level helper. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+  /** Register as a SQL function and return a Column-level helper.
+    * Idempotent: skips the registry write (and its "replaced a previously
+    * registered function" log line) when the name is already bound. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_cosine")))
+      registry.createOrReplaceTempFunction(
+        "float_vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+  }
 
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
