@@ -86,6 +86,30 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("star contraction: deep path graph converges in O(log d) rounds") {
+    // a 64-node chain (0-1-2-...-63, diameter 63) is the adversarial shape
+    // for per-hop label propagation (Hash-Min would pay 63 rounds); the
+    // large-star/small-star alternation must finish in logarithmic rounds
+    import spark.implicits._
+    val d = 63
+    val path = (0 until d).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(spark, sf, edgeSource = Some(path))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === d + 1)
+    assert(labels.values.forall(_ === 0L), "one component rooted at the min")
+    val rounds = Dedup.lastClusteringRounds.get()
+    val bound = (math.log(d) / math.log(2)).ceil.toLong + 1
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound (d=$d)")
+    // two disjoint components + a self-loop singleton: labels stay separate
+    val multi = (Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 30L)))
+      .toDF("id_a", "id_b")
+    val m = Dedup.dupClusters(spark, sf, edgeSource = Some(multi))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("q48 + q49 execute the clustering once per pipeline run") {
     Dedup.clearClusterCache()
     val before = Dedup.clusteringRuns.get()
