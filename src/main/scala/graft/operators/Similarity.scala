@@ -83,7 +83,8 @@ object Similarity {
                           cents: DataFrame): DataFrame = {
     val radix = lit(1L << 32)
     val best = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6))
+      .withColumn("csim",
+        round(nanvl(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), lit(-2d)), 6))
       .select(col("vec_id"),
         (round(col("csim") * 1000000d, 0).cast("long") * radix - col("cid")).as("enc"))
       .groupBy(col("vec_id"))
