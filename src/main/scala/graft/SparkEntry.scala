@@ -82,6 +82,9 @@ object SparkEntry {
     // trainingCorpusApp layout carries its own hash row instead of
     // inheriting trust from its parts (VERDICT r4 ask #4)
     "q55_corpus_packed"   -> ((s, d) => graft.apps.Apps.trainingCorpusApp(s, d)._2),
+    "q56_decontaminate"   -> ((s, d) => graft.operators.Curation.decontaminate(s, d)),
+    "q57_stratified"      -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
+    "q58_domain_mix"      -> ((s, d) => graft.operators.Curation.domainMix(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -790,6 +793,62 @@ object SparkEntry {
          |SELECT doc_id, chunk_id, start_tok, end_tok,
          |  ${PortableHash.h60Sql("array_to_string(t[start_tok:end_tok], ' ')")} AS chunk_hash
          |FROM sp ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    // q56: 13-gram benchmark decontamination — split buckets and gram
+    // hashes are the SAME h60-of-content in both engines
+    "q56_decontaminate" -> {
+      import graft.functions.PortableHash
+      val n = 13
+      s"""WITH toks AS (SELECT doc_id,
+         |    ${PortableHash.h60Sql("text")} % 100 AS bucket,
+         |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS t
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, bucket,
+         |    ${PortableHash.h60Sql("shingle")} AS gh FROM (
+         |  SELECT doc_id, bucket,
+         |    unnest([list_aggregate(t[i:i+${n - 1}], 'string_agg', ' ')
+         |      for i in generate_series(1, len(t) - ${n - 1})]) AS shingle
+         |  FROM toks WHERE len(t) >= $n)),
+         |tg AS (SELECT DISTINCT gh FROM sh WHERE bucket >= 90)
+         |SELECT s.doc_id,
+         |  CASE WHEN s.bucket < 80 THEN 'train' ELSE 'val' END AS split,
+         |  COUNT(DISTINCT s.gh) AS n_hits
+         |FROM sh s JOIN tg USING (gh) WHERE s.bucket < 90
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+    },
+    // q57: the oracle is the NAIVE per-stratum ranking — the engine's
+    // threshold-prefilter fast path must be indistinguishable from it
+    "q57_stratified" -> {
+      import graft.functions.PortableHash
+      s"""WITH h AS (SELECT doc_id, lang, ${PortableHash.h60Sql("text")} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT doc_id, lang, rk FROM r WHERE rk <= 40
+         |ORDER BY lang, rk""".stripMargin
+    },
+    // q58: integer-ppm mixture arithmetic — every step is BIGINT floor
+    // division in both engines (// here, DIV in Spark)
+    "q58_domain_mix" -> {
+      import graft.functions.PortableHash
+      val budget = 100000L
+      val weights = graft.operators.Curation.domainWeights
+      val sumW = weights.map(_._2).sum
+      val valuesList = weights.map { case (src, w) => s"('$src', $w)" }
+        .mkString(", ")
+      s"""WITH w(source, w) AS (VALUES $valuesList),
+         |d AS (SELECT doc_id, source,
+         |    CAST(len([t for t in string_split_regex(text, '\\s+') if len(t) > 0]) AS BIGINT) AS n_tokens,
+         |    ${PortableHash.h60Sql("text")} % 1000000 AS hmod
+         |  FROM documents),
+         |r AS (SELECT d.source,
+         |    ((($budget::BIGINT * w) // $sumW) * 1000000) // CAST(SUM(n_tokens) AS BIGINT) AS rate_ppm
+         |  FROM d JOIN w USING (source) GROUP BY d.source, w.w)
+         |SELECT doc_id, d.source, n_tokens,
+         |  CAST(rate_ppm // 1000000 +
+         |    CASE WHEN hmod < rate_ppm % 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+         |FROM d JOIN r USING (source) ORDER BY doc_id""".stripMargin
     },
   )
 }

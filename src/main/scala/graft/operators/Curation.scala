@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{PortableHash, Text}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of dedup/quality: benchmark decontamination, stratified sampling,
+  * and domain (source) mixture planning.
+  *
+  * All three follow the repo's portability convention: every hash/bucket
+  * decision is a [[PortableHash.h60]] of CONTENT (bit-identical in DuckDB),
+  * and every fractional quantity is integer arithmetic (ppm), so the
+  * DuckDB oracle hash-matches exactly — no rtol anywhere.
+  */
+object Curation {
+
+  /** Benchmark decontamination (q56): flag train/val documents that share
+    * at least one distinct 13-token n-gram with any test-split document —
+    * the canonical overlap rule used to scrub eval contamination from
+    * training corpora. The split is the same content-hash assignment as
+    * q47 (`Dedup.splitAssign`), so exact duplicates of a test doc are
+    * always flagged (they carry identical grams).
+    *
+    * Scale design (100 TB corpus, benchmark-sized eval set): the test-side
+    * distinct gram set is eval-sized (≪ corpus), so it BROADCASTS; the
+    * train side is a scan + explode + broadcast-hash semi-join — the only
+    * shuffle is the per-doc hit count over join survivors (tiny). Grams
+    * travel as 60-bit content hashes, never as strings.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    // tokens MUST be bound to an attribute before the explode: handed
+    // straight to the generator, CollapseProject inlines the tokenizer
+    // into every element_at of the shingle lambda — n+2 re-tokenizations
+    // per shingle position (measured 14× slower at n=13)
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (PortableHash.h60(col("text")) % 100).as("bucket"),
+        Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("bucket"),
+        explode(Text.shingles(col("toks"), n)).as("sh"))
+      .select(col("doc_id"), col("bucket"),
+        PortableHash.h60(col("sh")).as("gh"))
+    val testGrams = grams.filter(col("bucket") >= 90)
+      .select(col("gh")).distinct()
+    grams.filter(col("bucket") < 90)
+      .join(broadcast(testGrams), "gh")
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count_distinct(col("gh")).as("n_hits"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train").otherwise("val").as("split"),
+        col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-stratum quota sampling (q57): keep the `k` documents with the
+    * smallest content hash within each language — a deterministic,
+    * re-shard-stable "random" sample with an exact per-stratum quota.
+    *
+    * Scale design: a naive `row_number() OVER (PARTITION BY lang)` funnels
+    * each stratum through ONE reducer — a scale-killer when a stratum is
+    * billions of rows. Instead: (1) aggregate per-stratum counts
+    * (broadcast-sized — one row per language); (2) prefilter with a
+    * conservative hash threshold ~ safety·k/n of the 2^60 hash space, which
+    * keeps ~safety·k rows per stratum at any corpus size; (3) rank only the
+    * survivors. The prefilter is checked, not trusted: if any stratum came
+    * up short of its quota (possible only for adversarial hash
+    * distributions), fall back to exact ranking for a correctness
+    * guarantee.
+    */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        PortableHash.h60(col("text")).as("h"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    def rank(base: DataFrame): DataFrame = base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+    val sk = 4L * k // safety × quota: expected prefilter survivors/stratum
+    // one row per language — checkpointed so the audit below doesn't
+    // rescan the corpus
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_g")).localCheckpoint(true)
+    // conservative threshold ≥ 2^60·sk/n_g, computed without overflowing
+    // a Long (2^60·sk would): h60 is uniform on [0, 2^60)
+    val thresholds = counts.select(col("lang"), expr(
+      s"CASE WHEN n_g <= $sk THEN ${1L << 60}" +
+        s" ELSE ((${1L << 60} DIV n_g) + 1) * $sk END").as("thresh"))
+    val survivors = docs.join(broadcast(thresholds), "lang")
+      .filter(col("h") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("h"))
+      .localCheckpoint(true)
+    val sampled = rank(survivors)
+    // quota audit: every stratum must deliver min(k, n_g) rows; a short
+    // stratum means the prefilter bit — rerank exactly (rare path, only
+    // reachable for adversarial hash distributions)
+    val short = sampled.groupBy(col("lang")).agg(count(lit(1)).as("got"))
+      .join(counts, "lang")
+      .filter(col("got") < least(lit(k.toLong), col("n_g")))
+      .limit(1).count() > 0
+    val result = if (short) rank(docs) else sampled
+    result.orderBy(col("lang"), col("rk"))
+  }
+
+  /** Domain-mixture planning (q58): given a token budget and per-source
+    * target weights, compute how many epochs each document contributes to
+    * the mixed training corpus. `rate = budget·w_s / tokens_s` is carried
+    * in ppm (integer arithmetic, engine-portable); the integer part is a
+    * whole-corpus repetition and the fractional part is realized by a
+    * deterministic content-hash Bernoulli (`h60(text) % 1M < frac_ppm`) —
+    * so the REALIZED token count concentrates on the target with zero
+    * randomness across runs or engines.
+    *
+    * Scale design: per-source token totals are a 20-row map-side-combined
+    * aggregate, broadcast back onto the corpus scan; the doc-level pass is
+    * scan-speed with no shuffle.
+    */
+  def domainMix(s: SparkSession, dir: String,
+                budgetTokens: Long = 100000L): DataFrame = {
+    import s.implicits._
+    val weights = domainWeights
+    val sumW = weights.map(_._2).sum
+    val wDf = weights.toDF("source", "w")
+
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"),
+        (PortableHash.h60(col("text")) % 1000000L).as("hmod"))
+    // DIV keeps every step in exact integer arithmetic (Spark's `/` on
+    // longs is double division — not oracle-portable at the margins)
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens_s"))
+      .join(wDf, "source")
+      .select(col("source"), expr(
+        s"(($budgetTokens * w DIV $sumW) * 1000000) DIV tokens_s")
+        .as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (expr("rate_ppm DIV 1000000") +
+          when(col("hmod") < col("rate_ppm") % 1000000L, 1L).otherwise(0L))
+          .as("n_epochs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Relative target weights per source — deterministic, declared here and
+    * mirrored literally in the oracle VALUES list. */
+  val domainWeights: Vector[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", (i % 4 + 1).toLong)).toVector
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("q56: decontamination flags every non-test exact duplicate of a test doc") {
+    // any train/val doc whose TEXT equals a test doc's text shares all its
+    // 13-grams, so it must be flagged (provided the doc has >= 13 tokens)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (graft.functions.PortableHash.h60(col("text")) % 100).as("bucket"),
+        size(graft.functions.Text.tokens(col("text"))).as("n_toks"))
+    val testTexts = docs.filter(col("bucket") >= 90)
+      .select(col("text")).distinct()
+    val mustFlag = docs.filter(col("bucket") < 90 && col("n_toks") >= 13)
+      .join(testTexts, "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = Curation.decontaminate(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(mustFlag.subsetOf(flagged),
+      s"unflagged exact dups of test docs: ${mustFlag -- flagged}")
+  }
+
+  test("q56: n_hits is positive and splits are train/val only") {
+    val rows = Curation.decontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+      assert(Set("train", "val").contains(r.getString(1)))
+    }
+  }
+
+  test("q57: threshold-prefilter fast path equals exact per-stratum ranking") {
+    val k = 40
+    val exact = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.PortableHash.h60(col("text")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fast = Curation.stratifiedSample(spark, sf, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fast === exact)
+  }
+
+  test("q57: every stratum delivers exactly min(k, stratum size) rows") {
+    val k = 40
+    val got = Curation.stratifiedSample(spark, sf, k)
+      .groupBy(col("lang")).agg(count(lit(1)).as("got"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === sizes.keySet)
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) === math.min(k.toLong, n), s"stratum $lang")
+    }
+  }
+
+  test("q58: epochs are the integer mixture rate realized by content hash") {
+    val budget = 100000L
+    val sumW = Curation.domainWeights.map(_._2).sum
+    val wMap = Curation.domainWeights.toMap
+    val out = Curation.domainMix(spark, sf, budget).collect()
+    // recompute per-source totals driver-side and check each doc's epochs
+    val tokensBySource = out.groupBy(_.getString(1))
+      .map { case (src, rows) => src -> rows.map(_.getLong(2)).sum }
+    val hmods = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        (graft.functions.PortableHash.h60(col("text")) % 1000000L).as("hmod"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, src, epochs) = (r.getLong(0), r.getString(1), r.getLong(3))
+      val ratePpm = (budget * wMap(src) / sumW) * 1000000L / tokensBySource(src)
+      val expected = ratePpm / 1000000L +
+        (if (hmods(id) < ratePpm % 1000000L) 1L else 0L)
+      assert(epochs === expected, s"doc $id source $src")
+    }
+  }
+
+  test("q58: realized token mass tracks the per-source target") {
+    val budget = 100000L
+    val sumW = Curation.domainWeights.map(_._2).sum
+    val out = Curation.domainMix(spark, sf, budget).collect()
+    Curation.domainWeights.foreach { case (src, w) =>
+      val target = budget * w / sumW
+      val realized = out.filter(_.getString(1) == src)
+        .map(r => r.getLong(2) * r.getLong(3)).sum
+      // the hash-Bernoulli realization concentrates around the target; a
+      // generous band guards semantics, not statistics
+      assert(realized <= target * 2,
+        s"$src realized $realized >> target $target")
+    }
+  }
+
+  test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
+    Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+        assert(!plan.contains("CartesianProduct"))
+      }
+  }
+}
