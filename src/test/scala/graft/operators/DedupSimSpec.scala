@@ -94,7 +94,10 @@ class DedupSimSpec extends SparkSpec {
     val d = 63
     val path = (0 until d).map(i => (i.toLong, i.toLong + 1))
       .toDF("id_a", "id_b")
-    val labels = Dedup.dupClusters(spark, sf, edgeSource = Some(path))
+    // localSolveEdges = 0 forces the distributed star contraction — this
+    // test is about the distributed algorithm's round bound
+    val labels = Dedup.dupClusters(spark, sf, edgeSource = Some(path),
+        localSolveEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === d + 1)
     assert(labels.values.forall(_ === 0L), "one component rooted at the min")
@@ -104,10 +107,26 @@ class DedupSimSpec extends SparkSpec {
     // two disjoint components + a self-loop singleton: labels stay separate
     val multi = (Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 30L)))
       .toDF("id_a", "id_b")
-    val m = Dedup.dupClusters(spark, sf, edgeSource = Some(multi))
+    val m = Dedup.dupClusters(spark, sf, edgeSource = Some(multi),
+        localSolveEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("size-gated local union-find labels identically to the distributed path") {
+    import spark.implicits._
+    // chain + disjoint pair + self-loop singleton, plus the real LSH edges
+    val synth = ((0 until 63).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((100L, 101L), (200L, 200L))).toDF("id_a", "id_b")
+    for (edges <- Seq(synth, Dedup.minhashLshPairs(spark, sf))) {
+      val dist = Dedup.dupClusters(spark, sf, edgeSource = Some(edges),
+          localSolveEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val local = Dedup.dupClusters(spark, sf, edgeSource = Some(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local === dist)
+    }
   }
 
   test("q48 + q49 execute the clustering once per pipeline run") {
