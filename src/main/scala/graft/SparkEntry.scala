@@ -85,6 +85,7 @@ object SparkEntry {
     "q56_decontaminate"   -> ((s, d) => graft.operators.Curation.decontaminate(s, d)),
     "q57_stratified"      -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
     "q58_domain_mix"      -> ((s, d) => graft.operators.Curation.domainMix(s, d)),
+    "q59_funnel"          -> ((s, d) => graft.operators.Curation.curationFunnel(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -849,6 +850,48 @@ object SparkEntry {
          |  CAST(rate_ppm // 1000000 +
          |    CASE WHEN hmod < rate_ppm % 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
          |FROM d JOIN r USING (source) ORDER BY doc_id""".stripMargin
+    },
+    // q59: the end-to-end funnel — dedup drop set from the SAME clustering
+    // CTEs as q48/q49, contamination from the SAME 13-gram CTE shape as
+    // q56, quality/split thresholds mirrored literally
+    "q59_funnel" -> {
+      import graft.functions.PortableHash
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id),
+         |meta AS (SELECT doc_id, ${PortableHash.h60Sql("text")} % 100 AS bucket,
+         |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+         |      CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+         |  FROM documents),
+         |shc AS (SELECT DISTINCT sg.doc_id, m.bucket,
+         |    ${PortableHash.h60Sql("shingle")} AS gh FROM (
+         |  SELECT doc_id, unnest([list_aggregate(t[i:i+12], 'string_agg', ' ')
+         |    for i in generate_series(1, len(t) - 12)]) AS shingle
+         |  FROM toks WHERE len(t) >= 13) sg JOIN meta m ON m.doc_id = sg.doc_id),
+         |tg AS (SELECT DISTINCT gh FROM shc WHERE bucket >= 90),
+         |con AS (SELECT DISTINCT s.doc_id FROM shc s JOIN tg USING (gh) WHERE s.bucket < 90),
+         |f AS (SELECT tk.doc_id, m.bucket, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |    (len(tk.t) >= 10 AND m.alpha_ratio >= 0.5) AS pq,
+         |    tk.doc_id NOT IN (SELECT id FROM drp) AS kept,
+         |    (m.bucket < 80 AND tk.doc_id NOT IN (SELECT doc_id FROM con)) AS clean
+         |  FROM toks tk JOIN meta m ON m.doc_id = tk.doc_id)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage_idx, 'all' AS stage, COUNT(*) AS n_docs,
+         |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM f
+         |  UNION ALL SELECT 2, 'quality', COUNT(*),
+         |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM f WHERE pq
+         |  UNION ALL SELECT 3, 'dedup', COUNT(*),
+         |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM f WHERE pq AND kept
+         |  UNION ALL SELECT 4, 'train_clean', COUNT(*),
+         |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM f WHERE pq AND kept AND clean
+         |) ORDER BY stage_idx""".stripMargin
     },
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,4 +153,57 @@ object Curation {
     * mirrored literally in the oracle VALUES list. */
   val domainWeights: Vector[(String, Long)] =
     (0 until 20).map(i => (s"src$i", (i % 4 + 1).toLong)).toVector
+
+  /** Curation funnel (q59): the end-to-end corpus attrition report —
+    * docs/tokens surviving each pipeline stage, cumulatively:
+    * 1 `all`, 2 `quality` (≥10 tokens and ≥50% alphabetic), 3 `dedup`
+    * (near-dup cluster roots only, q48/q49's shared clustering),
+    * 4 `train_clean` (train split, not 13-gram-contaminated vs the test
+    * split). One row per stage — the one-glance summary a pipeline
+    * operator tracks release over release.
+    *
+    * Scale design: each doc is tagged with boolean stage flags in ONE
+    * corpus pass (the dup and contamination sets join in without hints —
+    * AQE broadcasts them while they're small, shuffles when they're not),
+    * then a single 8-aggregate reduce + `stack` unpivots into 4 rows. No
+    * per-stage rescans. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (PortableHash.h60(col("text")) % 100).as("bucket"),
+        Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("bucket"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("double") / length(col("text")).cast("double"), 6)
+          .as("alpha_ratio"))
+    val dups = Dedup.sharedClusters(s, dir)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val contam = decontaminate(s, dir)
+      .select(col("doc_id"), lit(true).as("is_contam"))
+    val flags = docs
+      .join(dups, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("n_tokens"),
+        (col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5).as("pq"),
+        (coalesce(col("is_dup"), lit(false)) === false).as("kept"),
+        (col("bucket") < 80 &&
+          coalesce(col("is_contam"), lit(false)) === false).as("clean"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    def tok(p: Column) = sum(when(p, col("n_tokens")).otherwise(0L))
+    flags.agg(
+        cnt(lit(true)).as("c1"), tok(lit(true)).as("t1"),
+        cnt(col("pq")).as("c2"), tok(col("pq")).as("t2"),
+        cnt(col("pq") && col("kept")).as("c3"),
+        tok(col("pq") && col("kept")).as("t3"),
+        cnt(col("pq") && col("kept") && col("clean")).as("c4"),
+        tok(col("pq") && col("kept") && col("clean")).as("t4"))
+      .selectExpr("""stack(4,
+        1, 'all', c1, t1,
+        2, 'quality', c2, t2,
+        3, 'dedup', c3, t3,
+        4, 'train_clean', c4, t4) AS (stage_idx, stage, n_docs, n_tokens)""")
+      .orderBy(col("stage_idx"))
+  }
 }

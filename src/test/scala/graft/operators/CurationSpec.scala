@@ -98,6 +98,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q59: funnel stages are monotone and consistent with their source operators") {
+    val rows = Curation.curationFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(1, 2, 3, 4))
+    // cumulative attrition: docs and tokens never increase down the funnel
+    (1 to 3).foreach { i =>
+      assert(rows(i)._2 >= rows(i + 1)._2, s"stage $i -> ${i + 1} docs")
+      assert(rows(i)._3 >= rows(i + 1)._3, s"stage $i -> ${i + 1} tokens")
+    }
+    assert(rows(1)._2 === graft.Tables.load(spark, sf, "documents").count())
+    // stage 3's attrition equals the shared clustering's non-root count
+    // restricted to quality survivors — spot-check the join wiring by
+    // recomputing stage 3 from the component operators
+    val dropped = Dedup.sharedClusters(spark, sf)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val quality = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("nt"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("double") / length(col("text")).cast("double"), 6).as("ar"))
+      .filter(col("nt") >= 10 && col("ar") >= 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows(3)._2 === (quality -- dropped).size.toLong)
+  }
+
   test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
     Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
       .foreach { df =>
