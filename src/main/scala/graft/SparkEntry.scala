@@ -86,6 +86,7 @@ object SparkEntry {
     "q57_stratified"      -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
     "q58_domain_mix"      -> ((s, d) => graft.operators.Curation.domainMix(s, d)),
     "q59_funnel"          -> ((s, d) => graft.operators.Curation.curationFunnel(s, d)),
+    "q60_len_quantiles"   -> ((s, d) => graft.operators.Curation.lenQuantiles(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -892,6 +893,26 @@ object SparkEntry {
          |  UNION ALL SELECT 4, 'train_clean', COUNT(*),
          |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM f WHERE pq AND kept AND clean
          |) ORDER BY stage_idx""".stripMargin
+    },
+    // q60: the oracle re-derives the SAME deterministic bottom-k-by-hash
+    // sample (rank by h60 of the value's string form) and the same integer
+    // index-quantiles — bit-exact, unlike approx_percentile internals
+    "q60_len_quantiles" -> {
+      import graft.functions.PortableHash
+      val k = 64
+      s"""WITH dv AS (SELECT DISTINCT lang, n_chars AS v FROM documents),
+         |hh AS (SELECT lang, v, ${PortableHash.h60Sql("CAST(v AS VARCHAR)")} AS h FROM dv),
+         |o AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, v) AS hrk FROM hh),
+         |sm AS (SELECT lang, v FROM o WHERE hrk <= $k),
+         |r AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS vrk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS m FROM sm)
+         |SELECT lang,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 50) // 100 THEN v END) AS p50,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 90) // 100 THEN v END) AS p90,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 99) // 100 THEN v END) AS p99
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
   )
 }

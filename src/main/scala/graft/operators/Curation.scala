@@ -154,6 +154,25 @@ object Curation {
   val domainWeights: Vector[(String, Long)] =
     (0 until 20).map(i => (s"src$i", (i % 4 + 1).toLong)).toVector
 
+  /** Per-language document-length quantiles via the bounded-state
+    * [[graft.functions.KmvQuantile]] sketch (q60): p50/p90/p99 of the
+    * distinct n_chars domain from a deterministic bottom-k-by-hash sample.
+    * The exact-percentile twin is q34; this is the O(k)-state form whose
+    * shuffle carries ≤ k (hash, value) pairs per (group, partition) — and
+    * unlike approx_percentile it is bit-verifiable by the oracle. */
+  def lenQuantiles(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val agg = graft.functions.KmvQuantile.columnAgg(k)
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        PortableHash.h60(col("n_chars").cast("string")).as("h"),
+        col("n_chars").as("v"))
+      .groupBy(col("lang"))
+      .agg(agg(col("h"), col("v")).as("q"))
+      .select(col("lang"), col("q._1").as("p50"),
+        col("q._2").as("p90"), col("q._3").as("p99"))
+      .orderBy(col("lang"))
+  }
+
   /** Curation funnel (q59): the end-to-end corpus attrition report —
     * docs/tokens surviving each pipeline stage, cumulatively:
     * 1 `all`, 2 `quality` (≥10 tokens and ≥50% alphabetic), 3 `dedup`
