@@ -87,6 +87,7 @@ object SparkEntry {
     "q58_domain_mix"      -> ((s, d) => graft.operators.Curation.domainMix(s, d)),
     "q59_funnel"          -> ((s, d) => graft.operators.Curation.curationFunnel(s, d)),
     "q60_len_quantiles"   -> ((s, d) => graft.operators.Curation.lenQuantiles(s, d)),
+    "q61_asof_click"      -> ((s, d) => graft.operators.AsOf.asOfClick(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -914,5 +915,17 @@ object SparkEntry {
          |  MAX(CASE WHEN vrk = ((m - 1) * 99) // 100 THEN v END) AS p99
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // q61: DuckDB's native ASOF JOIN is the oracle for the union-sort
+    // as-of construction; the right side is pre-reduced to one row per
+    // (user, ts) so the winner is data-determined in both engines
+    // µs domain on both sides: DuckDB scans the NANOS parquet at µs, the
+    // engine divides its nano longs by 1000 — same resolution, same joins
+    "q61_asof_click" ->
+      """WITH c AS (SELECT user_id, ts, MAX(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(c.ts) AS click_ts_us, c.click_value
+        |FROM events e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
   )
 }
