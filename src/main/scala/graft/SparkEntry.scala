@@ -88,6 +88,7 @@ object SparkEntry {
     "q59_funnel"          -> ((s, d) => graft.operators.Curation.curationFunnel(s, d)),
     "q60_len_quantiles"   -> ((s, d) => graft.operators.Curation.lenQuantiles(s, d)),
     "q61_asof_click"      -> ((s, d) => graft.operators.AsOf.asOfClick(s, d)),
+    "q62_curated_packed"  -> ((s, d) => graft.apps.Apps.curatedCorpusApp(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -136,6 +137,39 @@ object SparkEntry {
        |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
        |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** CTEs through `f` (per-doc curation flags: pq/kept/clean), building on
+    * [[minhashPairCtes]] — mirrors Curation.curationFlags. Shared by the
+    * q59 funnel and the q62 curated packed corpus. */
+  private def curationFlagCtes: String = {
+    import graft.functions.PortableHash
+    s"""$minhashPairCtes,
+       |jp AS (SELECT id_a, id_b FROM shr
+       |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+       |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+       |reach AS (
+       |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+       |  UNION
+       |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+       |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id),
+       |meta AS (SELECT doc_id, ${PortableHash.h60Sql("text")} % 100 AS bucket,
+       |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
+       |      CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+       |  FROM documents),
+       |shc AS (SELECT DISTINCT sg.doc_id, m.bucket,
+       |    ${PortableHash.h60Sql("shingle")} AS gh FROM (
+       |  SELECT doc_id, unnest([list_aggregate(t[i:i+12], 'string_agg', ' ')
+       |    for i in generate_series(1, len(t) - 12)]) AS shingle
+       |  FROM toks WHERE len(t) >= 13) sg JOIN meta m ON m.doc_id = sg.doc_id),
+       |tg AS (SELECT DISTINCT gh FROM shc WHERE bucket >= 90),
+       |con AS (SELECT DISTINCT s.doc_id FROM shc s JOIN tg USING (gh) WHERE s.bucket < 90),
+       |f AS (SELECT tk.doc_id, m.bucket, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |    (len(tk.t) >= 10 AND m.alpha_ratio >= 0.5) AS pq,
+       |    tk.doc_id NOT IN (SELECT id FROM drp) AS kept,
+       |    (m.bucket < 80 AND tk.doc_id NOT IN (SELECT doc_id FROM con)) AS clean
+       |  FROM toks tk JOIN meta m ON m.doc_id = tk.doc_id)""".stripMargin
   }
 
   /** CTEs computing the 60-bit portable simhash per doc (mirrors
@@ -857,33 +891,7 @@ object SparkEntry {
     // CTEs as q48/q49, contamination from the SAME 13-gram CTE shape as
     // q56, quality/split thresholds mirrored literally
     "q59_funnel" -> {
-      import graft.functions.PortableHash
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |jp AS (SELECT id_a, id_b FROM shr
-         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
-         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
-         |reach AS (
-         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
-         |  UNION
-         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
-         |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id),
-         |meta AS (SELECT doc_id, ${PortableHash.h60Sql("text")} % 100 AS bucket,
-         |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) /
-         |      CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
-         |  FROM documents),
-         |shc AS (SELECT DISTINCT sg.doc_id, m.bucket,
-         |    ${PortableHash.h60Sql("shingle")} AS gh FROM (
-         |  SELECT doc_id, unnest([list_aggregate(t[i:i+12], 'string_agg', ' ')
-         |    for i in generate_series(1, len(t) - 12)]) AS shingle
-         |  FROM toks WHERE len(t) >= 13) sg JOIN meta m ON m.doc_id = sg.doc_id),
-         |tg AS (SELECT DISTINCT gh FROM shc WHERE bucket >= 90),
-         |con AS (SELECT DISTINCT s.doc_id FROM shc s JOIN tg USING (gh) WHERE s.bucket < 90),
-         |f AS (SELECT tk.doc_id, m.bucket, CAST(len(tk.t) AS BIGINT) AS n_tokens,
-         |    (len(tk.t) >= 10 AND m.alpha_ratio >= 0.5) AS pq,
-         |    tk.doc_id NOT IN (SELECT id FROM drp) AS kept,
-         |    (m.bucket < 80 AND tk.doc_id NOT IN (SELECT doc_id FROM con)) AS clean
-         |  FROM toks tk JOIN meta m ON m.doc_id = tk.doc_id)
+      s"""WITH RECURSIVE $curationFlagCtes
          |SELECT * FROM (
          |  SELECT 1 AS stage_idx, 'all' AS stage, COUNT(*) AS n_docs,
          |    COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM f
@@ -927,5 +935,24 @@ object SparkEntry {
         |  epoch_us(c.ts) AS click_ts_us, c.click_value
         |FROM events e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY event_id""".stripMargin,
+    // q62: q59's survivor set fed into q53's packing chain — the fully
+    // curated corpus layout, replayed end-to-end by the oracle
+    "q62_curated_packed" -> {
+      val budget = 2048; val shard = graft.operators.Corpus.PackShardDocs
+      val binsPerShard = graft.operators.Corpus.PackBinsPerShard
+      s"""WITH RECURSIVE $curationFlagCtes,
+         |surv AS (SELECT doc_id FROM f WHERE pq AND kept AND clean),
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    doc_id // $shard AS shard FROM toks
+         |  WHERE doc_id IN (SELECT doc_id FROM surv)),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+         |  FROM n)
+         |SELECT doc_id, n_tokens,
+         |  shard * ${binsPerShard}::BIGINT + cum_before // $budget AS bin,
+         |  cum_before % $budget AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -310,4 +310,20 @@ object Apps {
     val chunks = Corpus.chunkSpansDf(cleaned, chunkSize, chunkOverlap)
     (kept, packed, chunks)
   }
+
+  /** The FULL curation composition (q62): quality filter → near-dup
+    * removal → train-split decontamination → sequence packing. Same
+    * layout-over-survivors rule as [[trainingCorpusApp]] — the packing is
+    * computed on the curated doc set, never filtered after the fact — but
+    * the survivor set is the funnel's stage 4 (q59), not just dedup. */
+  def curatedCorpusApp(spark: SparkSession, dir: String,
+                       budget: Int = 2048): DataFrame = {
+    import graft.operators.{Corpus, Curation}
+    val survivors = Curation.curationFlags(spark, dir)
+      .filter(col("pq") && col("kept") && col("clean"))
+      .select(col("doc_id"))
+    val curated = graft.Tables.load(spark, dir, "documents")
+      .join(survivors, Seq("doc_id"), "left_semi")
+    Corpus.packAssignDf(curated, budget)
+  }
 }

@@ -186,7 +186,10 @@ object Curation {
     * AQE broadcasts them while they're small, shuffles when they're not),
     * then a single 8-aggregate reduce + `stack` unpivots into 4 rows. No
     * per-stage rescans. */
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc stage flags shared by the funnel (q59) and the curated packed
+    * corpus (q62): `pq` quality, `kept` dedup survivor, `clean` train-split
+    * and uncontaminated. One corpus pass plus two small joins. */
+  def curationFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         (PortableHash.h60(col("text")) % 100).as("bucket"),
@@ -201,14 +204,18 @@ object Curation {
       .select(col("doc_id"), lit(true).as("is_dup"))
     val contam = decontaminate(s, dir)
       .select(col("doc_id"), lit(true).as("is_contam"))
-    val flags = docs
+    docs
       .join(dups, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
-      .select(col("n_tokens"),
+      .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5).as("pq"),
         (coalesce(col("is_dup"), lit(false)) === false).as("kept"),
         (col("bucket") < 80 &&
           coalesce(col("is_contam"), lit(false)) === false).as("clean"))
+  }
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flags = curationFlags(s, dir)
     def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
     def tok(p: Column) = sum(when(p, col("n_tokens")).otherwise(0L))
     flags.agg(

@@ -124,6 +124,26 @@ class CurationSpec extends SparkSpec {
     assert(rows(3)._2 === (quality -- dropped).size.toLong)
   }
 
+  test("q62: packed curated corpus covers exactly the funnel's stage-4 docs, hole-free") {
+    val packed = graft.apps.Apps.curatedCorpusApp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stage4 = Curation.curationFunnel(spark, sf).collect()
+      .find(_.getInt(0) == 4).get
+    assert(packed.length.toLong === stage4.getLong(2))
+    assert(packed.map(_._2).sum === stage4.getLong(3))
+    // layout is computed over survivors: within each shard, offsets are the
+    // contiguous running sum of survivor token counts (no dup/contam holes)
+    packed.groupBy { case (id, _, _, _) =>
+      id / graft.operators.Corpus.PackShardDocs
+    }.foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, n, bin, off) =>
+        assert(off === cum % 2048, s"hole before doc at bin $bin")
+        cum += n
+      }
+    }
+  }
+
   test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
     Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
       .foreach { df =>
