@@ -42,11 +42,19 @@ object Text {
     array_distinct(shinglesPositional(toks, n))
 
   /** Positional (non-distinct, document-order) n-token shingles — the form
-    * rolling-hash winnowing needs, where position matters. */
+    * rolling-hash winnowing needs, where position matters.
+    *
+    * Two equivalent forms, picked by n (A/B-measured at sf0.1): per-token
+    * `element_at` wins for small n (n=3: 1.3 s vs 1.6 s over the corpus),
+    * a single `slice` per position wins once n is large enough that n
+    * interpreted element_at calls cost more than one array allocation
+    * (n=13: 2.3 s vs 3.0 s). Both produce the identical space-joined
+    * string, verified by exceptAll in TextSpec. */
   def shinglesPositional(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        if (n >= 8) concat_ws(" ", slice(toks, i, lit(n)))
+        else concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
 
   /** MinHash signature: each shingle string is hashed ONCE (xxhash64); the
     * k "independent" hash functions re-hash that base long together with

@@ -37,4 +37,26 @@ class TextSpec extends SparkSpec {
     assert(m("x") === m("y"))
     assert(m("x") !== m("z"))
   }
+
+  test("slice-form and element_at-form shingles are identical (both n regimes)") {
+    import graft.functions.Text
+    val base = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // n=13 takes the slice branch, n=3 the element_at branch; cross-check
+    // each against a reference built with the OTHER construction
+    def ref(n: Int) = base.select(col("doc_id"),
+      when(size(col("toks")) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*)))
+        .as("s"))
+    def refSlice(n: Int) = base.select(col("doc_id"),
+      when(size(col("toks")) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+          concat_ws(" ", slice(col("toks"), i, lit(n))))).as("s"))
+    for (n <- Seq(3, 13)) {
+      val got = base.select(col("doc_id"), Text.shinglesPositional(col("toks"), n).as("s"))
+      assert(got.exceptAll(ref(n)).isEmpty && ref(n).exceptAll(got).isEmpty, s"n=$n vs element_at")
+      assert(got.exceptAll(refSlice(n)).isEmpty && refSlice(n).exceptAll(got).isEmpty, s"n=$n vs slice")
+    }
+  }
 }
