@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     assert(kmvPlan.contains("ReadSchema: struct<user_id:bigint,ts:bigint>")
         || kmvPlan.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
       s"q51 scan not pruned to (user_id, ts):\n$kmvPlan")
+    // q60's quantile sketch needs only (lang, n_chars)
+    val lqPlan = planOf(Curation.lenQuantiles(spark, sf))
+    assert(lqPlan.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"q60 scan not pruned to (lang, n_chars):\n$lqPlan")
+    // q61's as-of never reads props (the widest events column)
+    val aoPlan = planOf(AsOf.asOfClick(spark, sf))
+    assert(!aoPlan.contains("props"),
+      s"q61 scan reads the untouched props column:\n$aoPlan")
   }
 
   test("plan audit: no unplanned cartesian product in any declared query") {
