@@ -89,6 +89,7 @@ object SparkEntry {
     "q60_len_quantiles"   -> ((s, d) => graft.operators.Curation.lenQuantiles(s, d)),
     "q61_asof_click"      -> ((s, d) => graft.operators.AsOf.asOfClick(s, d)),
     "q62_curated_packed"  -> ((s, d) => graft.apps.Apps.curatedCorpusApp(s, d)),
+    "q63_salted_join"     -> ((s, d) => graft.operators.Skew.saltedPartRevenue(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -954,5 +955,12 @@ object SparkEntry {
          |  cum_before % $budget AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    // q63: plain join + group-by — hash-proves the salted join is
+    // semantics-neutral (the q50 argument, applied to the join)
+    "q63_salted_join" ->
+      """SELECT p_type, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation helpers for the 100 TB posture.
@@ -70,5 +70,27 @@ object Skew {
         saltedFact(factKey) === replicatedDim(dimKey) &&
         saltedFact("_salt") === replicatedDim("_salt"))
       .drop("_salt")
+  }
+
+  /** q63: lineitem⋈part through the salted join, aggregated per p_type —
+    * the oracle is the PLAIN join + group-by, so the gate hash-proves the
+    * salting is semantics-neutral end-to-end (the q50 argument, applied to
+    * the join operator). Salting spreads one hot fact key over `salts`
+    * reducers; the dim side replicates `salts`× (dims are the small side
+    * by definition — same asymmetry a broadcast join exploits, kept
+    * shuffle-form here for dims too big to broadcast but small enough to
+    * replicate). */
+  def saltedPartRevenue(s: SparkSession, dir: String,
+                        salts: Int = 8): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val p = graft.Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    saltedJoin(li, p, "l_partkey", "p_partkey", salts)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy(col("p_type"))
   }
 }
