@@ -90,6 +90,7 @@ object SparkEntry {
     "q61_asof_click"      -> ((s, d) => graft.operators.AsOf.asOfClick(s, d)),
     "q62_curated_packed"  -> ((s, d) => graft.apps.Apps.curatedCorpusApp(s, d)),
     "q63_salted_join"     -> ((s, d) => graft.operators.Skew.saltedPartRevenue(s, d)),
+    "q64_bm25_retrieval"  -> ((s, d) => TextQueries.bm25Retrieval(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -962,5 +963,37 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // q64: the query-terms VALUES table mirrors
+    // TextQueries.RetrievalQueries verbatim; per-(query, doc) totals sum
+    // DECIMAL(18,6) so the rounded double is order-independent in both
+    // engines
+    "q64_bm25_retrieval" -> {
+      val qtRows = graft.operators.TextQueries.RetrievalQueries
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+      s"""WITH $toksCte,
+         |tt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+         |  FROM tt GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+         |  FROM toks),
+         |sc AS (SELECT doc_id, term, round(
+         |    (tf * (1.2 + 1.0) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_len))) *
+         |    ((n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+         |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+         |qt(query_id, term) AS (VALUES $qtRows),
+         |hits AS (SELECT query_id, doc_id,
+         |    round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+         |    CAST(COUNT(*) AS BIGINT) AS terms_hit
+         |  FROM sc JOIN qt USING (term) GROUP BY 1, 2)
+         |SELECT query_id, rk, doc_id, score, terms_hit FROM (
+         |  SELECT query_id, doc_id, score, terms_hit,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM hits)
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
   )
 }

@@ -108,13 +108,19 @@ object RefQueries {
   /** J3/J4/P6 analogue (6-way dim enrichment, OrderWideApp.java:155-281):
     * the full star — fact lineitem joined to orders, customer, nation,
     * supplier, part; every true dimension broadcast. */
-  def starWide(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val o  = Tables.load(s, dir, "orders")
-    val c  = Tables.load(s, dir, "customer")
-    val n  = Tables.load(s, dir, "nation")
-    val su = Tables.load(s, dir, "supplier")
-    val p  = Tables.load(s, dir, "part")
+  def starWide(s: SparkSession, dir: String): DataFrame =
+    starWideFrom(Tables.load(s, dir, _))
+
+  /** [[starWide]] over a pluggable table loader — Bench swaps in bucketed
+    * catalog tables for lineitem/orders to record the co-location win as a
+    * number next to the flat-parquet run (VERDICT r4 #6). */
+  def starWideFrom(load: String => DataFrame): DataFrame = {
+    val li = load("lineitem")
+    val o  = load("orders")
+    val c  = load("customer")
+    val n  = load("nation")
+    val su = load("supplier")
+    val p  = load("part")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -525,12 +531,17 @@ object RefQueries {
     * plays the user dim (mktsegment ~ gender), nation the province dim,
     * part the sku dim — a 5-table enrichment star grouped to a compact
     * verifiable aggregate. */
-  def orderWideEnriched(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val o  = Tables.load(s, dir, "orders")
-    val c  = Tables.load(s, dir, "customer")
-    val n  = Tables.load(s, dir, "nation")
-    val p  = Tables.load(s, dir, "part")
+  def orderWideEnriched(s: SparkSession, dir: String): DataFrame =
+    orderWideEnrichedFrom(Tables.load(s, dir, _))
+
+  /** [[orderWideEnriched]] over a pluggable table loader (see
+    * [[starWideFrom]]). */
+  def orderWideEnrichedFrom(load: String => DataFrame): DataFrame = {
+    val li = load("lineitem")
+    val o  = load("orders")
+    val c  = load("customer")
+    val n  = load("nation")
+    val p  = load("part")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))

@@ -169,9 +169,12 @@ object TextQueries {
   def bm25TopTerms(s: SparkSession, dir: String, topK: Int = 5): DataFrame =
     bm25TopTermsDf(Tables.load(s, dir, "documents"), topK)
 
-  /** Core of [[bm25TopTerms]] over any (doc_id, text) frame. */
-  def bm25TopTermsDf(docsRaw: DataFrame, topK: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-(doc, term) BM25 scores (k1=1.2, b=0.75), rounded to 6 decimals so
+    * they are bit-identical across engines — the shared scoring core of
+    * [[bm25TopTermsDf]] (per-doc top terms) and [[bm25Retrieval]] (per-query
+    * top docs). Shuffle shape: one (doc_id, term) aggregation for tf, one
+    * term aggregation for df, corpus stats broadcast. */
+  def bm25Scores(docsRaw: DataFrame): DataFrame = {
     val k1 = 1.2; val b = 0.75
     val docs = docsRaw.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val t = docs.select(col("doc_id"), size(col("toks")).as("dl"),
@@ -188,13 +191,55 @@ object TextQueries {
         (col("tf") + lit(k1) *
           (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avg_len")))) *
       ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(dft, "term").crossJoin(broadcast(st))
       .withColumn("score", round(score, 6))
+      .select(col("doc_id"), col("term"), col("score"))
+  }
+
+  /** Core of [[bm25TopTerms]] over any (doc_id, text) frame. */
+  def bm25TopTermsDf(docsRaw: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    bm25Scores(docsRaw)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("doc_id"), col("term"), col("score"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** The retrieval queries for [[bm25Retrieval]] — literal (query_id, term)
+    * pairs, mirrored verbatim in the q64 oracle's VALUES table. */
+  val RetrievalQueries: Seq[(Long, String)] = Seq(
+    (1L, "hash"), (1L, "join"), (1L, "merge"),
+    (2L, "window"), (2L, "batch"), (2L, "stream"),
+    (3L, "vector"), (3L, "scan"), (3L, "filter"))
+
+  /** BM25 top-k document RETRIEVAL — the RAG-shaped complement of
+    * [[bm25TopTerms]]: multi-term keyword queries ranked against the whole
+    * corpus, top `topK` documents per query.
+    *
+    * Scale design: the query-terms table is metadata-sized and broadcast,
+    * so scoring is a map-side semi-join over the per-(doc, term) score
+    * frame — the corpus never shuffles for the match. Per-(query, doc)
+    * totals sum DECIMAL(18,6) (order-independent, so the 6-decimal rounded
+    * total is bit-identical to the oracle's), and the per-query top-k runs
+    * through row_number + filter — Spark plans a WindowGroupLimit, pruning
+    * to k rows per partition map-side before the final sort. */
+  def bm25Retrieval(s: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qt = RetrievalQueries.toDF("query_id", "term")
+    val hits = bm25Scores(Tables.load(s, dir, "documents"))
+      .join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        round(sum(col("score").cast("decimal(18,6)")).cast("double"), 6).as("score"),
+        count(lit(1)).as("terms_hit"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    hits.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"), col("terms_hit"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Document fingerprint: md5 over the normalized token stream (the

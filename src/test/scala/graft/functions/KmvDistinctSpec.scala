@@ -83,6 +83,55 @@ class KmvDistinctSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV distinct inside a watermark-emitted tumbling window (A4 twin)") {
+    // the deployment shape for the bounded-state distinct count: a 10 s
+    // event-time tumble in append mode — each window's sketch is sealed
+    // and emitted when the watermark passes its end, exactly like the A4
+    // province-stats tumble (VERDICT r4 ask #7). Window contents are
+    // deliberately split across micro-batches so the sketch state must
+    // merge across triggers before the window closes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val kmv = KmvDistinct.columnAgg(64)
+    // window [0,10s): 120 events over 80 users (> k: estimated);
+    // window [10s,20s): 90 events over 30 users (< k: exact)
+    val w1 = (1 to 120).map(i => (1000L + i, s"u${i % 80}"))
+    val w2 = (1 to 90).map(i => (10500L + i, s"v${i % 30}"))
+    val sentinel = Seq((60000L, "zz")) // advances the watermark past both
+    def shaped(df: org.apache.spark.sql.DataFrame, streaming: Boolean) =
+      graft.streaming.WindowedStats.tumble(
+        df.toDF("ms", "user")
+          .select(timestamp_millis(col("ms")).as("ts"),
+            substring(col("user"), 1, 1).as("grp"),
+            PortableHash.h60(col("user")).as("h")),
+        "ts", Seq("grp"), Seq(kmv(col("h")).as("uv_est")),
+        streaming = streaming)
+    val in = MemoryStream[(Long, String)]
+    val q = shaped(in.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("kmv_tumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // each window arrives half per trigger
+      in.addData(w1.take(60) ++ w2.take(45): _*)
+      q.processAllAvailable()
+      in.addData(w1.drop(60) ++ w2.drop(45) ++ sentinel: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("grp"), r.getAs[String]("stt")) -> r.getAs[Long]("uv_est")
+      val streamed = s.table("kmv_tumble").collect().map(key).toMap
+      val batch = shaped((w1 ++ w2).toDF(), streaming = false)
+        .collect().map(key).toMap
+      // both sealed windows emitted, sketch merged across triggers, and
+      // the streamed estimates are bit-identical to the batch sketch
+      assert(streamed === batch)
+      assert(streamed.size === 2)
+      assert(streamed(("v", "1970-01-01 00:00:10")) === 30L) // < k: exact
+    } finally q.stop()
+  }
+
   test("q51 tracks the exact per-day UV within KMV tolerance") {
     val approx = graft.operators.RefQueries.uvPerDayApprox(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
       s"q61 scan reads the untouched props column:\n$aoPlan")
   }
 
+  test("q64 retrieval broadcasts the query terms and group-limits the top-k") {
+    val plan = planOf(TextQueries.bm25Retrieval(spark, sf))
+    // the corpus-side score frame must never shuffle to meet the
+    // metadata-sized query table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-terms join not broadcast:\n$plan")
+    // row_number + rk<=k filter should plan the map-side group-limit prune
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not group-limited:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
