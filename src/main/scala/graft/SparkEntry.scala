@@ -91,6 +91,7 @@ object SparkEntry {
     "q62_curated_packed"  -> ((s, d) => graft.apps.Apps.curatedCorpusApp(s, d)),
     "q63_salted_join"     -> ((s, d) => graft.operators.Skew.saltedPartRevenue(s, d)),
     "q64_bm25_retrieval"  -> ((s, d) => TextQueries.bm25Retrieval(s, d)),
+    "q65_ann_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -995,5 +996,32 @@ object SparkEntry {
          |  FROM hits)
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
     },
+    // q65: identical per-vector int8 quantization (max-abs scale, round
+    // half away from zero — the shared convention of both engines'
+    // double round) and exact integer dot/norm arithmetic; the only
+    // floating-point steps are the final divide and the 6-decimal round
+    "q65_ann_quantized" ->
+      """WITH eq AS (SELECT vec_id,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS m,
+        |    CASE WHEN list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) = 0
+        |      THEN [CAST(0 AS INT) for x in embedding]
+        |      ELSE [CAST(round(CAST(x AS DOUBLE) / list_max([abs(CAST(y AS DOUBLE)) for y in embedding]) * 127) AS INT) for x in embedding]
+        |    END AS q
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, q,
+        |    CAST(list_sum([CAST(x AS BIGINT) * CAST(x AS BIGINT) for x in q]) AS BIGINT) AS n2
+        |  FROM eq),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM en WHERE vec_id < 5),
+        |s AS (SELECT qid, e.vec_id AS nid, round(
+        |    CASE WHEN qn2 = 0 OR e.n2 = 0 THEN -2.0
+        |      ELSE CAST(CAST(list_sum([CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)
+        |          for z in list_zip(qq, e.q)]) AS BIGINT) AS DOUBLE) /
+        |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+        |    END, 6) AS qsim
+        |  FROM en e, qs WHERE e.vec_id <> qid)
+        |SELECT qid, nid, qsim FROM (
+        |  SELECT qid, nid, qsim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
   )
 }

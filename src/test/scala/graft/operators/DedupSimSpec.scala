@@ -192,6 +192,28 @@ class DedupSimSpec extends SparkSpec {
       s"Lloyd refinement lost recall: $recall < seed-centroid $seedRecall")
   }
 
+  test("scalar-quantized ANN: high recall vs exact, scores within quantization error") {
+    val k = 10
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(spark, sf, nQueries = 3, k = k).collect()
+    // int8 max-abs quantization at dim=64 perturbs cosine by well under
+    // 0.05 — the quantized score must track the exact score pairwise
+    val exactAll = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    quant.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactAll.get(key).foreach { s2 =>
+        assert(math.abs(s2 - r.getDouble(2)) < 0.05,
+          s"quantized score drifted: $key exact=$s2 quant=${r.getDouble(2)}")
+      }
+    }
+    // and the compressed-domain top-k keeps most of the true neighbors
+    val qset = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (qset intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"quantized recall too low: $recall")
+  }
+
   test("banded multi-table LSH ANN: same scores as brute force, amplified recall") {
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
