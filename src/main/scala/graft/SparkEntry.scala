@@ -92,6 +92,8 @@ object SparkEntry {
     "q63_salted_join"     -> ((s, d) => graft.operators.Skew.saltedPartRevenue(s, d)),
     "q64_bm25_retrieval"  -> ((s, d) => TextQueries.bm25Retrieval(s, d)),
     "q65_ann_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "q66_bigram_lift"     -> ((s, d) => TextQueries.bigramLift(s, d)),
+    "q67_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1023,5 +1025,46 @@ object SparkEntry {
         |  SELECT qid, nid, qsim,
         |    row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin,
+    // q66: lift = p(ab)/(p(a)p(b)) — exp-PMI kept in exactly-rounded
+    // mul/div (ln() can drift an ulp between libm implementations);
+    // parallel unnest zips the two token slices into adjacent pairs
+    "q66_bigram_lift" ->
+      s"""WITH $toksCte,
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY 1),
+         |t1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t1 FROM uni),
+         |bgr AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |t2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t2 FROM bgr),
+         |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM bgr GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT w1, w2, n_ab, round((CAST(n_ab AS DOUBLE) / t2) /
+         |    ((CAST(a.n_w AS DOUBLE) / t1) * (CAST(b.n_w AS DOUBLE) / t1)), 6) AS lift
+         |FROM bg JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2
+         |CROSS JOIN t1 CROSS JOIN t2
+         |ORDER BY w1, w2""".stripMargin,
+    // q67: reference = even doc_ids, incoming = odd; near-dup pairs come
+    // from the SAME banded-minhash basis as q17/q48 (minhashPairCtes),
+    // filtered to cross-parity; exact = q25's token-stream fingerprint
+    "q67_incremental_dedup" ->
+      s"""WITH $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |x AS (SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id,
+         |    CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS ref_id
+         |  FROM jp WHERE (id_a % 2) <> (id_b % 2)),
+         |nr AS (SELECT doc_id, MIN(ref_id) AS dup_of FROM x GROUP BY 1),
+         |fp AS (SELECT doc_id,
+         |    md5(array_to_string([t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0], ' ')) AS f
+         |  FROM documents),
+         |ex AS (SELECT i.doc_id, MIN(r.doc_id) AS dup_of
+         |  FROM fp i JOIN fp r ON i.f = r.f AND r.doc_id % 2 = 0
+         |  WHERE i.doc_id % 2 = 1 GROUP BY 1)
+         |SELECT doc_id, dup_of, 'exact' AS reason FROM ex
+         |UNION ALL
+         |SELECT doc_id, dup_of, 'near' AS reason FROM nr
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -242,6 +242,45 @@ object TextQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Bigram lift for phrase mining: for every adjacent token pair seen at
+    * least `minCount` times, lift = p(ab) / (p(a)·p(b)) — the exponential
+    * of PMI, same ranking, but pure mul/div arithmetic (IEEE
+    * exactly-rounded in both engines) where ln() could drift an ulp
+    * between libm implementations and flip the 6-decimal round.
+    *
+    * Scale shape: bigrams explode from the token arrays (zip of two
+    * slices — no self-join), one (w1, w2) count aggregation with map-side
+    * combine, and the unigram table is vocabulary-sized so both
+    * denominator joins broadcast. The corpus shuffles counts, never
+    * token text beyond the bigram keys themselves. */
+  def bigramLift(s: SparkSession, dir: String, minCount: Int = 5): DataFrame =
+    bigramLiftDf(Tables.load(s, dir, "documents"), minCount)
+
+  /** Core of [[bigramLift]] over any frame with a text column. */
+  def bigramLiftDf(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(Text.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val t1 = uni.agg(count(lit(1)).cast("double").as("t1"))
+    val t2 = bigrams.agg(count(lit(1)).cast("double").as("t2"))
+    bg.join(broadcast(uc.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
+      .join(broadcast(uc.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("t2")) /
+          ((col("n_a").cast("double") / col("t1")) *
+            (col("n_b").cast("double") / col("t1"))), 6).as("lift"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** Document fingerprint: md5 over the normalized token stream (the
     * oracle-checkable twin of the rolling-hash fingerprint; dedupable by
     * equality). */

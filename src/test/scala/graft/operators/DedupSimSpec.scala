@@ -192,6 +192,30 @@ class DedupSimSpec extends SparkSpec {
       s"Lloyd refinement lost recall: $recall < seed-centroid $seedRecall")
   }
 
+  test("incremental dedup: incoming flagged against reference only, verified pairs real") {
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    // every flagged doc is incoming (odd), every dup_of is reference (even)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, s"reference doc flagged: ${r.getLong(0)}")
+      assert(r.getLong(1) % 2 == 0, s"dup_of not a reference doc: ${r.getLong(1)}")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length, "doc flagged twice")
+    // exact rows share the exact token-stream fingerprint
+    val fps = graft.operators.TextQueries.fingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getString(2) == "exact").foreach { r =>
+      assert(fps(r.getLong(0)) === fps(r.getLong(1)),
+        s"exact pair fingerprints differ: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+    // every near row is a true >= 0.3-Jaccard pair (ground-truth subset)
+    val truth = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_.getString(2) == "near").foreach { r =>
+      val (a, b) = (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))
+      assert(truth.contains((a, b)), s"near pair not in exact ground truth: ($a, $b)")
+    }
+  }
+
   test("scalar-quantized ANN: high recall vs exact, scores within quantization error") {
     val k = 10
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = k).collect()

@@ -99,4 +99,29 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_bigram_ratio") === 0.0)
     assert(out(2L).getAs[Double]("top_tok_share") === 0.2)
   }
+
+  test("bigram lift: planted collocation scores above mixed filler pairs") {
+    val s = spark
+    import s.implicits._
+    // 20 filler tokens per doc cycled at per-doc strides so filler
+    // adjacencies mix across the vocabulary (lift near 1), then the
+    // planted collocation "data lake" once per doc (lift ~ 1/p(data))
+    val vocab = Array("red", "blue", "cat", "dog", "sun")
+    val docs = (1 to 40).map { i =>
+      val stride = i % 4 + 1
+      val filler = (0 until 20).map(j => vocab((i + j * stride) % 5))
+      (i.toLong, (filler :+ "data" :+ "lake").mkString(" "))
+    }
+    val out = TextQueries.bigramLiftDf(docs.toDF("doc_id", "text"), minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val colloc = out(("data", "lake"))
+    assert(colloc > 10.0, s"collocation lift too low: $colloc")
+    // mixed filler pairs hover near independence
+    val frees = out.collect {
+      case ((a, b), v) if vocab.contains(a) && vocab.contains(b) => v
+    }
+    assert(frees.nonEmpty)
+    frees.foreach(v => assert(v > 0.3 && v < 3.0, s"filler pair lift off: $v"))
+    assert(colloc > frees.max * 3)
+  }
 }
