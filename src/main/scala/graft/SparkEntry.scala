@@ -94,6 +94,7 @@ object SparkEntry {
     "q65_ann_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q66_bigram_lift"     -> ((s, d) => TextQueries.bigramLift(s, d)),
     "q67_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q68_retention"       -> (RefQueries.retentionCohorts _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1066,5 +1067,17 @@ object SparkEntry {
          |SELECT doc_id, dup_of, 'near' AS reason FROM nr
          |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
          |ORDER BY doc_id""".stripMargin,
+    "q68_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dy FROM events),
+        |fs AS (SELECT user_id, MIN(dy) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fs GROUP BY 1),
+        |r AS (SELECT cohort_day,
+        |    CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(dy AS DATE)) AS BIGINT) AS day_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS active_users
+        |  FROM act JOIN fs USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, active_users,
+        |  round(CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
   )
 }

@@ -145,6 +145,35 @@ object RefQueries {
       .orderBy(col("day"))
   }
 
+  /** Retention cohort matrix over the events stream — the classic growth
+    * analytics query: users grouped by first-active day (the cohort), then
+    * for every (cohort, day-offset) the count of cohort members active
+    * that day and the retention fraction.
+    *
+    * Scale shape: ONE distinct (user_id, day) activity pass (the fact
+    * table never shuffles again after this reduction), first-day per user
+    * from the activity frame (same user_id key — Catalyst reuses the
+    * partitioning for the join back), and because activity rows are
+    * already distinct per (user, day), the per-(cohort, offset) actives
+    * are a plain count — no second COUNT DISTINCT shuffle. Cohort sizes
+    * are days-sized and broadcast for the retention divide. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val activity = events(s, dir)
+      .select(col("user_id"), day(tsSec).as("dy"))
+      .distinct()
+    val firsts = activity.groupBy(col("user_id")).agg(min(col("dy")).as("cohort_day"))
+    val sizes = firsts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    activity.join(firsts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("dy"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset").cast("long").as("day_offset"),
+        col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Approx twin of [[uvPerDay]] (SURVEY §2.8's O(1)-state form): per-day
     * unique visitors via the portable KMV sketch
     * ([[graft.functions.KmvDistinct]]). The exact form shuffles every
