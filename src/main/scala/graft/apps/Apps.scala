@@ -104,7 +104,7 @@ object Apps {
       try {
         enriched.write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide")
         // downstream SQL app consumes the same rows as flat JSON
-        Kafka.toJsonValue(enriched.select(batch.columns.map(batch(_)): _*))
+        Kafka.toJsonValue(enriched.select(batch.columns.map(batch(_)).toIndexedSeq: _*))
           .write.mode("append").parquet(s"${c.warehouseDir}/dwm_order_wide_json")
       } finally { enriched.unpersist(); () }
     }.option("checkpointLocation", s"${c.checkpointRoot}/order_wide").start()

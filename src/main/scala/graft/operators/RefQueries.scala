@@ -150,13 +150,14 @@ object RefQueries {
     * for every (cohort, day-offset) the count of cohort members active
     * that day and the retention fraction.
     *
-    * Scale shape: ONE distinct (user_id, day) activity pass (the fact
-    * table never shuffles again after this reduction), first-day per user
-    * from the activity frame (same user_id key — Catalyst reuses the
-    * partitioning for the join back), and because activity rows are
-    * already distinct per (user, day), the per-(cohort, offset) actives
-    * are a plain count — no second COUNT DISTINCT shuffle. Cohort sizes
-    * are days-sized and broadcast for the retention divide. */
+    * Scale shape: ONE distinct (user_id, day) activity pass reduces the
+    * fact table before anything else — every later shuffle moves the
+    * reduced frame, never raw events. The first-day join broadcasts at
+    * small SF (PLANS.md q68) and degrades to a user_id-keyed shuffle of
+    * the reduced frames at scale; because activity rows are already
+    * distinct per (user, day), the per-(cohort, offset) actives are a
+    * plain count — no second COUNT DISTINCT shuffle. Cohort sizes are
+    * days-sized and broadcast for the retention divide. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val activity = events(s, dir)
       .select(col("user_id"), day(tsSec).as("dy"))

@@ -98,7 +98,14 @@ case class FloatVecLshBucket(child: Expression, bits: Int, dims: Int)
 
 object FloatVecLshBucket {
   /** ±1 hyperplane components — the same MurmurHash3 derivation the
-    * unrolled Column version used, so bucket values are unchanged. */
+    * unrolled Column version used, so bucket values are unchanged.
+    *
+    * productHash is deprecated in 2.13.17 in favor of caseClassHash, but
+    * the replacement mixes the product's class-name prefix into the hash —
+    * DIFFERENT values, which would silently re-draw every hyperplane and
+    * churn all LSH buckets (engine AND oracle). The derivation is pinned
+    * to productHash deliberately. */
+  @scala.annotation.nowarn("cat=deprecation")
   def signMatrix(bits: Int, dims: Int): Array[Double] = {
     val m = new Array[Double](bits * dims)
     for (j <- 0 until bits; i <- 0 until dims)
@@ -132,7 +139,9 @@ object FloatVecLshBucket {
     * chains MUST stay left-associative (floating-point order parity with
     * the codegen loop); the outer per-bit CASE sum is integer-exact, so it
     * is chunked into a shallow tree to stay inside DuckDB's 128-level
-    * binder recursion limit at bits ≥ ~50. */
+    * binder recursion limit at bits ≥ ~50. (productHash pinned — see
+    * [[signMatrix]].) */
+  @scala.annotation.nowarn("cat=deprecation")
   def bucketSql(vecExpr: String, bits: Int, dims: Int = 64): String =
     (0 until bits).map { j =>
       val terms = (0 until dims).map { i =>

@@ -41,7 +41,7 @@ object Kafka {
     * downstream from_json consumer parses — the one definition all
     * producer sites share so shapes cannot silently diverge. */
   def toJsonValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
 
   /** K1 — fixed-topic JSON string sink (MyKafkaUtil.getKafkaSink,
     * MyKafkaUtil.java:31-36): serialize all columns to one JSON value. */

@@ -73,7 +73,7 @@ object AsOfStream {
 
     override def handleExpiredTimer(k: Long, tv: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[AsOfOut] = {
-      val t = expired.getExpiryTimeInMs
+      val t = expired.getExpiryTimeInMs()
       val ids = lefts.getValue(t)
       if (ids == null) return Iterator.empty
       lefts.removeKey(t)

@@ -25,7 +25,7 @@ object StatefulOpsV2 {
                                  tv: TimerValues): Iterator[Jump] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Jump]
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      val old: Jump = if (pending.exists) pending.get() else null
+      val old: Jump = if (pending.exists()) pending.get() else null
       var p: Jump = old
       sorted.foreach { e =>
         val isEntry = e.lastPageId == null || e.lastPageId.isEmpty
@@ -48,7 +48,7 @@ object StatefulOpsV2 {
     override def handleExpiredTimer(mid: String, tv: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[Jump] = {
       // watermark passed pending + gap with no follow-up: emit as jump
-      val out = if (pending.exists) Iterator.single(pending.get()) else Iterator.empty
+      val out = if (pending.exists()) Iterator.single(pending.get()) else Iterator.empty
       pending.clear()
       out
     }
@@ -125,7 +125,7 @@ object StatefulOpsV2 {
 
     override def handleExpiredTimer(mid: String, tv: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[O] = {
-      val t = expired.getExpiryTimeInMs
+      val t = expired.getExpiryTimeInMs()
       val evs = buf.getValue(t)
       if (evs == null) {
         // not a drain timer: idle-cleanup if it is the CURRENT horizon
@@ -135,7 +135,7 @@ object StatefulOpsV2 {
         // diverge from the FMGWS twin (whose event-time timeout never
         // fires in a trigger where the key has data). The pending drain
         // reschedules the horizon when it fires.
-        if (cleanupAt.exists && cleanupAt.get() == t) {
+        if (cleanupAt.exists() && cleanupAt.get() == t) {
           if (!buf.exists()) clearOp()
           cleanupAt.clear()
         }
@@ -148,7 +148,7 @@ object StatefulOpsV2 {
         // drain timer too and silently drop those events; only delete when
         // no buffered events share the expiry (a superseded horizon that
         // does coincide simply fires later and is ignored above).
-        if (cleanupAt.exists) {
+        if (cleanupAt.exists()) {
           val old = cleanupAt.get()
           if (old != t && !buf.containsKey(old)) getHandle.deleteTimer(old)
         }
@@ -177,7 +177,7 @@ object StatefulOpsV2 {
 
     override protected def drain(mid: String,
                                  events: Array[LogEvent]): Iterator[RepairedEvent] = {
-      var fd = if (firstDay.exists) firstDay.get() else null
+      var fd = if (firstDay.exists()) firstDay.get() else null
       val out = events.map { e =>
         val d = StatefulOps.dayOf(e.ts)
         if (e.isNew == "1") {
@@ -222,7 +222,7 @@ object StatefulOpsV2 {
 
     override protected def drain(mid: String,
                                  events: Array[LogEvent]): Iterator[LogEvent] = {
-      var ld = if (lastDay.exists) lastDay.get() else null
+      var ld = if (lastDay.exists()) lastDay.get() else null
       val out = events.flatMap { e =>
         val d = StatefulOps.dayOf(e.ts)
         if (d != ld) { ld = d; Some(e) } else None
