@@ -95,6 +95,7 @@ object SparkEntry {
     "q66_bigram_lift"     -> ((s, d) => TextQueries.bigramLift(s, d)),
     "q67_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q68_retention"       -> (RefQueries.retentionCohorts _),
+    "q69_premium_parts"   -> (RefQueries.premiumParts _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1079,5 +1080,16 @@ object SparkEntry {
         |  round(CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // q69: the same correlated-subquery text the engine runs (integer-cents
+    // cross-multiplied comparison — no AVG/division rounding to drift)
+    "q69_premium_parts" ->
+      """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS premium_ct
+        |FROM part p
+        |WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) * 100 *
+        |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |    > 105 * (SELECT SUM(CAST(round(p3.p_retailprice * 100) AS BIGINT))
+        |            FROM part p3 WHERE p3.p_brand = p.p_brand)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
   )
 }

@@ -175,6 +175,33 @@ object RefQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Correlated-subquery surface (Catalyst decorrelation showcase): parts
+    * priced above 1.05× their brand's average (the corpus's prices are
+    * uniform in [900, 1000), so the premium band is a real but thin tail).
+    * Written as the user would write it — two correlated scalar
+    * subqueries — and left to Catalyst to decorrelate into per-brand
+    * aggregates joined back (PlanSpec asserts no per-row subquery survives
+    * in the physical plan; a re-execution per row would be a
+    * scale-killer).
+    *
+    * Arithmetic stays EXACT across engines: prices become integer cents
+    * (round(p*100) — identical half-away-from-zero double rounding in
+    * Spark and DuckDB), and the 1.05× average test is cross-multiplied to
+    * `cents · 100 · n > 105 · sum_cents` — pure BIGINT comparison, no
+    * float division or AVG rounding anywhere. */
+  def premiumParts(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part_q69")
+    s.sql("""
+      SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS premium_ct
+      FROM part_q69 p
+      WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) * 100 *
+            (SELECT COUNT(*) FROM part_q69 p2 WHERE p2.p_brand = p.p_brand)
+          > 105 * (SELECT SUM(CAST(round(p3.p_retailprice * 100) AS BIGINT))
+                  FROM part_q69 p3 WHERE p3.p_brand = p.p_brand)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""")
+  }
+
   /** Approx twin of [[uvPerDay]] (SURVEY §2.8's O(1)-state form): per-day
     * unique visitors via the portable KMV sketch
     * ([[graft.functions.KmvDistinct]]). The exact form shuffles every

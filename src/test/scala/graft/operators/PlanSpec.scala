@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
       s"top-k not group-limited:\n$plan")
   }
 
+  test("q69 correlated subqueries decorrelate into aggregate joins") {
+    val plan = planOf(RefQueries.premiumParts(spark, sf))
+    // a surviving per-row scalar subquery re-executes the inner aggregate
+    // once per outer row — the scale-killer Catalyst's decorrelation
+    // rewrite exists to prevent
+    assert(!plan.contains("ScalarSubquery"),
+      s"correlated subquery not decorrelated:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected aggregate join:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
