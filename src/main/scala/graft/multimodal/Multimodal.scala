@@ -200,4 +200,75 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
+
+  /** 64-bit perceptual average hash (aHash): REAL decode, bilinear
+    * downsample to 8×8, Rec.601 luminance, bit i set when cell i is
+    * brighter than the grid mean. Robust to re-encoding and resizing (the
+    * downsample collapses them); near-duplicate images differ in a few
+    * bits. None for undecodable payloads. */
+  def aHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = small.createGraphics()
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, 8, 8, null)
+        gfx.dispose()
+        val lum = new Array[Double](64)
+        var i = 0
+        while (i < 64) {
+          val p = small.getRGB(i % 8, i / 8)
+          lum(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          i += 1
+        }
+        val mean = lum.sum / 64
+        var acc = 0L; i = 0
+        while (i < 64) { if (lum(i) > mean) acc |= (1L << i); i += 1 }
+        Some(acc)
+      }
+    } catch { case _: Exception => None }
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual hashes for every decodable image in a media frame —
+    * per-row decode, scan-speed, no shuffle. */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => aHash(r.payload).map(h => ImageHash(r.doc_id, h)))
+  }
+
+  /** Near-duplicate image pairs by Hamming distance over aHash — the
+    * multimodal twin of the SimHash text pair search, using the same
+    * pigeonhole construction: split the 64-bit hash into `blocks` equal
+    * bit-blocks; any pair within `maxHamming` (< blocks) bits must agree
+    * on at least one whole block, so candidates come from an equi-join on
+    * (block_id, block_bits) — never an all-pairs scan — and the exact
+    * Hamming filter keeps true near-dups. At 100 TB the hash table is a
+    * persisted ingest artifact (like q67's reference signatures). */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 7,
+                    blocks: Int = 8): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole needs maxHamming < blocks")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val blockRows = hashes.select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftright(col("ahash"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "block_id")
+      .withColumnRenamed("col", "block_bits")
+    blockRows.as("a")
+      .join(blockRows.as("b"),
+        col("a.block_id") === col("b.block_id") &&
+        col("a.block_bits") === col("b.block_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.Text.hamming64("a.ahash", "b.ahash").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

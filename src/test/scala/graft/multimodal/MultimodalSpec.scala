@@ -99,4 +99,42 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_bytes") =!= col("expect"))
     assert(joined.count() === 0)
   }
+
+  private def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = x * 255 / math.max(1, w - 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash survives resize; pigeonhole pair search finds near-dups only") {
+    val s = spark
+    import s.implicits._
+    val base = gradientPng(64, 64, invert = false)
+    val resized = Multimodal.resizeImage(base, 32, 32).get // re-encoded copy
+    val other = gradientPng(64, 64, invert = true)         // complemented
+    val h1 = Multimodal.aHash(base).get
+    val h2 = Multimodal.aHash(resized).get
+    val h3 = Multimodal.aHash(other).get
+    // the downsample collapses the resize: few bits drift
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 7,
+      s"resize drifted ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    // the inverted gradient flips (nearly) every bit
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 20)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", base),
+      Multimodal.MediaRow(2L, "image/png", resized),
+      Multimodal.MediaRow(3L, "image/png", other)).toDS()
+    val pairs = Multimodal.imageDupPairs(Multimodal.imageHashes(media).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // undecodable payloads drop out instead of throwing
+    assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
