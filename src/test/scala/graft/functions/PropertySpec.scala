@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized-trial invariants (fixed seed — deterministic in CI) for the
+  * portable primitives everything else is built on: the KMV sketch's
+  * partition invariance / below-k exactness across random multisets, and
+  * the portable-hash range contracts the oracle SQL generation relies on.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("KMV: partition-invariant and exact below k across random multisets") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(12345)
+    val kmv = KmvDistinct.columnAgg(64)
+    for (trial <- 1 to 5) {
+      val nDistinct = 1 + rng.nextInt(300)
+      val rows = (1 to 800).map(_ => ("g", s"t${trial}v${rng.nextInt(nDistinct)}"))
+      val actual = rows.map(_._2).distinct.size.toLong
+      def run(parts: Int): Long =
+        rows.toDF("g", "v").repartition(parts)
+          .select(col("g"), PortableHash.h60(col("v")).as("h"))
+          .groupBy("g").agg(kmv(col("h")).as("est")).head().getLong(1)
+      val ests = Seq(1, 7, 32).map(run)
+      assert(ests.distinct.size === 1,
+        s"trial $trial: estimate depends on partitioning: $ests")
+      if (actual < 64) assert(ests.head === actual,
+        s"trial $trial: below-k must be exact ($actual got ${ests.head})")
+      else assert(math.abs(ests.head - actual.toDouble) / actual < 0.6,
+        s"trial $trial: est ${ests.head} too far from $actual")
+    }
+  }
+
+  test("portable hash: h60 in [0, 2^60), deterministic; slot hashes in [0, P)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(67890)
+    val strs = (1 to 500).map(_ => rng.alphanumeric.take(1 + rng.nextInt(30)).mkString)
+    def hashes(slot: Int): Seq[(Long, Long)] = strs.toDF("v")
+      .select(PortableHash.h60(col("v")).as("h"),
+        PortableHash.slotHash(slot, PortableHash.h60(col("v")) % PortableHash.P).as("sh"))
+      .collect().toIndexedSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val first = hashes(slot = 17)
+    first.foreach { case (h, sh) =>
+      assert(h >= 0L && h < (1L << 60), s"h60 out of range: $h")
+      assert(sh >= 0L && sh < PortableHash.P, s"slot hash out of range: $sh")
+    }
+    // re-evaluation is bit-identical (the whole oracle strategy rests on it)
+    assert(hashes(slot = 17) === first)
+    // distinct slots draw distinct hash functions
+    assert(hashes(slot = 18).map(_._2) !== first.map(_._2))
+  }
+}
