@@ -40,6 +40,41 @@ class AsOfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of version state survives a checkpointed query restart") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("ck-asof").toString
+      val out = java.nio.file.Files.createTempDirectory("out-asof").toString + "/t"
+      val in = MemoryStream[AsOfIn]
+      def start() = asOfStream(in.toDS().withWatermark("ts", "1 second"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AsOfOut], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      // first life: only a VERSION for key 7 arrives (no lookups yet)
+      in.addData(AsOfIn(7, new Timestamp(base + 100), 1, 0, 42.0))
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      // second life from the checkpoint: a lookup AFTER the version must
+      // match it — only possible if the version survived the restart
+      val q2 = start()
+      in.addData(AsOfIn(7, new Timestamp(base + 500), 0, 1, 0.0))
+      q2.processAllAvailable()
+      in.addData(AsOfIn(-1, new Timestamp(base + 3600000L), 0, -1, 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = s.read.parquet(out).as[AsOfOut].collect().filter(_.k == 7L)
+      assert(rows.length === 1)
+      assert(rows.head.asofV === Some(42.0),
+        "version state lost across restart: lookup found no as-of match")
+    }
+  }
+
   test("streaming as-of matches versions at-or-before, across micro-batches") {
     val out = run(Seq(
       Seq(AsOfIn(1, new Timestamp(base + 100), 1, 0, 1.0),   // version @100
