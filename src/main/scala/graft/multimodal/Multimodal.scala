@@ -168,7 +168,8 @@ object Multimodal {
 
   /** STUB frame sampling: a real implementation would demux video and
     * decode every k-th frame. Deterministic fake: n evenly spaced payload
-    * slices standing in for frames. */
+    * slices standing in for frames. Kept as the fallback for payloads
+    * that are not RIFF/AVI (see [[demuxAviFrames]] for the real path). */
   def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val frames = math.max(1, math.min(n, payload.length))
     (0 until frames).map { f =>
@@ -178,15 +179,72 @@ object Multimodal {
     }
   }
 
+  /** REAL video demux for RIFF/AVI containers (zero dependencies — RIFF is
+    * a length-prefixed chunk format): walks the chunk tree to the `movi`
+    * LIST and returns the video-frame chunk payloads (`##dc`/`##db`
+    * stream chunks) in file order. For an MJPEG AVI each frame is a JPEG
+    * decodable by [[decodeImage]]. None when the payload is not RIFF/AVI;
+    * a truncated file yields the frames parsed up to the damage. */
+  def demuxAviFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    // find every LIST whose type is 'movi', then collect its video chunks
+    def walk(from: Int, until: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = tag(o)
+        val size = u32(o + 4).toInt
+        val body = o + 8
+        if (size < 0 || body + size > until) return // truncated: stop clean
+        if (id == "LIST" && size >= 4) {
+          if (tag(body) == "movi") collectFrames(body + 4, body + size)
+          else walk(body + 4, body + size)
+        }
+        o = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    def collectFrames(from: Int, until: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = tag(o)
+        val size = u32(o + 4).toInt
+        val body = o + 8
+        if (size < 0 || body + size > until) return
+        // '##dc' compressed / '##db' uncompressed video stream chunks
+        if (id.length == 4 && id.charAt(2) == 'd' &&
+            (id.charAt(3) == 'c' || id.charAt(3) == 'b'))
+          frames += java.util.Arrays.copyOfRange(payload, body, body + size)
+        o = body + size + (size & 1)
+      }
+    }
+    walk(12, payload.length)
+    Some(frames.result())
+  }
+
+  /** Every `step`-th frame of an AVI payload — the real demux path of the
+    * frame-sampling operator. */
+  def sampleAviFrames(payload: Array[Byte], step: Int): Option[Seq[Array[Byte]]] =
+    demuxAviFrames(payload).map(_.zipWithIndex.collect {
+      case (f, i) if i % step == 0 => f
+    })
+
   case class FrameRow(doc_id: Long, frame_id: Int, frame_bytes: Long)
 
   /** Frame-sampling over the media table: one row per sampled frame —
-    * the explode-shaped step of a video pipeline, batched per partition. */
+    * the explode-shaped step of a video pipeline, batched per partition.
+    * RIFF/AVI payloads demux for real ([[demuxAviFrames]]); anything else
+    * falls back to the deterministic stub slices. */
   def sampleFrames(s: SparkSession, dir: String, n: Int = 4): Dataset[FrameRow] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        frameSampleStub(r.payload, n).zipWithIndex.map { case (fr, i) =>
+        val frames = demuxAviFrames(r.payload)
+          .getOrElse(frameSampleStub(r.payload, n))
+        frames.zipWithIndex.map { case (fr, i) =>
           FrameRow(r.doc_id, i, fr.length.toLong)
         }
       }

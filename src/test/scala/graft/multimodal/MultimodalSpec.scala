@@ -113,6 +113,56 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI writer for the demux fixture (little-endian sizes,
+    * word-aligned chunks — the invariants the parser relies on). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    bb.array
+  }
+  private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val hdrl = riffList("hdrl", riffChunk("avih", new Array[Byte](56)))
+    val movi = riffList("movi", frames.flatMap(riffChunk("00dc", _)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    bb.array
+  }
+
+  test("REAL video demux: MJPEG AVI frames extracted and decodable") {
+    val reds = jpegBytes(16, 16, 0xff0000)
+    val blue = jpegBytes(16, 16, 0x0000ff)
+    val avi = aviBytes(Seq(reds, blue, reds))
+    val frames = Multimodal.demuxAviFrames(avi).get
+    assert(frames.length === 3)
+    // each demuxed frame is a real JPEG the image decoder understands
+    val metas = frames.map(f => Multimodal.decodeImage(f).get)
+    assert(metas.forall(m => m.width == 16 && m.height == 16))
+    assert(metas(0).meanR > 200 && metas(0).meanB < 80)  // red frame
+    assert(metas(1).meanB > 200 && metas(1).meanR < 80)  // blue frame
+    // every-2nd sampling keeps frames 0 and 2
+    assert(Multimodal.sampleAviFrames(avi, step = 2).get.length === 2)
+    // non-AVI payloads are not demuxed (stub fallback path)
+    assert(Multimodal.demuxAviFrames(pngBytes(4, 4, 0xffffff)).isEmpty)
+    // a truncated AVI yields the frames before the damage, no throw
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - blue.length)
+    assert(Multimodal.demuxAviFrames(cut).get.length <= 3)
+  }
+
   test("aHash survives resize; pigeonhole pair search finds near-dups only") {
     val s = spark
     import s.implicits._
