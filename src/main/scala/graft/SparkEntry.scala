@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, RefQueries, Similarity, TextQueries}
+import graft.operators.{Dedup, RangeJoin, RefQueries, Similarity, TextQueries}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -96,6 +96,7 @@ object SparkEntry {
     "q67_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q68_retention"       -> (RefQueries.retentionCohorts _),
     "q69_premium_parts"   -> (RefQueries.premiumParts _),
+    "q70_range_join"      -> ((s, d) => RangeJoin.windowEventStats(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1091,5 +1092,16 @@ object SparkEntry {
         |            FROM part p3 WHERE p3.p_brand = p.p_brand)
         |GROUP BY p.p_brand
         |ORDER BY p.p_brand""".stripMargin,
+    // q70: DuckDB plans the raw containment predicate natively (IEJoin) —
+    // the engine side reaches the same rows through the binned equi-join
+    "q70_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |w AS (SELECT user_id AS window_id, MIN(sec) AS w_start,
+        |    MIN(sec) + 7200 AS w_end
+        |  FROM e WHERE user_id < 20 GROUP BY 1)
+        |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN e ON e.sec >= w_start AND e.sec < w_end
+        |GROUP BY 1 ORDER BY window_id""".stripMargin,
   )
 }

@@ -86,6 +86,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected aggregate join:\n$plan")
   }
 
+  test("q70 binned range join plans an equi hash join, not a nested loop") {
+    val plan = planOf(RangeJoin.windowEventStats(spark, sf))
+    // the whole point of binning: the containment predicate alone would
+    // plan BroadcastNestedLoopJoin (per-event scan of every window)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
