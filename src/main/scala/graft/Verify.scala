@@ -23,6 +23,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // explicit failure marker: a sentinel frame whose schema can never
+        // match any oracle, so the compare records a RED row for this
+        // query instead of silently omitting it (a crashed query must not
+        // read as absent-and-therefore-fine — ADVICE r5 #2)
+        try {
+          import spark.implicits._
+          Seq("GRAFT_QUERY_FAILED: " + String.valueOf(e.getMessage).take(500))
+            .toDF("graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
