@@ -97,6 +97,7 @@ object SparkEntry {
     "q68_retention"       -> (RefQueries.retentionCohorts _),
     "q69_premium_parts"   -> (RefQueries.premiumParts _),
     "q70_range_join"      -> ((s, d) => RangeJoin.windowEventStats(s, d)),
+    "q71_scd2_history"    -> (graft.operators.Scd.scd2History _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1103,5 +1104,29 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM w JOIN e ON e.sec >= w_start AND e.sec < w_end
         |GROUP BY 1 ORDER BY window_id""".stripMargin,
+    // q71: identical islands construction (lag-flag -> running sum ->
+    // per-run reduce -> lead over the reduced history); timestamps pinned
+    // to integer MICROSECONDS (DuckDB reads the nanos column at us
+    // resolution — the q61 portability boundary)
+    "q71_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ns, event_id,
+        |    event_type AS status FROM events),
+        |r AS (SELECT user_id, ns, event_id, status,
+        |    CASE WHEN lag(status) OVER w IS NULL
+        |         OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+        |runs AS (SELECT user_id, ns, status,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ns, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |hist AS (SELECT user_id, run_id, MIN(status) AS status,
+        |    MIN(ns) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, status, valid_from,
+        |  lead(valid_from) OVER wo AS valid_to, n_events,
+        |  (lead(valid_from) OVER wo IS NULL) AS is_current
+        |FROM hist
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from)
+        |ORDER BY user_id, valid_from""".stripMargin,
   )
 }
