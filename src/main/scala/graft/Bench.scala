@@ -77,7 +77,12 @@ object Bench {
           timeQuery(() => graft.operators.RefQueries.starWideFrom(bLoad)),
         "q40_order_wide_enriched_bucketed" ->
           timeQuery(() => graft.operators.RefQueries.orderWideEnrichedFrom(bLoad)))
-    } catch { case _: Throwable => Seq.empty[(String, Double)] }
+    } catch { case _: Throwable =>
+      // sentinel, not omission: a broken bucketed path must read as FAILED
+      // in the artifact, consistent with timeQuery's negative-timing policy
+      Seq("q05_star_wide_bucketed" -> -1.0,
+        "q40_order_wide_enriched_bucketed" -> -1.0)
+    }
     finally {
       try {
         spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")

@@ -98,6 +98,8 @@ object SparkEntry {
     "q69_premium_parts"   -> (RefQueries.premiumParts _),
     "q70_range_join"      -> ((s, d) => RangeJoin.windowEventStats(s, d)),
     "q71_scd2_history"    -> (graft.operators.Scd.scd2History _),
+    "q72_pit_enrich"      -> (graft.operators.Scd.pointInTimeEnrich _),
+    "q73_growth_quad"     -> (RefQueries.growthAccounting _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1126,7 +1128,68 @@ object SparkEntry {
         |  lead(valid_from) OVER wo AS valid_to, n_events,
         |  (lead(valid_from) OVER wo IS NULL) AS is_current
         |FROM hist
-        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from)
-        |ORDER BY user_id, valid_from""".stripMargin,
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, run_id)
+        |ORDER BY user_id, valid_from, status""".stripMargin,
+    // q72: the q71 islands construction restricted to the signup/error
+    // change stream, then DuckDB's native ASOF LEFT JOIN of purchases
+    // against the version intervals — the point-in-time twin of the
+    // engine's union-sort as-of (q61's proven oracle pattern). arg_max by
+    // run_id collapses same-µs version ties identically on both sides.
+    "q72_pit_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |ch AS (SELECT user_id, us, event_id, event_type AS status FROM e
+        |  WHERE event_type IN ('signup', 'error')),
+        |r AS (SELECT user_id, us, event_id, status,
+        |    CASE WHEN lag(status) OVER w IS NULL
+        |         OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs AS (SELECT user_id, us, status,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |hist0 AS (SELECT user_id, run_id, MIN(status) AS status,
+        |    MIN(us) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY 1, 2),
+        |hist AS (SELECT user_id, valid_from,
+        |    arg_max(status, run_id) AS status,
+        |    arg_max(n_events, run_id) AS n_events
+        |  FROM hist0 GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, us, value FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS ts_us, p.value,
+        |  h.valid_from AS state_from, h.status AS state,
+        |  h.n_events AS state_events
+        |FROM p ASOF LEFT JOIN hist h
+        |  ON p.user_id = h.user_id AND p.us >= h.valid_from
+        |ORDER BY event_id""".stripMargin,
+    // q73: identical classification (lag/lead over the distinct activity
+    // frame, integer date+1 arithmetic) and identical FULL OUTER day
+    // spine; churn is clipped to the observation window via the same
+    // single-row MAX frame
+    "q73_growth_quad" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d, lag(d) OVER w AS prev, lead(d) OVER w AS next
+        |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |cls AS (SELECT strftime(d, '%Y-%m-%d') AS dy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(COUNT(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+        |    CAST(COUNT(CASE WHEN prev = d - 1 THEN 1 END) AS BIGINT) AS n_retained,
+        |    CAST(COUNT(CASE WHEN prev IS NOT NULL AND prev < d - 1 THEN 1 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY 1),
+        |mx AS (SELECT MAX(d) AS max_d FROM act),
+        |ch AS (SELECT strftime(d + 1, '%Y-%m-%d') AS dy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM c CROSS JOIN mx
+        |  WHERE (next IS NULL OR next > d + 1) AND d + 1 <= max_d
+        |  GROUP BY 1)
+        |SELECT dy, COALESCE(n_active, 0) AS n_active,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM cls FULL OUTER JOIN ch USING (dy)
+        |ORDER BY dy""".stripMargin,
   )
 }

@@ -214,8 +214,11 @@ object Multimodal {
         val size = u32(o + 4).toInt
         val body = o + 8
         if (size < 0 || body + size > until) return
+        // 'rec ' LISTs group interleaved frames inside movi — recurse
+        if (id == "LIST" && size >= 4 && tag(body) == "rec ")
+          collectFrames(body + 4, body + size)
         // '##dc' compressed / '##db' uncompressed video stream chunks
-        if (id.length == 4 && id.charAt(2) == 'd' &&
+        else if (id.length == 4 && id.charAt(2) == 'd' &&
             (id.charAt(3) == 'c' || id.charAt(3) == 'b'))
           frames += java.util.Arrays.copyOfRange(payload, body, body + size)
         o = body + size + (size & 1)

@@ -175,6 +175,54 @@ object RefQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q73: growth-accounting quad — the standard companion of q68's
+    * retention matrix. Each (user, active-day) row is classified exactly
+    * once by its previous active day: `new` (no prior day), `retained`
+    * (active yesterday), `resurrected` (prior day exists but is older
+    * than yesterday); `churned(d)` counts users whose last activity was
+    * d-1 (next active day absent or beyond d), assigned to day d and
+    * clipped to the observation window. The classification invariant
+    * `n_active = n_new + n_retained + n_resurrected` holds per row by
+    * construction and is spec-asserted.
+    *
+    * Scale: one distinct pass over events, ONE user-keyed shuffle shared
+    * by the lag and lead windows, then a day-keyed aggregation whose
+    * cardinality is the day count. The window-end clip joins a broadcast
+    * single-row MAX frame — no driver collect. All day arithmetic is
+    * integer date+1/-1 (identical in DuckDB), no interval/tz math. */
+  def growthAccountingFrom(act: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val c = act
+      .withColumn("prev", lag(col("d"), 1).over(byUser))
+      .withColumn("next", lead(col("d"), 1).over(byUser))
+    val cls = c.groupBy(date_format(col("d"), "yyyy-MM-dd").as("dy"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("prev").isNull, 1)).as("n_new"),
+        count(when(col("prev") === date_sub(col("d"), 1), 1)).as("n_retained"),
+        count(when(col("prev").isNotNull &&
+          col("prev") < date_sub(col("d"), 1), 1)).as("n_resurrected"))
+    val mx = act.agg(max(col("d")).as("max_d"))
+    val ch = c.crossJoin(broadcast(mx))
+      .filter((col("next").isNull || col("next") > date_add(col("d"), 1)) &&
+        date_add(col("d"), 1) <= col("max_d"))
+      .groupBy(date_format(date_add(col("d"), 1), "yyyy-MM-dd").as("dy"))
+      .agg(count(lit(1)).as("n_churned"))
+    cls.join(ch, Seq("dy"), "full_outer")
+      .select(col("dy"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("dy"))
+  }
+
+  def growthAccounting(s: SparkSession, dir: String): DataFrame =
+    growthAccountingFrom(events(s, dir)
+      .select(col("user_id"),
+        timestamp_seconds(tsSec).cast("date").as("d"))
+      .distinct())
+
   /** Correlated-subquery surface (Catalyst decorrelation showcase): parts
     * priced above 1.05× their brand's average (the corpus's prices are
     * uniform in [900, 1000), so the premium band is a real but thin tail).

@@ -30,16 +30,16 @@ import graft.Tables
   * the oracle cannot see must not influence run segmentation. */
 object Scd {
 
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val e = Tables.load(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
-        col("event_type").as("status"))
+  /** Islands construction over an arbitrary change stream with columns
+    * (user_id, us, event_id, status). Parameterized by frame (not by
+    * load path) so the batch query, the q72 composition, and the
+    * streaming-maintenance twin all share one implementation — the same
+    * refactor `Dedup` underwent for its streaming twin. */
+  def scd2HistoryFrom(changes: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     val lagStatus = lag(col("status"), 1).over(byUser)
-    val runs = e
+    val runs = changes
       .withColumn("chg",
         when(lagStatus.isNull || lagStatus =!= col("status"), 1L).otherwise(0L))
       .withColumn("run_id", sum(col("chg"))
@@ -48,12 +48,76 @@ object Scd {
       .agg(min(col("status")).as("status"), // constant within a run
         min(col("us")).as("valid_from"),
         count(lit(1)).as("n_events"))
-    val ordered = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // run_id as secondary key: two adjacent runs can share valid_from when
+    // two different-status events collide in the same truncated microsecond;
+    // run_id is derived from the identical (us, event_id) order in both
+    // engines, so (valid_from, run_id) is deterministic and portable.
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("run_id"))
     hist
       .withColumn("valid_to", lead(col("valid_from"), 1).over(ordered))
       .select(col("user_id"), col("status"), col("valid_from"),
         col("valid_to"), col("n_events"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"))
+        col("valid_to").isNull.as("is_current"), col("run_id"))
+  }
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+  }
+
+  /** q71: full-stream SCD2 history (status = event_type). run_id is an
+    * internal ordering key, not part of the declared output. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2HistoryFrom(eventsUs(s, dir).select(col("user_id"), col("us"),
+        col("event_id"), col("event_type").as("status")))
+      .drop("run_id")
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
+
+  /** q72: POINT-IN-TIME star enrichment — the composition the reference's
+    * dim lookups cannot express. `DimUtil.java:69-126` enriches with the
+    * dim value current AT LOOKUP TIME (nondeterministic under replay);
+    * here each purchase event is joined to the account-state version that
+    * was valid AT THE EVENT'S OWN TIME, so re-running the pipeline over
+    * the same data always reproduces the same enrichment.
+    *
+    * Account-state change stream: signup/error events (the two
+    * lifecycle-ish types in the synthetic schema); facts: purchase events.
+    * scd2HistoryFrom builds the version intervals; the as-of join
+    * (q61's union-sort construction — ONE shuffle, no range self-join)
+    * picks the version with the greatest valid_from <= purchase time.
+    * Purchases before a user's first state version get NULLs (left join).
+    * A spec proves this equals the interval-containment join
+    * (valid_from <= ts < valid_to) on the same history. */
+  def pointInTimeEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val hist = scd2HistoryFrom(
+      ev.filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("event_type").as("status")))
+    pointInTimeEnrichFrom(ev, hist)
+  }
+
+  /** The q72 join body, parameterized for the spec's containment twin:
+    * purchases from `ev`, versions from `hist`. */
+  def pointInTimeEnrichFrom(ev: DataFrame, hist: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+    // one version per (user, µs): when two runs open in the same truncated
+    // microsecond the LATER run (max run_id) is the state in force — the
+    // as-of contract requires a unique right row per (key, time) so the
+    // winner is data-determined, not sort-stability-determined
+    val versions = hist.groupBy(col("user_id"), col("valid_from").as("us"))
+      .agg(max_by(col("status"), col("run_id")).as("status"),
+        max_by(col("n_events"), col("run_id")).as("n_events"))
+    AsOf.asOfJoin(purchases, versions, Seq("user_id"), "us",
+        Seq("status", "n_events"))
+      .select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+        col("value"), col("asof_ts").as("state_from"),
+        col("status_asof").as("state"), col("n_events_asof").as("state_events"))
+      .orderBy(col("event_id"))
   }
 }

@@ -163,6 +163,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.demuxAviFrames(cut).get.length <= 3)
   }
 
+  test("video demux recurses into 'rec ' LISTs inside movi") {
+    // interleaved AVIs group frames into 'rec ' record lists; the demux
+    // must descend into them, not skip them as opaque chunks
+    val reds = jpegBytes(16, 16, 0xff0000)
+    val blue = jpegBytes(16, 16, 0x0000ff)
+    val rec = riffList("rec ", Seq(reds, blue).flatMap(riffChunk("00dc", _)).toArray)
+    val movi = riffList("movi", rec ++ riffChunk("00dc", reds))
+    val hdrl = riffList("hdrl", riffChunk("avih", new Array[Byte](56)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    val frames = Multimodal.demuxAviFrames(bb.array).get
+    assert(frames.length === 3) // 2 inside the rec list + 1 flat
+    val metas = frames.map(f => Multimodal.decodeImage(f).get)
+    assert(metas(0).meanR > 200 && metas(1).meanB > 200 && metas(2).meanR > 200)
+  }
+
   test("aHash survives resize; pigeonhole pair search finds near-dups only") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GrowthSpec extends SparkSpec {
+
+  test("growth quad on a hand-computed activity fixture") {
+    import spark.implicits._
+    // u1: days 1,2,4  u2: days 2,3  u3: day 1 only  (window ends day 4)
+    val act = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-04"),
+        (2L, "2024-01-02"), (2L, "2024-01-03"), (3L, "2024-01-01"))
+      .toDF("user_id", "ds").select(col("user_id"), col("ds").cast("date").as("d"))
+    val out = RefQueries.growthAccountingFrom(act).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      // dy, active, new, retained, resurrected, churned
+      ("2024-01-01", 2L, 2L, 0L, 0L, 0L), // u1,u3 new
+      ("2024-01-02", 2L, 1L, 1L, 0L, 1L), // u2 new, u1 retained; u3 churned
+      ("2024-01-03", 1L, 0L, 1L, 0L, 1L), // u2 retained; u1 churned (gap)
+      ("2024-01-04", 1L, 0L, 0L, 1L, 1L))) // u1 resurrected; u2 churned
+    // u1's final churn (after day 4) and u3's would-be resurrection are
+    // outside the window: no 01-05 row
+  }
+
+  test("q73 invariants: quad sums to actives; churn balances yesterday") {
+    val rows = RefQueries.growthAccounting(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every active user is classified exactly once
+    rows.foreach { case (dy, active, nw, ret, res, _) =>
+      assert(active === nw + ret + res, s"quad invariant broken on $dy")
+    }
+    // churned(d) = actives(d-1) - retained(d) on consecutive-day pairs
+    rows.sliding(2).foreach {
+      case Array((d0, a0, _, _, _, _), (d1, _, _, ret1, _, ch1))
+        if java.time.LocalDate.parse(d1) ==
+          java.time.LocalDate.parse(d0).plusDays(1) =>
+        assert(ch1 === a0 - ret1, s"churn balance broken on $d1")
+      case _ => ()
+    }
+  }
+}
