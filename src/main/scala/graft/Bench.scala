@@ -40,6 +40,7 @@ object Bench {
     def timeQuery(mk: () => DataFrame): Double = {
       val times = (1 to runs).map { _ =>
         graft.operators.Dedup.clearClusterCache()
+        graft.operators.Curation.clearFeatureCache()
         spark.sqlContext.clearCache()
         val t0 = System.nanoTime()
         val ok = try {

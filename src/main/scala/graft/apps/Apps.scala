@@ -322,8 +322,12 @@ object Apps {
     val survivors = Curation.curationFlags(spark, dir)
       .filter(col("pq") && col("kept") && col("clean"))
       .select(col("doc_id"))
-    val curated = graft.Tables.load(spark, dir, "documents")
+    // token counts come from the shared feature artifact — the whole
+    // curation composition tokenizes the corpus exactly ONCE (inside
+    // docFeatures' checkpointed build), not once per stage
+    val counts = Curation.docFeatures(spark, dir)
       .join(survivors, Seq("doc_id"), "left_semi")
-    Corpus.packAssignDf(curated, budget)
+      .select(col("doc_id"), col("n_tokens"))
+    Corpus.packAssignCounts(counts, budget)
   }
 }

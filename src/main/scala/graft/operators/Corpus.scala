@@ -44,12 +44,20 @@ object Corpus {
     * a function of the frame it is given, so packing a CLEANED corpus
     * (post-dedup) lays out only the surviving docs (see
     * [[graft.apps.Apps.trainingCorpusApp]]). */
-  def packAssignDf(docs: DataFrame, budget: Int = 2048): DataFrame = {
+  def packAssignDf(docs: DataFrame, budget: Int = 2048): DataFrame =
+    packAssignCounts(docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens")), budget)
+
+  /** Layout over PRECOMPUTED (doc_id, n_tokens) counts — the entry point
+    * for pipelines that already materialized per-doc token counts (the
+    * q62 curation family reads `Curation.docFeatures`, so packing reuses
+    * the one tokenization pass instead of re-deriving it). */
+  def packAssignCounts(counts: DataFrame, budget: Int = 2048): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    counts
+      .select(col("doc_id"), col("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),

@@ -18,6 +18,52 @@ import graft.functions.{PortableHash, Text}
   */
 object Curation {
 
+  /** Shared per-document feature artifact (VERDICT r6 "what's wrong" #3):
+    * ONE corpus pass computes every SCALAR doc-level feature the curation
+    * family consumes — content hash (and its %100 split bucket), the
+    * tokenizer token count, the whitespace token count (q58's declared
+    * definition — a DIFFERENT tokenization kept verbatim), and the
+    * alphabetic ratio. Eagerly localCheckpoint'd and memoized per
+    * (session, dir) — the `sharedClusters` pattern — so q56/q57/q58/q59/
+    * q62 read the materialized artifact instead of re-tokenizing the
+    * corpus per consumer. Deliberately scalar-only: storing the token
+    * ARRAY would make the artifact corpus-sized and its materialization
+    * as expensive as the tokenization it saves (A/B-measured at sf0.1 —
+    * flat); the one remaining tokenization of `text` is decontaminate's
+    * gram pass, which needs the tokens themselves. At 100 TB this is the
+    * doc-stats table a production pipeline materializes once per corpus
+    * snapshot and fans every curation stage out from. */
+  def docFeatures(s: SparkSession, dir: String): DataFrame = {
+    val perSession = featureCache.synchronized {
+      var m = featureCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        featureCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => {
+      val h = PortableHash.h60(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          h.as("h"), (h % 100).as("bucket"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("n_ws_tokens"),
+          round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("double") / length(col("text")).cast("double"), 6)
+            .as("alpha_ratio"))
+        .localCheckpoint(true)
+    })
+  }
+
+  private val featureCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+
+  def clearFeatureCache(): Unit =
+    featureCache.synchronized(featureCache.clear())
+
   /** Benchmark decontamination (q56): flag train/val documents that share
     * at least one distinct 13-token n-gram with any test-split document —
     * the canonical overlap rule used to scrub eval contamination from
@@ -35,18 +81,27 @@ object Curation {
     // tokens MUST be bound to an attribute before the explode: handed
     // straight to the generator, CollapseProject inlines the tokenizer
     // into every element_at of the shingle lambda — n+2 re-tokenizations
-    // per shingle position (measured 14× slower at n=13)
-    val grams = Tables.load(s, dir, "documents")
+    // per shingle position (measured 14× slower at n=13).
+    //
+    // The broadcast (test) side and the probe (train/val) side are two
+    // separate corpus passes — the scale-correct trade vs shuffling the
+    // full gram table by hash — but each side filters its split bucket
+    // BEFORE tokenizing, so across both passes every document is
+    // tokenized and shingled exactly once (10% + 90%, disjoint). This is
+    // the curation family's one legitimate tokenization of `text`; the
+    // count/ratio features come from the docFeatures artifact.
+    val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        (PortableHash.h60(col("text")) % 100).as("bucket"),
-        Text.tokens(col("text")).as("toks"))
+        (PortableHash.h60(col("text")) % 100).as("bucket"), col("text"))
+    def grams(side: DataFrame): DataFrame = side
+      .select(col("doc_id"), col("bucket"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("bucket"),
         explode(Text.shingles(col("toks"), n)).as("sh"))
       .select(col("doc_id"), col("bucket"),
         PortableHash.h60(col("sh")).as("gh"))
-    val testGrams = grams.filter(col("bucket") >= 90)
+    val testGrams = grams(base.filter(col("bucket") >= 90))
       .select(col("gh")).distinct()
-    grams.filter(col("bucket") < 90)
+    grams(base.filter(col("bucket") < 90))
       .join(broadcast(testGrams), "gh")
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count_distinct(col("gh")).as("n_hits"))
@@ -72,9 +127,7 @@ object Curation {
     * guarantee.
     */
   def stratifiedSample(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        PortableHash.h60(col("text")).as("h"))
+    val docs = docFeatures(s, dir).select(col("doc_id"), col("lang"), col("h"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h"), col("doc_id"))
     def rank(base: DataFrame): DataFrame = base
@@ -128,11 +181,10 @@ object Curation {
     val sumW = weights.map(_._2).sum
     val wDf = weights.toDF("source", "w")
 
-    val docs = Tables.load(s, dir, "documents")
+    val docs = docFeatures(s, dir)
       .select(col("doc_id"), col("source"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-          .cast("long").as("n_tokens"),
-        (PortableHash.h60(col("text")) % 1000000L).as("hmod"))
+        col("n_ws_tokens").as("n_tokens"), // q58's declared ws tokenization
+        (col("h") % 1000000L).as("hmod"))
     // DIV keeps every step in exact integer arithmetic (Spark's `/` on
     // longs is double division — not oracle-portable at the margins)
     val rates = docs.groupBy(col("source"))
@@ -190,15 +242,8 @@ object Curation {
     * corpus (q62): `pq` quality, `kept` dedup survivor, `clean` train-split
     * and uncontaminated. One corpus pass plus two small joins. */
   def curationFlags(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        (PortableHash.h60(col("text")) % 100).as("bucket"),
-        Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("bucket"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-          .cast("double") / length(col("text")).cast("double"), 6)
-          .as("alpha_ratio"))
+    val docs = docFeatures(s, dir)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("alpha_ratio"))
     val dups = Dedup.sharedClusters(s, dir)
       .filter(col("cluster") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))

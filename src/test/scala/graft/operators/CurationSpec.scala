@@ -144,6 +144,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation family tokenizes the corpus exactly once (shared artifact)") {
+    // VERDICT r6 #3: q59/q62 used to re-derive n_tokens/alpha_ratio from
+    // raw text per consumer (tokenization visible TWICE in q62's plan).
+    // With the scalar docFeatures artifact, the only tokenization left in
+    // any consumer plan is decontaminate's gram pass (which needs the
+    // tokens themselves); the count/ratio features come from the
+    // checkpointed artifact.
+    def nTokenize(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("[^a-z]"), "alpha-ratio regex re-run in consumer plan")
+      var (n, i) = (0, 0)
+      while ({ i = plan.indexOf("[^a-z0-9]+", i); i >= 0 }) { n += 1; i += 1 }
+      n
+    }
+    Curation.clearFeatureCache()
+    Curation.docFeatures(spark, sf) // build once (lineage is cut here)
+    // 2 tokenizer sites = decontaminate's broadcast side + probe side,
+    // over DISJOINT bucket slices (10% + 90%): one corpus tokenization of
+    // total work. Before the artifact, q62 also re-tokenized for the
+    // quality flags and the packing counts.
+    assert(nTokenize(graft.apps.Apps.curatedCorpusApp(spark, sf)) === 2)
+    assert(nTokenize(Curation.curationFunnel(spark, sf)) === 2)
+    assert(nTokenize(Curation.decontaminate(spark, sf)) === 2)
+    // the sampling/mixture consumers never touch text at all
+    for (df <- Seq(Curation.stratifiedSample(spark, sf),
+        Curation.domainMix(spark, sf))) {
+      assert(nTokenize(df) === 0)
+      assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+        "raw corpus re-scanned")
+    }
+    // and the artifact is one shared instance per (session, dir)
+    assert(Curation.docFeatures(spark, sf) eq Curation.docFeatures(spark, sf))
+  }
+
   test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
     Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
       .foreach { df =>
