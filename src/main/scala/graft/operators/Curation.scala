@@ -42,19 +42,25 @@ object Curation {
       }
       m
     }
-    perSession.computeIfAbsent(dir, _ => {
-      val h = PortableHash.h60(col("text"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          h.as("h"), (h % 100).as("bucket"),
-          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
-          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .cast("long").as("n_ws_tokens"),
-          round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-            .cast("double") / length(col("text")).cast("double"), 6)
-            .as("alpha_ratio"))
-        .localCheckpoint(true)
-    })
+    perSession.computeIfAbsent(dir, _ =>
+      docFeaturesOf(Tables.load(s, dir, "documents"),
+        passthrough = Seq("lang", "source", "n_chars"))
+        .localCheckpoint(true))
+  }
+
+  /** The feature computation itself, over ANY (doc_id, text, …) frame —
+    * the per-micro-batch entry point of the streaming curation twin
+    * (per-doc features are batch-local by construction). */
+  def docFeaturesOf(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val h = PortableHash.h60(col("text"))
+    docs.select(Seq(col("doc_id")) ++ passthrough.map(col) ++ Seq(
+      h.as("h"), (h % 100).as("bucket"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_ws_tokens"),
+      round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("double") / length(col("text")).cast("double"), 6)
+        .as("alpha_ratio")): _*)
   }
 
   private val featureCache =
@@ -90,26 +96,43 @@ object Curation {
     // tokenized and shingled exactly once (10% + 90%, disjoint). This is
     // the curation family's one legitimate tokenization of `text`; the
     // count/ratio features come from the docFeatures artifact.
-    val base = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        (PortableHash.h60(col("text")) % 100).as("bucket"), col("text"))
-    def grams(side: DataFrame): DataFrame = side
-      .select(col("doc_id"), col("bucket"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("bucket"),
-        explode(Text.shingles(col("toks"), n)).as("sh"))
-      .select(col("doc_id"), col("bucket"),
-        PortableHash.h60(col("sh")).as("gh"))
-    val testGrams = grams(base.filter(col("bucket") >= 90))
-      .select(col("gh")).distinct()
-    grams(base.filter(col("bucket") < 90))
-      .join(broadcast(testGrams), "gh")
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count_distinct(col("gh")).as("n_hits"))
+    val base = bucketedText(s, dir)
+    contaminationHits(base.filter(col("bucket") < 90),
+        testGramSet(s, dir, n), n)
       .select(col("doc_id"),
         when(col("bucket") < 80, "train").otherwise("val").as("split"),
         col("n_hits"))
       .orderBy(col("doc_id"))
   }
+
+  private def bucketedText(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (PortableHash.h60(col("text")) % 100).as("bucket"), col("text"))
+
+  /** Distinct 60-bit gram hashes over a (doc_id, bucket, text) frame. */
+  def gramHashes(docs: DataFrame, n: Int = 13): DataFrame = docs
+    .select(col("doc_id"), col("bucket"), Text.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("bucket"),
+      explode(Text.shingles(col("toks"), n)).as("sh"))
+    .select(col("doc_id"), col("bucket"), PortableHash.h60(col("sh")).as("gh"))
+
+  /** The eval-side gram artifact: distinct gram hashes of the test split.
+    * Eval-sized, persisted once per benchmark release in production —
+    * the streaming curation twin reads it from disk per micro-batch. */
+  def testGramSet(s: SparkSession, dir: String, n: Int = 13): DataFrame =
+    gramHashes(bucketedText(s, dir).filter(col("bucket") >= 90), n)
+      .select(col("gh")).distinct()
+
+  /** Per-doc contamination hits of `docs` (doc_id, bucket, text) against
+    * a given eval gram set — batch-local given the artifact, which is why
+    * the streaming twin can run it per micro-batch unchanged. */
+  def contaminationHits(docs: DataFrame, testGrams: DataFrame,
+                        n: Int = 13): DataFrame =
+    gramHashes(docs, n)
+      .join(broadcast(testGrams), "gh")
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count_distinct(col("gh")).as("n_hits"))
 
   /** Per-stratum quota sampling (q57): keep the `k` documents with the
     * smallest content hash within each language — a deterministic,
@@ -249,7 +272,18 @@ object Curation {
       .select(col("doc_id"), lit(true).as("is_dup"))
     val contam = decontaminate(s, dir)
       .select(col("doc_id"), lit(true).as("is_contam"))
-    docs
+    curationFlagsFrom(docs, dups, contam)
+  }
+
+  /** Flag computation over explicit inputs — `feats` per-doc scalars
+    * (doc_id, bucket, n_tokens, alpha_ratio), `dups` (doc_id, is_dup) and
+    * `contam` (doc_id, is_contam) reference artifacts. Per-doc given the
+    * artifacts, so the streaming twin calls this per micro-batch with the
+    * batch's features against PERSISTED dup/contamination sets and gets
+    * bitwise the batch flags. */
+  def curationFlagsFrom(feats: DataFrame, dups: DataFrame,
+                        contam: DataFrame): DataFrame =
+    feats
       .join(dups, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -257,10 +291,15 @@ object Curation {
         (coalesce(col("is_dup"), lit(false)) === false).as("kept"),
         (col("bucket") < 80 &&
           coalesce(col("is_contam"), lit(false)) === false).as("clean"))
-  }
 
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    val flags = curationFlags(s, dir)
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(curationFlags(s, dir))
+
+  /** The 4-stage attrition report over any flag frame. The 8 aggregates
+    * are algebraic sums, so per-micro-batch partials combine exactly —
+    * the streaming twin sums its per-batch funnel rows and matches the
+    * batch report bit-for-bit. */
+  def funnelOf(flags: DataFrame): DataFrame = {
     def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
     def tok(p: Column) = sum(when(p, col("n_tokens")).otherwise(0L))
     flags.agg(
