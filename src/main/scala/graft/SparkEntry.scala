@@ -100,6 +100,7 @@ object SparkEntry {
     "q71_scd2_history"    -> (graft.operators.Scd.scd2History _),
     "q72_pit_enrich"      -> (graft.operators.Scd.pointInTimeEnrich _),
     "q73_growth_quad"     -> (RefQueries.growthAccounting _),
+    "q74_session_stats"   -> ((s, d) => RefQueries.sessionVisitorStats(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1191,5 +1192,25 @@ object SparkEntry {
         |  COALESCE(n_churned, 0) AS n_churned
         |FROM cls FULL OUTER JOIN ch USING (dy)
         |ORDER BY dy""".stripMargin,
+    // q74: the q30 islands construction (strict-gap rule == Spark's
+    // session_window merge) extended with per-session pv, dwell duration,
+    // and bounce flag
+    "q74_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,
+        |    event_type FROM events),
+        |o AS (SELECT user_id, sec, event_type,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s AS (SELECT user_id, sec, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n_events,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS pv,
+        |  MAX(sec) - MIN(sec) AS duration_sec,
+        |  (COUNT(*) = 1) AS is_bounce
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -432,6 +432,33 @@ object RefQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q74: TRUE per-session visitor stats — the upgrade of the reference's
+    * sv metric, which only counts session ENTRIES
+    * (VisitorStatsApp.java:106-125 increments sv when last_page_id is
+    * empty and never sees the session again): with gap-based
+    * sessionization each visit becomes one row carrying its page-view
+    * count, dwell duration, and bounce flag. Built on the native
+    * `session_window` (merging session state, streaming-capable —
+    * SessionWindowSpec proves append-mode equality over this same frame);
+    * the DuckDB oracle replays the gaps-and-islands construction q30
+    * hash-proved equivalent to session_window's merge rule (a new session
+    * only when the gap is STRICTLY greater). */
+  def sessionVisitorStats(s: SparkSession, dir: String,
+                          gapSec: Long = 1800): DataFrame = {
+    events(s, dir)
+      .select(col("user_id"), tsSec.as("sec"), col("event_type"))
+      .withColumn("ts_ts", timestamp_seconds(col("sec")))
+      .groupBy(col("user_id"), session_window(col("ts_ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("pv"), col("duration_sec"),
+        (col("n_events") === 1L).as("is_bounce"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Sliding windows (beyond the reference): 1-hour windows sliding every
     * 30 min — each event contributes to two windows. */
   def slidingWindowStats(s: SparkSession, dir: String): DataFrame = {

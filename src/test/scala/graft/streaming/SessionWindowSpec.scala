@@ -61,4 +61,53 @@ class SessionWindowSpec extends SparkSpec {
       assert(streamed((2L, 120L)) === ((1L, 5.0)))
     } finally q.stop()
   }
+
+  test("q74 wiring: streamed session visitor stats equal the batch query") {
+    // the declared q74 frame driven through session_window in APPEND mode
+    // over the REAL events table, split mid-stream: sealed sessions must
+    // equal batch q74 row for row
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = graft.Tables.load(s, sf, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        col("event_type"))
+      .orderBy(col("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def stats(df: DataFrame, streaming: Boolean): DataFrame = {
+      val ts = df.toDF("user_id", "sec", "event_type")
+        .select(col("user_id"), col("sec"),
+          timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+      val base = if (streaming) ts.withWatermark("ts", "10 seconds") else ts
+      base.groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"), col("pv"), col("duration_sec"),
+          (col("n_events") === 1L).as("is_bounce"))
+    }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = stats(in.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("q74_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      // sentinel far past the last session so the watermark seals all
+      in.addData(h2 :+ ((999L, ev.map(_._2).max + 100000L, "view")): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      val streamed = s.table("q74_stream").collect().map(key).toMap - ((999L, ev.map(_._2).max + 100000L))
+      val batch = graft.operators.RefQueries.sessionVisitorStats(s, sf)
+        .collect().map(key).toMap
+      assert(streamed === batch)
+      assert(batch.size > 100)
+      // the upgrade is real: sessions with dwell time and multi-event pv exist
+      assert(batch.values.exists(v => v._3 > 0 && v._1 > 1))
+    } finally q.stop()
+  }
 }
