@@ -159,9 +159,14 @@ object RefQueries {
     * plain count — no second COUNT DISTINCT shuffle. Cohort sizes are
     * days-sized and broadcast for the retention divide. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    // the reduced activity frame feeds THREE consumers (cohort firsts,
+    // sizes, the offset join); without materialization each consumer
+    // re-scans and re-distincts the full event stream — localCheckpoint
+    // runs the corpus pass once (|users|×|days| rows, far below the
+    // stream; the sharedClusters pattern)
     val activity = events(s, dir)
       .select(col("user_id"), day(tsSec).as("dy"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val firsts = activity.groupBy(col("user_id")).agg(min(col("dy")).as("cohort_day"))
     val sizes = firsts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
     activity.join(firsts, "user_id")
@@ -218,10 +223,12 @@ object RefQueries {
   }
 
   def growthAccounting(s: SparkSession, dir: String): DataFrame =
+    // same materialization rationale as retentionCohorts: the class,
+    // churn, and window-end consumers would each re-scan the event stream
     growthAccountingFrom(events(s, dir)
       .select(col("user_id"),
         timestamp_seconds(tsSec).cast("date").as("d"))
-      .distinct())
+      .distinct().localCheckpoint(true))
 
   /** Correlated-subquery surface (Catalyst decorrelation showcase): parts
     * priced above 1.05× their brand's average (the corpus's prices are
