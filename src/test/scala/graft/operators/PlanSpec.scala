@@ -95,6 +95,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
   }
 
+  test("q72 point-in-time enrichment plans the union-sort as-of, not a range join") {
+    val plan = planOf(Scd.pointInTimeEnrich(spark, sf))
+    // the naive formulation (purchases ⋈ history on user AND a time-range
+    // predicate, then max-per-key) would plan a nested loop or an
+    // exploding range join; the union-sort construction is one hash
+    // exchange per side feeding a single running window
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of fell back to a non-equi join:\n$plan")
+    assert(plan.contains("Union") && plan.contains("last("),
+      s"expected union-sort carry-forward window:\n$plan")
+    // both change-stream filters reach the parquet scan
+    assert(plan.contains("event_type") && plan.contains("DataFilters"),
+      s"change-stream filter not pushed:\n$plan")
+  }
+
+  test("q74 session stats plan partial-aggregates before the key shuffle") {
+    val plan = planOf(RefQueries.sessionVisitorStats(spark, sf))
+    // native session machinery: per-partition partial session aggregation,
+    // ONE user_id exchange, then state merge — no per-event key shuffle of
+    // raw rows without combining
+    assert(plan.contains("MergingSessions"), s"expected session merge:\n$plan")
+    assert(plan.contains("partial_count"), s"expected partial aggregation:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
