@@ -101,6 +101,7 @@ object SparkEntry {
     "q72_pit_enrich"      -> (graft.operators.Scd.pointInTimeEnrich _),
     "q73_growth_quad"     -> (RefQueries.growthAccounting _),
     "q74_session_stats"   -> ((s, d) => RefQueries.sessionVisitorStats(s, d)),
+    "q75_funnel_paths"    -> ((s, d) => RefQueries.funnelPaths(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1212,5 +1213,22 @@ object SparkEntry {
         |  (COUNT(*) = 1) AS is_bounce
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // q75: identical first-touch sequential-min construction (each step
+    // the earliest qualifying event strictly after the previous step);
+    // FALSE-not-NULL window flags via `IS NOT NULL AND` on both sides
+    "q75_funnel_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, t1, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1, 2),
+        |t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(us) AS t3
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1, 2, 3)
+        |SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+        |  (t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 86400000000) AS s2_in_window,
+        |  (t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000) AS converted
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY t1.user_id""".stripMargin,
   )
 }

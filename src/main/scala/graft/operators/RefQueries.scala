@@ -439,6 +439,51 @@ object RefQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q75: funnel conversion paths — ordered event-SEQUENCE matching, the
+    * batch analogue of the reference's CEP pattern family
+    * (UserJumpDetailApp.java:55-88 matches a 2-step within-10s sequence;
+    * T2/q07 is its streaming twin). First-touch semantics make the match
+    * deterministic: step 1 anchors at the user's EARLIEST view, each
+    * later step at the earliest qualifying event STRICTLY after the
+    * previous step, and the funnel converts if the whole path fits in the
+    * window (24 h default — sized to the synthetic stream's event cadence
+    * so both converting and stalling users exist at every SF). Per-user output row (not just totals) so the oracle hash
+    * pins every matched path, not only the counts.
+    *
+    * Scale design: each step is a pushed-down event-type slice reduced by
+    * a conditional min — three user-keyed aggregations over shrinking
+    * frames (step-k input is semi-joined to step-k-1 survivors), never a
+    * per-user sort or a sequence self-join; all arithmetic is integer µs. */
+  def funnelPaths(s: SparkSession, dir: String,
+                  windowUs: Long = 86400L * 1000000L): DataFrame =
+    funnelPathsFrom(events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type")),
+      windowUs)
+
+  /** The q75 construction over any (user_id, us, event_type) frame. */
+  def funnelPathsFrom(e: DataFrame,
+                      windowUs: Long = 86400L * 1000000L): DataFrame = {
+    def step(evType: String, prev: DataFrame, prevCols: Seq[String],
+             out: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("us") > col(prevCols.last))
+        .groupBy((Seq(col("user_id")) ++ prevCols.map(col)): _*)
+        .agg(min(col("us")).as(out))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = step("click", t1, Seq("t1"), "t2")
+    val t3 = step("purchase", t2, Seq("t1", "t2"), "t3")
+    t1.join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (col("t2").isNotNull && col("t2") - col("t1") <= windowUs)
+          .as("s2_in_window"),
+        (col("t3").isNotNull && col("t3") - col("t1") <= windowUs)
+          .as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** q74: TRUE per-session visitor stats — the upgrade of the reference's
     * sv metric, which only counts session ENTRIES
     * (VisitorStatsApp.java:106-125 increments sv when last_page_id is
