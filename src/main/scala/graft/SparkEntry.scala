@@ -102,6 +102,8 @@ object SparkEntry {
     "q73_growth_quad"     -> (RefQueries.growthAccounting _),
     "q74_session_stats"   -> ((s, d) => RefQueries.sessionVisitorStats(s, d)),
     "q75_funnel_paths"    -> ((s, d) => RefQueries.funnelPaths(s, d)),
+    "q76_profile"         -> (RefQueries.profileLineitem _),
+    "q77_integrity"       -> (RefQueries.integrityAudit _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1230,5 +1232,28 @@ object SparkEntry {
         |  (t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000) AS converted
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         |ORDER BY t1.user_id""".stripMargin,
+    // q76: one row per profiled numeric column — min/max are raw values
+    // (no arithmetic to drift), distinct counts exact
+    "q76_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount").map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val,
+           |  CAST(MAX($c) AS DOUBLE) AS max_val FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // q77: orphan FKs per relation via NOT IN against the parent key set
+    "q77_integrity" ->
+      Seq(("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .map { case (rel, f, fk, p, pk) =>
+          s"""SELECT '$rel' AS relation, CAST(COUNT(*) AS BIGINT) AS n_orphans,
+             |  CAST(COUNT(DISTINCT $fk) AS BIGINT) AS n_orphan_keys
+             |FROM $f WHERE $fk IS NOT NULL
+             |  AND $fk NOT IN (SELECT $pk FROM $p)""".stripMargin }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
   )
 }

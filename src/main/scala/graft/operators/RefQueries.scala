@@ -511,6 +511,64 @@ object RefQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q76: column profiling — the data-quality summary a pipeline computes
+    * on every ingest (the ODS-layer audit the reference does by eyeballing
+    * Kafka topics): per numeric column of the fact table, row count, null
+    * count, exact distinct count, min and max. ONE pass over the table;
+    * the five distinct-counts expand map-side and combine partial/final
+    * (at 100 TB swap exact distincts for the KMV sketch — q51's declared
+    * trade). min/max are raw column values (no arithmetic), so the hash
+    * compare is exact. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val li = Tables.load(s, dir, "lineitem")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy(col("col_name"))
+  }
+
+  /** q77: referential-integrity audit — orphan foreign keys per relation
+    * (the check that catches a broken CDC feed before it poisons every
+    * downstream join; the reference's dim lookups silently drop such rows,
+    * DimUtil.java:69-126 returning null). Left-anti joins against the
+    * (broadcastable) parent key sets; orphan COUNT plus the count of
+    * DISTINCT orphan keys so a single bad key repeated 10^9 times is
+    * distinguishable from 10^9 bad keys. */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, _: String)
+    fkAudit("lineitem.partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey")
+      .unionByName(fkAudit("lineitem.orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"))
+      .unionByName(fkAudit("orders.custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"))
+      .unionByName(fkAudit("customer.nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"))
+      .orderBy(col("relation"))
+  }
+
+  /** One relation's orphan audit. Orphan = NON-NULL fk without a parent:
+    * left-anti keeps null keys (they match nothing) while SQL NOT IN drops
+    * them — filtering nulls first gives both engines the same definition. */
+  def fkAudit(rel: String, fact: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame =
+    fact.select(col(fk).as("k")).filter(col("k").isNotNull)
+      .join(broadcast(parent.select(col(pk).as("k"))), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"),
+        count_distinct(col("k")).as("n_orphan_keys"))
+      .select(lit(rel).as("relation"), col("n_orphans"),
+        col("n_orphan_keys"))
+
   /** Sliding windows (beyond the reference): 1-hour windows sliding every
     * 30 min — each event contributes to two windows. */
   def slidingWindowStats(s: SparkSession, dir: String): DataFrame = {
