@@ -104,6 +104,7 @@ object SparkEntry {
     "q75_funnel_paths"    -> ((s, d) => RefQueries.funnelPaths(s, d)),
     "q76_profile"         -> (RefQueries.profileLineitem _),
     "q77_integrity"       -> (RefQueries.integrityAudit _),
+    "q78_cohort_conv"     -> (RefQueries.cohortConversion _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1255,5 +1256,28 @@ object SparkEntry {
              |FROM $f WHERE $fk IS NOT NULL
              |  AND $fk NOT IN (SELECT $pk FROM $p)""".stripMargin }
         .mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
+    // q78: q68's cohort firsts joined to q75's funnel construction —
+    // identical day-string MIN and the same sequential-min CTEs
+    "q78_cohort_conv" ->
+      """WITH fs AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, t1, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1, 2),
+        |t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(us) AS t3
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1, 2, 3),
+        |conv AS (SELECT t1.user_id, TRUE AS in_funnel,
+        |    (t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000) AS converted
+        |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(CASE WHEN in_funnel THEN 1 END) AS BIGINT) AS n_in_funnel,
+        |  CAST(COUNT(CASE WHEN converted THEN 1 END) AS BIGINT) AS n_converted,
+        |  round(CAST(COUNT(CASE WHEN converted THEN 1 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+        |FROM fs LEFT JOIN conv USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

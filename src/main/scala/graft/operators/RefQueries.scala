@@ -511,6 +511,34 @@ object RefQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q78: conversion by signup cohort — the q68 × q75 composition every
+    * growth team actually reads: users grouped by first-active day, each
+    * cohort's funnel reach and conversion rate. One checkpointed event
+    * projection feeds both the cohort firsts and the funnel's three step
+    * slices (the q68/q73 materialization rationale); cohort rows are
+    * days-sized so the final aggregate is metadata-scale. */
+  def cohortConversion(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      .localCheckpoint(true)
+    val firsts = e
+      .groupBy(col("user_id"))
+      .agg(min(date_format(timestamp_seconds(expr("us div 1000000")),
+        "yyyy-MM-dd")).as("cohort_day"))
+    val conv = funnelPathsFrom(e)
+      .select(col("user_id"), lit(true).as("in_funnel"), col("converted"))
+    firsts.join(conv, Seq("user_id"), "left")
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("in_funnel"), 1)).as("n_in_funnel"),
+        count(when(col("converted"), 1)).as("n_converted"))
+      .select(col("cohort_day"), col("n_users"), col("n_in_funnel"),
+        col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 6).as("conv_rate"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** q76: column profiling — the data-quality summary a pipeline computes
     * on every ingest (the ODS-layer audit the reference does by eyeballing
     * Kafka topics): per numeric column of the fact table, row count, null

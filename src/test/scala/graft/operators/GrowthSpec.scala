@@ -24,6 +24,21 @@ class GrowthSpec extends SparkSpec {
     // outside the window: no 01-05 row
   }
 
+  test("q78 invariants: funnel reach nests inside cohort population") {
+    val rows = RefQueries.cohortConversion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dy, users, funnel, conv, rate) =>
+      assert(conv <= funnel && funnel <= users, s"$dy: nesting broken")
+      assert(math.abs(rate - math.round(conv.toDouble / users * 1e6) / 1e6) < 1e-12)
+    }
+    // cohort populations sum to the user universe (each user in exactly one)
+    val totalUsers = graft.Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum === totalUsers)
+  }
+
   test("q73 invariants: quad sums to actives; churn balances yesterday") {
     val rows = RefQueries.growthAccounting(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
