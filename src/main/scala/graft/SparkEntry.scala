@@ -105,6 +105,7 @@ object SparkEntry {
     "q76_profile"         -> (RefQueries.profileLineitem _),
     "q77_integrity"       -> (RefQueries.integrityAudit _),
     "q78_cohort_conv"     -> (RefQueries.cohortConversion _),
+    "q79_funnel_durs"     -> ((s, d) => RefQueries.funnelDurations(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1279,5 +1280,46 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
         |FROM fs LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q79: q75's funnel frame unpivoted to per-transition durations, then
+    // the q60 deterministic bottom-k-by-hash quantile convention (the
+    // oracle re-derives the SAME sample from the SAME h60 constants)
+    "q79_funnel_durs" -> {
+      import graft.functions.PortableHash
+      val k = 64
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, t1, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+         |  WHERE event_type = 'click' AND us > t1 GROUP BY 1, 2),
+         |t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(us) AS t3
+         |  FROM e JOIN t2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1, 2, 3),
+         |f AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+         |    (t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 86400000000) AS s2w,
+         |    (t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000) AS conv
+         |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)),
+         |d AS (SELECT step, dur FROM (
+         |    SELECT 'view_to_click' AS step,
+         |      CASE WHEN s2w THEN t2 - t1 END AS dur FROM f
+         |    UNION ALL SELECT 'click_to_purchase',
+         |      CASE WHEN conv THEN t3 - t2 END FROM f
+         |    UNION ALL SELECT 'view_to_purchase',
+         |      CASE WHEN conv THEN t3 - t1 END FROM f)
+         |  WHERE dur IS NOT NULL),
+         |n AS (SELECT step, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+         |dv AS (SELECT DISTINCT step, dur AS v FROM d),
+         |hh AS (SELECT step, v, ${PortableHash.h60Sql("CAST(v AS VARCHAR)")} AS h FROM dv),
+         |o AS (SELECT step, v,
+         |    row_number() OVER (PARTITION BY step ORDER BY h, v) AS hrk FROM hh),
+         |sm AS (SELECT step, v FROM o WHERE hrk <= $k),
+         |r AS (SELECT step, v,
+         |    row_number() OVER (PARTITION BY step ORDER BY v) - 1 AS vrk,
+         |    COUNT(*) OVER (PARTITION BY step) AS m FROM sm)
+         |SELECT step, n_obs,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 50) // 100 THEN v END) AS p50_us,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 90) // 100 THEN v END) AS p90_us,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 99) // 100 THEN v END) AS p99_us
+         |FROM r JOIN n USING (step) GROUP BY 1, 2 ORDER BY step""".stripMargin
+    },
   )
 }

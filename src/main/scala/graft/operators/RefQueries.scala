@@ -539,6 +539,39 @@ object RefQueries {
       .orderBy(col("cohort_day"))
   }
 
+  /** q79: funnel step-duration quantiles — how LONG each funnel transition
+    * takes, the latency companion to q75's reach counts: p50/p90/p99 of
+    * view→click (users whose click landed in-window), click→purchase and
+    * view→purchase (converted users), via the [[graft.functions.KmvQuantile]]
+    * bottom-k-by-hash sketch so the oracle re-derives the SAME deterministic
+    * sample (the q60 convention — bit-verifiable, unlike approx_percentile).
+    *
+    * Scale design: durations come straight off q75's per-user funnel frame
+    * (three user-keyed aggs, no sequence self-join); `stack` unpivots the
+    * three transitions without rescanning; the quantile shuffle then carries
+    * ≤ k (hash, value) pairs per (step, partition) — 3 groups total, so the
+    * final reduce is metadata-scale regardless of corpus size. */
+  def funnelDurations(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val agg = graft.functions.KmvQuantile.columnAgg(k)
+    funnelPathsFrom(events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type")))
+      .select(expr(
+        """stack(3,
+          |  'view_to_click',     CASE WHEN s2_in_window THEN t2 - t1 END,
+          |  'click_to_purchase', CASE WHEN converted    THEN t3 - t2 END,
+          |  'view_to_purchase',  CASE WHEN converted    THEN t3 - t1 END
+          |) AS (step, dur_us)""".stripMargin))
+      .filter(col("dur_us").isNotNull)
+      .select(col("step"),
+        graft.functions.PortableHash.h60(col("dur_us").cast("string")).as("h"),
+        col("dur_us").as("v"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_obs"), agg(col("h"), col("v")).as("q"))
+      .select(col("step"), col("n_obs"), col("q._1").as("p50_us"),
+        col("q._2").as("p90_us"), col("q._3").as("p99_us"))
+      .orderBy(col("step"))
+  }
+
   /** q76: column profiling — the data-quality summary a pipeline computes
     * on every ingest (the ODS-layer audit the reference does by eyeballing
     * Kafka topics): per numeric column of the fact table, row count, null

@@ -39,6 +39,22 @@ class GrowthSpec extends SparkSpec {
     assert(rows.map(_._2).sum === totalUsers)
   }
 
+  test("q79 invariants: quantiles ordered; converted nests in step-2 reach") {
+    val rows = RefQueries.funnelDurations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sorted === Seq("click_to_purchase", "view_to_click",
+      "view_to_purchase"))
+    rows.foreach { case (step, n, p50, p90, p99) =>
+      assert(n > 0 && p50 > 0, s"$step: empty or non-positive duration")
+      assert(p50 <= p90 && p90 <= p99, s"$step: quantiles out of order")
+    }
+    val byStep = rows.map(r => r._1 -> r._2).toMap
+    // converted ⊆ s2-in-window (t3-t1 ≤ W forces t2-t1 ≤ W since t2 < t3)
+    assert(byStep("view_to_purchase") === byStep("click_to_purchase"))
+    assert(byStep("view_to_click") >= byStep("view_to_purchase"))
+  }
+
   test("q73 invariants: quad sums to actives; churn balances yesterday") {
     val rows = RefQueries.growthAccounting(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
