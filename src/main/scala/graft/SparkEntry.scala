@@ -106,6 +106,7 @@ object SparkEntry {
     "q77_integrity"       -> (RefQueries.integrityAudit _),
     "q78_cohort_conv"     -> (RefQueries.cohortConversion _),
     "q79_funnel_durs"     -> ((s, d) => RefQueries.funnelDurations(s, d)),
+    "q80_scd2_cdc"        -> (graft.operators.Scd.scd2CdcHistory _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1321,5 +1322,35 @@ object SparkEntry {
          |  MAX(CASE WHEN vrk = ((m - 1) * 99) // 100 THEN v END) AS p99_us
          |FROM r JOIN n USING (step) GROUP BY 1, 2 ORDER BY step""".stripMargin
     },
+    // q80: the q71 islands construction with Maxwell-style tombstones —
+    // 'error' rows are deletes: chg never increments on a tombstone, a
+    // tombstone's MIN(us) closes its run, head-of-stream tombstones
+    // (runs with no live rows) drop as no-ops
+    "q80_scd2_cdc" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type <> 'error' THEN event_type END AS status,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT user_id, us, event_id, status, op,
+        |    CASE WHEN op = 'd' THEN 0
+        |         WHEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'd'
+        |           OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs AS (SELECT user_id, us, status, op,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |hist AS (SELECT user_id, run_id,
+        |    MIN(CASE WHEN op = 'u' THEN status END) AS status,
+        |    MIN(CASE WHEN op = 'u' THEN us END) AS valid_from,
+        |    CAST(COUNT(CASE WHEN op = 'u' THEN 1 END) AS BIGINT) AS n_events,
+        |    MIN(CASE WHEN op = 'd' THEN us END) AS del_at
+        |  FROM runs GROUP BY 1, 2 HAVING n_events > 0)
+        |SELECT user_id, status, valid_from,
+        |  COALESCE(del_at, lead(valid_from) OVER wo) AS valid_to, n_events,
+        |  (COALESCE(del_at, lead(valid_from) OVER wo) IS NULL) AS is_current
+        |FROM hist
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, run_id)
+        |ORDER BY user_id, valid_from, status""".stripMargin,
   )
 }

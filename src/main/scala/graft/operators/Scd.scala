@@ -61,6 +61,52 @@ object Scd {
         col("valid_to").isNull.as("is_current"), col("run_id"))
   }
 
+  /** CDC-aware islands construction: like [[scd2HistoryFrom]] but the
+    * change stream carries an `op` column ('u' upsert / 'd' delete, the
+    * Maxwell insert/update/delete ops the reference's CDC router reads —
+    * TableProcessFunction.java:185-193; its SCD1 dim store has no
+    * tombstone story, DimSink.java:72-75 only drops a cache entry).
+    * A delete CLOSES the open version at the delete's timestamp
+    * (valid_to = delete us, is_current = false) and opens nothing; a
+    * later upsert opens a fresh version even at the SAME status (the
+    * delete breaks the run); a delete with nothing open is a no-op.
+    *
+    * Same shape as the plain construction — two window passes over one
+    * user-keyed sort, per-run reduce, lead over the REDUCED history — so
+    * the scale argument carries unchanged: deletes ride the same shuffle,
+    * and the only new per-run state is one MIN over the tombstone rows. */
+  def scd2HistoryCdcFrom(changes: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val prevOp = lag(col("op"), 1).over(byUser)
+    val prevStatus = lag(col("status"), 1).over(byUser)
+    val runs = changes
+      .withColumn("chg",
+        when(col("op") === "d", 0L)
+          .when(prevOp.isNull || prevOp === "d" ||
+            prevStatus =!= col("status"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy(col("user_id"), col("run_id"))
+      .agg(min(when(col("op") === "u", col("status"))).as("status"),
+        min(when(col("op") === "u", col("us"))).as("valid_from"),
+        count(when(col("op") === "u", 1)).as("n_events"),
+        // only the FIRST tombstone in a run closes it; later ones no-op
+        min(when(col("op") === "d", col("us"))).as("del_at"))
+      // head-of-stream tombstones with nothing open land in run 0 with no
+      // live rows: a delete of a nonexistent key is a no-op
+      .filter(col("n_events") > 0)
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("run_id"))
+    hist
+      .withColumn("valid_to",
+        coalesce(col("del_at"), lead(col("valid_from"), 1).over(ordered)))
+      .select(col("user_id"), col("status"), col("valid_from"),
+        col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"), col("run_id"))
+  }
+
   private def eventsUs(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
@@ -74,6 +120,21 @@ object Scd {
   def scd2History(s: SparkSession, dir: String): DataFrame =
     scd2HistoryFrom(eventsUs(s, dir).select(col("user_id"), col("us"),
         col("event_id"), col("event_type").as("status")))
+      .drop("run_id")
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
+
+  /** q80: SCD2 history under CDC tombstones — q71's stream re-read as a
+    * Maxwell-style CDC feed where 'error' events are deletes: the account
+    * record vanishes at the error and a later event re-creates it as a
+    * NEW version (even at the same status). Declared output mirrors q71
+    * (run_id internal); rows closed by a tombstone carry valid_to =
+    * tombstone time with no successor abutting it — the gap IS the
+    * deletion interval. */
+  def scd2CdcHistory(s: SparkSession, dir: String): DataFrame =
+    scd2HistoryCdcFrom(eventsUs(s, dir).select(col("user_id"), col("us"),
+        col("event_id"),
+        when(col("event_type") =!= "error", col("event_type")).as("status"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op")))
       .drop("run_id")
       .orderBy(col("user_id"), col("valid_from"), col("status"))
 

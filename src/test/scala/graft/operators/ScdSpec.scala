@@ -78,4 +78,32 @@ class ScdSpec extends SparkSpec {
       assert(sorted.init.forall(_._3.isDefined) && sorted.last._3.isEmpty)
     }
   }
+
+  test("q80 CDC history: intervals never overlap; deletion gaps are real") {
+    val hist = Scd.scd2CdcHistory(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(hist.nonEmpty)
+    var gaps = 0
+    hist.groupBy(_._1).foreach { case (_, runs) =>
+      val sorted = runs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from2, _, _)) =>
+          // closed at or before the successor opens; a strict gap is a
+          // deletion interval (the key did not exist in it)
+          assert(to.isDefined && to.get <= from2)
+          if (to.get < from2) gaps += 1
+        case _ => ()
+      }
+      // at most one current version, and only in last position
+      assert(sorted.init.forall(_._3.isDefined))
+      // tombstone-closed final version: user may have NO current row
+      assert(sorted.count(_._4) <= 1)
+    }
+    assert(gaps > 0, "no deletion gap found — tombstones had no effect")
+    // tombstones strictly shrink coverage vs the delete-blind q71 history:
+    // some users' q71-current version is closed here
+    val open = hist.count(_._4)
+    assert(open < hist.groupBy(_._1).size)
+  }
 }

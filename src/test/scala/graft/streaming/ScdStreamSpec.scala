@@ -101,4 +101,95 @@ class ScdStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size > 500) // non-trivial history
   }
+
+  private def batchTruthCdc(
+      events: Seq[(Long, Long, Long, String, String)]): Set[_] = {
+    val s = spark; import s.implicits._
+    histSet(graft.operators.Scd.scd2HistoryCdcFrom(
+      events.toDF("user_id", "us", "event_id", "status", "op")))
+  }
+
+  test("CDC tombstones across splits equal batch CDC construction") {
+    val s = spark; import s.implicits._
+    def u(uid: Long, us: Long, id: Long, st: String) = (uid, us, id, st, "u")
+    def d(uid: Long, us: Long, id: Long) =
+      (uid, us, id, null.asInstanceOf[String], "d")
+    // user 1: tombstone ALONE in its batch closes the open run; re-insert
+    //   at the SAME status opens a new version (delete breaks the run)
+    // user 2: head-of-stream tombstone no-ops; double tombstone in one
+    //   batch — only the first closes
+    // user 3: delete + same-status re-open WITHIN one batch
+    // user 4: full deletion, then an orphan tombstone in a LATER batch
+    //   (no open row — no-op, and run ids must not collide), then
+    //   re-insert in yet another batch
+    val all = Seq(
+      u(1, 100, 1, "A"), u(1, 200, 2, "A"), d(1, 300, 3), u(1, 400, 4, "A"),
+      d(2, 110, 5), u(2, 210, 6, "B"), d(2, 310, 7), d(2, 320, 8),
+      u(3, 130, 9, "C"), d(3, 230, 10), u(3, 260, 11, "C"),
+      u(4, 140, 12, "D"), d(4, 240, 13), d(4, 340, 14), u(4, 440, 15, "D"))
+    val byId = all.map(e => e._3 -> e).toMap
+    val splits = Seq(
+      Seq(1L, 2, 5, 9, 10, 11, 12).map(byId),   // batch 1
+      Seq(3L, 6, 13).map(byId),                 // batch 2: lone tombstones
+      Seq(4L, 7, 8, 14).map(byId),              // batch 3: re-insert + orphan
+      Seq(15L).map(byId))                       // batch 4: post-delete insert
+    var hist = ScdStream.emptyHistory(s)
+    splits.foreach { b =>
+      hist = ScdStream.mergeBatchCdc(hist,
+        b.toDF("user_id", "us", "event_id", "status", "op"))
+        .localCheckpoint(true)
+    }
+    assert(histSet(hist) === batchTruthCdc(all))
+    // deletion intervals are real gaps: user 1 closed at the tombstone
+    // (300), not at the successor's open (400)
+    val u1closed = hist.filter(col("user_id") === 1 && !col("is_current")).head()
+    assert(u1closed.getAs[Long]("valid_to") === 300L &&
+      u1closed.getAs[Long]("n_events") === 2L)
+    // user 2's double tombstone: closed at the FIRST (310), no current row
+    val u2 = hist.filter(col("user_id") === 2).collect()
+    assert(u2.length === 1 && u2.head.getAs[Long]("valid_to") === 310L)
+    // user 4: orphan tombstone no-oped; re-insert got a FRESH run id
+    val u4 = hist.filter(col("user_id") === 4).collect()
+      .sortBy(_.getAs[Long]("valid_from"))
+    assert(u4.map(_.getAs[Long]("run_id")).distinct.length === 2)
+    assert(u4.last.getAs[Boolean]("is_current"))
+  }
+
+  test("foreachBatch CDC stream over real events equals batch q80") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stage = java.nio.file.Files.createTempDirectory("graft-scd-cdc").toString
+    val histPath = s"$stage/hist"
+    val ev = graft.Tables.load(s, sf, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        when(col("event_type") =!= "error", col("event_type")).as("status"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"))
+      .orderBy(col("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val q = input.toDF().toDF("user_id", "us", "event_id", "status", "op")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prior =
+          if (new java.io.File(histPath).exists) s.read.parquet(histPath)
+          else ScdStream.emptyHistory(s)
+        ScdStream.mergeBatchCdc(prior, batch).localCheckpoint(true)
+          .write.mode("overwrite").parquet(histPath)
+        (): Unit
+      }.start()
+    try {
+      val cuts = Seq(0, 137, 138, 600, ev.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(ev.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = histSet(s.read.parquet(histPath))
+    val batch = batchTruthCdc(ev.toSeq)
+    assert(streamed === batch)
+    // tombstones really closed versions: some rows end at a deletion gap
+    // (valid_to with no successor abutting it)
+    assert(streamed.size > 100)
+  }
 }
