@@ -70,6 +70,33 @@ object Curation {
   def clearFeatureCache(): Unit =
     featureCache.synchronized(featureCache.clear())
 
+  /** Persisted doc-features checkpoint: the on-disk form of the
+    * [[docFeatures]] artifact, refreshed incrementally as the corpus
+    * grows. Each refresh computes features ONLY for doc_ids not already
+    * in the store (anti-join against the store's pruned doc_id column)
+    * and appends them — per-refresh cost is O(new docs), never
+    * O(corpus), the same reference-side persistence contract as
+    * `Dedup.incrementalDedup`'s signature table. Re-delivering an
+    * already-ingested batch appends nothing, so upstream at-least-once
+    * delivery cannot duplicate feature rows. At 100 TB the store is the
+    * doc-stats table every curation stage fans out from; partition the
+    * parquet by `bucket` and the anti-join prunes to touched buckets.
+    * Returns the refreshed store as a frame. */
+  def refreshFeatureStore(s: SparkSession, path: String, docs: DataFrame,
+      passthrough: Seq[String] = Seq("lang", "source", "n_chars")): DataFrame = {
+    val hasStore = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val fresh =
+      if (!hasStore) docs
+      else docs.join(s.read.parquet(path).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    docFeaturesOf(fresh, passthrough)
+      .write.mode("append").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Benchmark decontamination (q56): flag train/val documents that share
     * at least one distinct 13-token n-gram with any test-split document —
     * the canonical overlap rule used to scrub eval contamination from

@@ -178,6 +178,32 @@ class CurationSpec extends SparkSpec {
     assert(Curation.docFeatures(spark, sf) eq Curation.docFeatures(spark, sf))
   }
 
+  test("feature-store checkpoint: incremental refresh equals full recompute; re-delivery appends nothing") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-feat-store").toString + "/feats"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length > 100)
+    // three uneven growth snapshots of the corpus, refreshed in order
+    val cuts = Seq(ids(ids.length / 5), ids(ids.length / 2), ids.last)
+    var store: org.apache.spark.sql.DataFrame = null
+    cuts.foreach { hi =>
+      store = Curation.refreshFeatureStore(spark, path,
+        docs.filter(col("doc_id") <= hi))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getValuesMap[Any](df.columns.toSeq)).toSet
+    val full = Curation.docFeaturesOf(docs,
+      passthrough = Seq("lang", "source", "n_chars"))
+    assert(store.columns.sorted.toSeq === full.columns.sorted.toSeq)
+    assert(rows(store.select(full.columns.map(col): _*)) === rows(full))
+    // at-least-once upstream: re-delivering an ingested snapshot no-ops
+    val again = Curation.refreshFeatureStore(spark, path,
+      docs.filter(col("doc_id") <= cuts.head))
+    assert(again.count() === ids.length.toLong)
+  }
+
   test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
     Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
       .foreach { df =>
