@@ -107,6 +107,7 @@ object SparkEntry {
     "q78_cohort_conv"     -> (RefQueries.cohortConversion _),
     "q79_funnel_durs"     -> ((s, d) => RefQueries.funnelDurations(s, d)),
     "q80_scd2_cdc"        -> (graft.operators.Scd.scd2CdcHistory _),
+    "q81_pit_enrich_cdc"  -> (graft.operators.Scd.pointInTimeEnrichCdc _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1352,5 +1353,45 @@ object SparkEntry {
         |FROM hist
         |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, run_id)
         |ORDER BY user_id, valid_from, status""".stripMargin,
+    // q81: the q80 CDC history (view/click/signup states, 'error'
+    // tombstones) joined by interval CONTAINMENT — the oracle twin of the
+    // engine's as-of + tombstone-mask construction (non-overlapping
+    // intervals make containment unique; a purchase inside a deletion gap
+    // matches no version)
+    "q81_pit_enrich_cdc" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    event_type, value FROM events),
+        |c AS (SELECT user_id, us, event_id,
+        |    CASE WHEN event_type <> 'error' THEN event_type END AS status,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM e WHERE event_type IN ('view', 'click', 'signup', 'error')),
+        |r AS (SELECT user_id, us, event_id, status, op,
+        |    CASE WHEN op = 'd' THEN 0
+        |         WHEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'd'
+        |           OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs AS (SELECT user_id, us, status, op,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |hist AS (SELECT user_id, run_id,
+        |    MIN(CASE WHEN op = 'u' THEN status END) AS status,
+        |    MIN(CASE WHEN op = 'u' THEN us END) AS valid_from,
+        |    CAST(COUNT(CASE WHEN op = 'u' THEN 1 END) AS BIGINT) AS n_events,
+        |    MIN(CASE WHEN op = 'd' THEN us END) AS del_at
+        |  FROM runs GROUP BY 1, 2 HAVING n_events > 0),
+        |v AS (SELECT user_id, status, valid_from, n_events,
+        |    COALESCE(del_at, lead(valid_from) OVER wo) AS valid_to
+        |  FROM hist
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, run_id)),
+        |p AS (SELECT event_id, user_id, us, value FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us AS ts_us, p.value,
+        |  v.valid_from AS state_from, v.status AS state,
+        |  v.n_events AS state_events
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.valid_from <= p.us
+        |  AND (v.valid_to IS NULL OR p.us < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -138,6 +138,53 @@ object Scd {
       .drop("run_id")
       .orderBy(col("user_id"), col("valid_from"), col("status"))
 
+  /** q81: point-in-time enrichment under CDC tombstones — the q80 × q61
+    * composition: purchases are enriched with the account-state version
+    * valid at purchase time, and a purchase landing in a DELETION GAP
+    * (after a tombstone closed the last version, before any re-create)
+    * gets NULL state — the delete-blind q72 would wrongly resurrect the
+    * dead version there. State stream: view/click/signup statuses with
+    * 'error' as the tombstone; facts: purchases.
+    *
+    * Same one-shuffle as-of construction as q72; the only addition is the
+    * matched version's valid_to riding along and a null-mask when it
+    * precedes the purchase (`deleted before ts` ⇒ no later version can
+    * contain ts either, so as-of + mask equals interval containment — the
+    * spec proves it). */
+  def pointInTimeEnrichCdc(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val hist = scd2HistoryCdcFrom(
+      ev.filter(col("event_type").isin("view", "click", "signup", "error"))
+        .select(col("user_id"), col("us"), col("event_id"),
+          when(col("event_type") =!= "error", col("event_type")).as("status"),
+          when(col("event_type") === "error", "d").otherwise("u").as("op")))
+    pointInTimeEnrichCdcFrom(ev, hist)
+  }
+
+  /** The q81 join body, parameterized for the spec's containment twin. */
+  def pointInTimeEnrichCdcFrom(ev: DataFrame, hist: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+    // the as-of machinery forward-fills payload columns ignoreNulls, so a
+    // NULL (open) valid_to would inherit the PREVIOUS closed version's
+    // bound — encode open as Long.MaxValue through the join instead
+    val versions = hist.groupBy(col("user_id"), col("valid_from").as("us"))
+      .agg(max_by(col("status"), col("run_id")).as("status"),
+        max_by(col("n_events"), col("run_id")).as("n_events"),
+        max_by(coalesce(col("valid_to"), lit(Long.MaxValue)), col("run_id"))
+          .as("valid_to"))
+    val joined = AsOf.asOfJoin(purchases, versions, Seq("user_id"), "us",
+      Seq("status", "n_events", "valid_to"))
+    val dead = col("valid_to_asof") <= col("us")
+    joined.select(col("event_id"), col("user_id"), col("us").as("ts_us"),
+        col("value"),
+        when(dead, lit(null)).otherwise(col("asof_ts")).as("state_from"),
+        when(dead, lit(null)).otherwise(col("status_asof")).as("state"),
+        when(dead, lit(null)).otherwise(col("n_events_asof"))
+          .as("state_events"))
+      .orderBy(col("event_id"))
+  }
+
   /** q72: POINT-IN-TIME star enrichment — the composition the reference's
     * dim lookups cannot express. `DimUtil.java:69-126` enriches with the
     * dim value current AT LOOKUP TIME (nondeterministic under replay);

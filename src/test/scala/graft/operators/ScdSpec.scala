@@ -106,4 +106,42 @@ class ScdSpec extends SparkSpec {
     val open = hist.count(_._4)
     assert(open < hist.groupBy(_._1).size)
   }
+
+  test("q81 as-of + tombstone mask equals the interval-containment join") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+    val hist = Scd.scd2HistoryCdcFrom(
+      ev.filter(col("event_type").isin("view", "click", "signup", "error"))
+        .select(col("user_id"), col("us"), col("event_id"),
+          when(col("event_type") =!= "error", col("event_type")).as("status"),
+          when(col("event_type") === "error", "d").otherwise("u").as("op")))
+    val asof = Scd.pointInTimeEnrichCdcFrom(ev, hist)
+
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+    val containment = purchases.alias("p")
+      .join(hist.alias("h"),
+        col("p.user_id") === col("h.user_id") &&
+          col("h.valid_from") <= col("p.us") &&
+          (col("h.valid_to").isNull || col("p.us") < col("h.valid_to")),
+        "left")
+      .select(col("p.event_id"), col("p.user_id"),
+        col("p.us").as("ts_us"), col("p.value"),
+        col("h.valid_from").as("state_from"), col("h.status").as("state"),
+        col("h.n_events").as("state_events"))
+    assert(asof.count() === purchases.count()) // non-overlap: no fan-out
+    assert(asof.exceptAll(containment).count() === 0L)
+    assert(containment.exceptAll(asof).count() === 0L)
+    // deletion gaps genuinely mask: some purchases carry NULL state even
+    // though the user HAD a version before the purchase (the delete-blind
+    // q72-style join would resurrect it)
+    val firsts = hist.groupBy(col("user_id"))
+      .agg(min(col("valid_from")).as("first_from"))
+    val masked = asof.filter(col("state").isNull)
+      .join(firsts, Seq("user_id"))
+      .filter(col("first_from") <= col("ts_us"))
+    assert(masked.count() > 0)
+  }
 }
