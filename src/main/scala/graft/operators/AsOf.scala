@@ -25,6 +25,10 @@ import graft.Tables
   * Contract: `right` must be unique per (key, rTime) — callers reduce
   * multi-writer ties first (q61 takes MAX(value) per (user, ts)) so the
   * winning row is a pure function of the data, not of sort stability.
+  * Payload columns must be NON-NULL on right rows: the per-column
+  * ignoreNulls fill would otherwise carry the previous version's value
+  * through a null — encode "absent" as a sentinel instead (q81 rides
+  * valid_to through as Long.MaxValue for open versions).
   */
 object AsOf {
 

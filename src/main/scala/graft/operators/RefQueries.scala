@@ -459,8 +459,13 @@ object RefQueries {
     funnelPathsFrom(events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type")),
       windowUs)
+      .orderBy(col("user_id"))
 
-  /** The q75 construction over any (user_id, us, event_type) frame. */
+  /** The q75 construction over any (user_id, us, event_type) frame.
+    * Deliberately UNORDERED: q78/q79 aggregate over it, and a trailing
+    * global sort here survives under q79's Generate (EliminateSorts does
+    * not see through it) as a pointless rangepartition of the per-user
+    * frame — q75 adds its declared ordering in the wrapper above. */
   def funnelPathsFrom(e: DataFrame,
                       windowUs: Long = 86400L * 1000000L): DataFrame = {
     def step(evType: String, prev: DataFrame, prevCols: Seq[String],
@@ -481,7 +486,6 @@ object RefQueries {
           .as("s2_in_window"),
         (col("t3").isNotNull && col("t3") - col("t1") <= windowUs)
           .as("converted"))
-      .orderBy(col("user_id"))
   }
 
   /** q74: TRUE per-session visitor stats — the upgrade of the reference's
