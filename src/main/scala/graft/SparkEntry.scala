@@ -108,6 +108,10 @@ object SparkEntry {
     "q79_funnel_durs"     -> ((s, d) => RefQueries.funnelDurations(s, d)),
     "q80_scd2_cdc"        -> (graft.operators.Scd.scd2CdcHistory _),
     "q81_pit_enrich_cdc"  -> (graft.operators.Scd.pointInTimeEnrichCdc _),
+    "q82_status_dwell"    -> (graft.operators.Scd.statusDwell _),
+    "q83_rolling_daily"   -> (RefQueries.rollingDaily _),
+    "q84_pivot_daily"     -> (RefQueries.pivotDaily _),
+    "q85_rollup_pricing"  -> (RefQueries.rollupPricing _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1393,5 +1397,78 @@ object SparkEntry {
         |  AND v.valid_from <= p.us
         |  AND (v.valid_to IS NULL OR p.us < v.valid_to)
         |ORDER BY p.event_id""".stripMargin,
+    // q82: the q80 CDC intervals integrated per status — open versions
+    // capped at the stream's max event time, tombstone-closed ones end at
+    // the delete; all arithmetic integer µs
+    "q82_status_dwell" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type <> 'error' THEN event_type END AS status,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT user_id, us, event_id, status, op,
+        |    CASE WHEN op = 'd' THEN 0
+        |         WHEN lag(op) OVER w IS NULL OR lag(op) OVER w = 'd'
+        |           OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs AS (SELECT user_id, us, status, op,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |hist AS (SELECT user_id, run_id,
+        |    MIN(CASE WHEN op = 'u' THEN status END) AS status,
+        |    MIN(CASE WHEN op = 'u' THEN us END) AS valid_from,
+        |    CAST(COUNT(CASE WHEN op = 'u' THEN 1 END) AS BIGINT) AS n_events,
+        |    MIN(CASE WHEN op = 'd' THEN us END) AS del_at
+        |  FROM runs GROUP BY 1, 2 HAVING n_events > 0),
+        |v AS (SELECT user_id, status, valid_from,
+        |    COALESCE(del_at, lead(valid_from) OVER wo) AS valid_to
+        |  FROM hist
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, run_id)),
+        |cap AS (SELECT MAX(epoch_us(ts)) AS cap_us FROM events)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(SUM(COALESCE(valid_to, cap_us) - valid_from) AS BIGINT)
+        |    AS total_dwell_us,
+        |  CAST(COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_open
+        |FROM v CROSS JOIN cap
+        |GROUP BY status ORDER BY status""".stripMargin,
+    // q83: RANGE frame over the integer day index (gap-correct trailing
+    // week); day string via the q78-proven MIN(strftime) convention
+    "q83_rolling_daily" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_num, ts,
+        |    user_id FROM events),
+        |d AS (SELECT day_num, MIN(strftime(ts, '%Y-%m-%d')) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_actives
+        |  FROM e GROUP BY 1)
+        |SELECT day, n_events, n_actives,
+        |  CAST(SUM(n_events) OVER wr AS BIGINT) AS r7_events,
+        |  CAST(COUNT(*) OVER wr AS BIGINT) AS r7_days
+        |FROM d
+        |WINDOW wr AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    // q84: pivot re-expressed as conditional aggregation (the portable
+    // relational form of an explicit-value-list pivot)
+    "q84_pivot_daily" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |${types.map(t =>
+            s"  CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+            .mkString(",\n")},
+         |  CAST(COUNT(*) AS BIGINT) AS total
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
+    // q85: GROUP BY ROLLUP with the same bit convention for GROUPING()
+    // (1 = dimension aggregated away; returnflag is the high bit)
+    "q85_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
   )
 }

@@ -576,6 +576,70 @@ object RefQueries {
       .orderBy(col("step"))
   }
 
+  /** q83: rolling 7-day activity report — per-day event volume and exact
+    * distinct actives plus a trailing-week RANGE-frame rollup (the DWS
+    * trend panel the reference renders from per-window sums; a RANGE
+    * frame over the day index handles calendar GAPS correctly, which a
+    * ROWS frame would silently miscount).
+    *
+    * Scale design: the corpus-sized work is one day-keyed partial/final
+    * aggregate; the rolling window then runs over ONE ROW PER DAY —
+    * metadata scale, so the unpartitioned window is a non-issue (same
+    * argument as q73's quad frame). */
+  def rollingDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(expr("ts div 86400000000000").as("day_num"),
+        expr("ts div 1000000000").as("sec"), col("user_id"))
+      .groupBy(col("day_num"))
+      .agg(min(date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd"))
+          .as("day"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_actives"))
+    val wr = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily.select(col("day"), col("n_events"), col("n_actives"),
+        sum(col("n_events")).over(wr).as("r7_events"),
+        count(lit(1)).over(wr).as("r7_days"))
+      .orderBy(col("day"))
+  }
+
+  /** q84: daily event-type pivot — the wide-format DWS panel (one column
+    * per event type), the INVERSE of the reference's keyword unpivot UDTF
+    * (A6/D2, KeywordStats4ProductApp.java:61-66): `groupBy(day).pivot`
+    * with an EXPLICIT value list, so the output schema is static and the
+    * plan is a single two-phase aggregate — no second pass to discover
+    * pivot values, no per-type scan. Absent (day, type) cells are 0. */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .select(date_format(timestamp_seconds(tsSec), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)) :+
+        types.map(t => coalesce(col(t), lit(0L))).reduce(_ + _).as("total"): _*)
+      .orderBy(col("day"))
+  }
+
+  /** q85: hierarchical rollup — q01's pricing metrics at THREE grains in
+    * one pass (per (flag, status), per-flag subtotal, grand total), the
+    * multi-dimensional DWS cube the reference materializes as separate
+    * per-grain apps. Spark's `rollup` expands the grouping sets inside a
+    * single two-phase aggregate — the fact table is scanned and shuffled
+    * ONCE for all three grains, not once per grain; `grouping_id`
+    * disambiguates a real NULL dimension from a subtotal row. */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q76: column profiling — the data-quality summary a pipeline computes
     * on every ingest (the ODS-layer audit the reference does by eyeballing
     * Kafka topics): per numeric column of the fact table, row count, null

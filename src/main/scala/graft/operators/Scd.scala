@@ -185,6 +185,35 @@ object Scd {
       .orderBy(col("event_id"))
   }
 
+  /** q82: per-status dwell time — how long the population spends in each
+    * state, integrated over the q80 CDC version intervals: SUM(valid_to −
+    * valid_from) per status, with open (current) versions capped at the
+    * stream's max event time so the total is a pure function of the data.
+    * Tombstone-closed intervals contribute only up to the delete — the
+    * report a delete-blind history would inflate. Interval arithmetic is
+    * integer µs end to end.
+    *
+    * Scale design: the history is already orders of magnitude smaller
+    * than the event stream; the dwell reduce adds one metadata-scale
+    * aggregation and a broadcast single-row cap — no new corpus shuffle. */
+  def statusDwell(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2HistoryCdcFrom(eventsUs(s, dir)
+      .select(col("user_id"), col("us"), col("event_id"),
+        when(col("event_type") =!= "error", col("event_type")).as("status"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op")))
+    val cap = eventsUs(s, dir).agg(max(col("us")).as("cap_us"))
+    hist.crossJoin(broadcast(cap))
+      .select(col("status"),
+        (coalesce(col("valid_to"), col("cap_us")) - col("valid_from"))
+          .as("dwell_us"),
+        col("is_current"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("dwell_us")).as("total_dwell_us"),
+        count(when(col("is_current"), 1)).as("n_open"))
+      .orderBy(col("status"))
+  }
+
   /** q72: POINT-IN-TIME star enrichment — the composition the reference's
     * dim lookups cannot express. `DimUtil.java:69-126` enriches with the
     * dim value current AT LOOKUP TIME (nondeterministic under replay);

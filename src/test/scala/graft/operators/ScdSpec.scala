@@ -107,6 +107,20 @@ class ScdSpec extends SparkSpec {
     assert(open < hist.groupBy(_._1).size)
   }
 
+  test("q82 dwell totals cross-foot with the CDC history") {
+    val hist = Scd.scd2CdcHistory(spark, sf)
+    val dwell = Scd.statusDwell(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dwell.nonEmpty)
+    dwell.foreach { case (st, n, total, open) =>
+      assert(total > 0 && open <= n, s"$st: bad dwell row")
+    }
+    // version counts partition the history; open counts match is_current
+    assert(dwell.map(_._2).sum === hist.count())
+    assert(dwell.map(_._4).sum ===
+      hist.filter(col("is_current")).count())
+  }
+
   test("q81 as-of + tombstone mask equals the interval-containment join") {
     import spark.implicits._
     val ev = graft.Tables.load(spark, sf, "events")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the wide-format aggregation family: q83 RANGE-frame
+  * rolling windows, q84 pivot, q85 rollup. Each cross-foots against an
+  * independent recomputation, not just its own arithmetic. */
+class WideAggSpec extends SparkSpec {
+
+  test("q83 rolling week equals a literal trailing-7-day recomputation") {
+    val rows = RefQueries.rollingDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => java.time.LocalDate.parse(r._1) -> r._2).toMap
+    rows.foreach { case (day, _, actives, r7, r7days) =>
+      val d = java.time.LocalDate.parse(day)
+      val window = (0 to 6).flatMap(k => byDay.get(d.minusDays(k.toLong)))
+      assert(r7 === window.sum, s"$day: RANGE frame != literal recompute")
+      assert(r7days === window.size.toLong && r7days <= 7L)
+      assert(actives > 0)
+    }
+    // the frame is day-VALUE based: if the calendar had gaps, r7_days < 7
+    // proves RANGE (not ROWS) semantics; on gapless data all interior
+    // days must see a full week
+    assert(rows.drop(6).forall(_._5 === 7L))
+  }
+
+  test("q84 pivot cross-foots: cells sum to row totals and to the event count") {
+    val rows = RefQueries.pivotDaily(spark, sf).collect()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    rows.foreach { r =>
+      val cells = types.map(t => r.getAs[Long](t))
+      assert(cells.sum === r.getAs[Long]("total"))
+    }
+    val total = rows.map(_.getAs[Long]("total")).sum
+    assert(total === graft.Tables.load(spark, sf, "events").count())
+  }
+
+  test("q85 rollup: subtotals and grand total equal their detail sums") {
+    val rows = RefQueries.rollupPricing(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Long]("gid"), r.getAs[Double]("sum_qty"),
+        r.getAs[Long]("count_order")))
+    val detail = rows.filter(_._3 === 0L)
+    val byFlag = rows.filter(_._3 === 1L)
+    val grand = rows.filter(_._3 === 3L)
+    assert(grand.length === 1 && byFlag.nonEmpty && detail.nonEmpty)
+    // exactly the three rollup grains, nothing else
+    assert(rows.map(_._3).distinct.sorted.toSeq === Seq(0L, 1L, 3L))
+    byFlag.foreach { case (flag, status, _, qty, n) =>
+      assert(status.isEmpty)
+      val d = detail.filter(_._1 === flag)
+      assert(n === d.map(_._5).sum)
+      assert(math.abs(qty - d.map(_._4).sum) < 1e-6)
+    }
+    assert(grand.head._5 === detail.map(_._5).sum)
+    assert(math.abs(grand.head._4 - detail.map(_._4).sum) < 1e-6)
+  }
+}
