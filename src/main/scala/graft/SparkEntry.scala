@@ -112,6 +112,7 @@ object SparkEntry {
     "q83_rolling_daily"   -> (RefQueries.rollingDaily _),
     "q84_pivot_daily"     -> (RefQueries.pivotDaily _),
     "q85_rollup_pricing"  -> (RefQueries.rollupPricing _),
+    "q86_sliding_stats"   -> (RefQueries.slidingStats _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1470,5 +1471,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // q86: each event belongs to exactly len/slide = 2 hopping windows —
+    // the two 30-min-aligned starts at and before its slide bucket
+    "q86_sliding_stats" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS sec, event_type,
+        |    value FROM events),
+        |x AS (SELECT ((sec // 1800) * 1800 - off) AS win_start, event_type,
+        |    value
+        |  FROM e CROSS JOIN (SELECT UNNEST([0, 1800]) AS off))
+        |SELECT win_start, event_type, COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -68,6 +68,36 @@ object RefQueries {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** q86: SLIDING (hopping) event-time windows — 1-hour windows every
+    * 30 minutes, the overlapping-window class the reference never uses
+    * (its DWS apps are all tumbling — SURVEY §2.12); trend dashboards
+    * need the overlap for smoothing. Native `window(ts, len, slide)`
+    * assigns each event to its len/slide = 2 windows inside the aggregate
+    * (same operator streams with a watermark — SlidingWindowSpec proves
+    * append-mode equality on this very frame).
+    *
+    * Scale design: the expansion factor is exactly len/slide (here 2×)
+    * BEFORE the partial aggregate, which collapses it immediately — the
+    * shuffle carries (window, type) partials, never duplicated events. */
+  def slidingStats(s: SparkSession, dir: String): DataFrame =
+    slidingStatsFrom(events(s, dir)
+      .select(expr("ts div 1000000000").as("sec"), col("event_type"),
+        col("value")))
+
+  /** The q86 aggregation over any (sec, event_type, value) frame — shared
+    * with the streaming twin (add a watermark upstream). */
+  def slidingStatsFrom(e: DataFrame): DataFrame = {
+    e.groupBy(
+        window(timestamp_seconds(col("sec")), "1 hour", "30 minutes")
+          .as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        exactSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("pv_ct"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** A4/J3 analogue (ProvinceStatsSqlApp.java:53-61): per-nation order
     * stats via a 3-table star join; nation/region broadcast. */
   def provinceStats(s: SparkSession, dir: String): DataFrame = {
