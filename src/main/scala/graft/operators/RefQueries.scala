@@ -617,14 +617,21 @@ object RefQueries {
     * metadata scale, so the unpartitioned window is a non-issue (same
     * argument as q73's quad frame). */
   def rollingDaily(s: SparkSession, dir: String): DataFrame = {
-    val daily = events(s, dir)
+    rollingDailyFrom(events(s, dir)
       .select(expr("ts div 86400000000000").as("day_num"),
         expr("ts div 1000000000").as("sec"), col("user_id"))
       .groupBy(col("day_num"))
       .agg(min(date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd"))
           .as("day"),
         count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_actives"))
+        countDistinct(col("user_id")).as("n_actives")))
+  }
+
+  /** The q86-style rolling stage over an already-reduced daily frame
+    * (day_num, day, n_events, n_actives) — shared with the incremental
+    * twin (`streaming/RollingStream`), whose maintained state IS that
+    * frame. */
+  def rollingDailyFrom(daily: DataFrame): DataFrame = {
     val wr = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
     daily.select(col("day"), col("n_events"), col("n_actives"),
         sum(col("n_events")).over(wr).as("r7_events"),
