@@ -113,6 +113,8 @@ object SparkEntry {
     "q84_pivot_daily"     -> (RefQueries.pivotDaily _),
     "q85_rollup_pricing"  -> (RefQueries.rollupPricing _),
     "q86_sliding_stats"   -> (RefQueries.slidingStats _),
+    "q87_transitions"     -> (RefQueries.transitionMatrix _),
+    "q88_gap_histogram"   -> (RefQueries.gapHistogram _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1482,5 +1484,35 @@ object SparkEntry {
         |SELECT win_start, event_type, COUNT(*) AS pv_ct,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q87: identical lag over (us, event_id); '_start' sorts before the
+    // real event types so the matrix hash is order-stable
+    "q87_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT COALESCE(lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id), '_start')
+        |      AS prev, event_type AS next
+        |  FROM e),
+        |m AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |o AS (SELECT prev, SUM(n) AS out_n FROM m GROUP BY 1)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) / CAST(out_n AS DOUBLE), 6) AS p
+        |FROM m JOIN o USING (prev) ORDER BY prev, next""".stripMargin,
+    // q88: log2 bucket via LENGTH(bin(x)) - 1 (pure integer/string ops,
+    // no floating log); gap 0 ms pinned to bucket -1
+    "q88_gap_histogram" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |g AS (SELECT (us - lag(us) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id)) // 1000
+        |      AS gap_ms FROM e),
+        |b AS (SELECT CASE WHEN gap_ms = 0 THEN -1
+        |      ELSE LENGTH(bin(gap_ms)) - 1 END AS bucket, gap_ms
+        |  FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -98,6 +98,63 @@ object RefQueries {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** q87: event-transition matrix — per-user journey bigrams (the CEP
+    * family's aggregate view: where T2/q07 matches ONE hand-written
+    * pattern, this counts EVERY adjacent transition, the input to any
+    * Markov/attribution model): lag(event_type) over each user's
+    * (µs, event_id) timeline, counted per (prev, next) pair with the
+    * share of each prev-state's outgoing mass. First events (no
+    * predecessor) count under prev = '_start'.
+    *
+    * Scale design: one user-keyed window pass (the q71/q30 islands
+    * shuffle), then a 25-row aggregate; the share denominator joins back
+    * broadcast-small. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev",
+        coalesce(lag(col("event_type"), 1).over(byUser), lit("_start")))
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val outMass = pairs.groupBy(col("prev"))
+      .agg(sum(col("n")).as("out_n"))
+    pairs.join(broadcast(outMass), Seq("prev"))
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n").cast("double") / col("out_n").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  /** q88: inter-arrival gap histogram — the event-cadence profile
+    * (ingest-health fingerprint a pipeline tracks release over release):
+    * per-user gaps between consecutive events, bucketed on a log2 scale
+    * (bucket k = floor(log2(gap_ms)) via bit_length, gap 0 ms in bucket
+    * -1), with exact counts and per-bucket min/max so the hash pins the
+    * bucketing boundaries themselves.
+    *
+    * Scale design: the same single user-keyed window pass as q87 (lag on
+    * the µs timeline), then a ~40-row aggregate — no second shuffle. */
+  def gapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .select(expr("gap_us div 1000").as("gap_ms"))
+      .select(when(col("gap_ms") === 0L, lit(-1L))
+          .otherwise((length(bin(col("gap_ms"))) - 1).cast("long"))
+          .as("bucket"),
+        col("gap_ms"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap_ms")).as("min_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .orderBy(col("bucket"))
+  }
+
   /** A4/J3 analogue (ProvinceStatsSqlApp.java:53-61): per-nation order
     * stats via a 3-table star join; nation/region broadcast. */
   def provinceStats(s: SparkSession, dir: String): DataFrame = {

@@ -38,6 +38,42 @@ class WideAggSpec extends SparkSpec {
     assert(total === graft.Tables.load(spark, sf, "events").count())
   }
 
+  test("q87 transition matrix: rows count every event once; shares sum to 1") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val nEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    val rows = RefQueries.transitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // every event appears exactly once as a 'next'
+    assert(rows.map(_._3).sum === nEvents)
+    // each user's first event transitions from _start
+    assert(rows.filter(_._1 === "_start").map(_._3).sum === nUsers)
+    // outgoing shares sum to ~1 per prev state (rounding only)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"$prev shares")
+    }
+  }
+
+  test("q88 gap histogram: buckets bound their members; totals cross-foot") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val nEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    val rows = RefQueries.gapHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one gap per event except each user's first
+    assert(rows.map(_._2).sum === nEvents - nUsers)
+    rows.foreach { case (bucket, n, minMs, maxMs) =>
+      assert(n > 0 && minMs <= maxMs)
+      if (bucket === -1L) assert(minMs === 0L && maxMs === 0L)
+      else {
+        val lo = 1L << bucket
+        assert(minMs >= lo && maxMs < lo * 2,
+          s"bucket $bucket: [$minMs,$maxMs] outside [$lo,${lo * 2})")
+      }
+    }
+  }
+
   test("q85 rollup: subtotals and grand total equal their detail sums") {
     val rows = RefQueries.rollupPricing(spark, sf).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
