@@ -115,6 +115,7 @@ object SparkEntry {
     "q86_sliding_stats"   -> (RefQueries.slidingStats _),
     "q87_transitions"     -> (RefQueries.transitionMatrix _),
     "q88_gap_histogram"   -> (RefQueries.gapHistogram _),
+    "q89_lang_deciles"    -> (RefQueries.langDeciles _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1514,5 +1515,16 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q89: NTILE with a doc_id tiebreak so the bucket assignment is
+    // data-determined in both engines (standard SQL extras-first rule)
+    "q89_lang_deciles" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS decile
+        |  FROM documents)
+        |SELECT lang, CAST(decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

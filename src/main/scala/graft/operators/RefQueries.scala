@@ -155,6 +155,31 @@ object RefQueries {
       .orderBy(col("bucket"))
   }
 
+  /** q89: per-language document-length deciles — NTILE(10) within each
+    * lang partition (tiebroken by doc_id so the assignment is a pure
+    * function of the data in both engines), reduced to per-(lang, decile)
+    * counts and char bounds: the ranked-distribution profile a curation
+    * team reads before setting length cutoffs (q60's quantile sketch
+    * summarizes the same distribution in O(k) state; this is the exact
+    * small-cardinality companion).
+    *
+    * Scale design: the window is PARTITIONED by lang, so ranking
+    * distributes (the unpartitioned-NTILE single-reducer trap is the
+    * reason this is per-lang — a skewed single lang degrades to the q60
+    * sketch, the documented trade). */
+  def langDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   /** A4/J3 analogue (ProvinceStatsSqlApp.java:53-61): per-nation order
     * stats via a 3-table star join; nation/region broadcast. */
   def provinceStats(s: SparkSession, dir: String): DataFrame = {

@@ -74,6 +74,29 @@ class WideAggSpec extends SparkSpec {
     }
   }
 
+  test("q89 deciles: balanced extras-first sizes, monotone non-overlapping bounds") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = RefQueries.langDeciles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length))
+      assert(sorted.map(_._3).sum === perLang(lang))
+      // standard NTILE: sizes differ by at most 1, larger buckets first
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1 &&
+        sizes.toSeq === sizes.sortBy(-_).toSeq)
+      // value ranges are ordered (ties may share a boundary value)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, hi), (_, _, _, lo, _)) => assert(hi <= lo)
+        case _ => ()
+      }
+    }
+  }
+
   test("q85 rollup: subtotals and grand total equal their detail sums") {
     val rows = RefQueries.rollupPricing(spark, sf).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
