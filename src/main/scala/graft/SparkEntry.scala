@@ -116,6 +116,7 @@ object SparkEntry {
     "q87_transitions"     -> (RefQueries.transitionMatrix _),
     "q88_gap_histogram"   -> (RefQueries.gapHistogram _),
     "q89_lang_deciles"    -> (RefQueries.langDeciles _),
+    "q90_corpus_diff"     -> ((s, d) => graft.operators.Curation.corpusDiff(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1526,5 +1527,25 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q90: same snapshot derivation, same h60 constants, FULL OUTER join
+    "q90_corpus_diff" -> {
+      import graft.functions.PortableHash
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 100 AS m FROM documents),
+         |prev AS (SELECT doc_id, ${PortableHash.h60Sql("text")} AS h_old
+         |  FROM d WHERE m < 90),
+         |next AS (SELECT doc_id, ${PortableHash.h60Sql(
+            "CASE WHEN m BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END")}
+         |    AS h_new
+         |  FROM d WHERE m >= 10),
+         |j AS (SELECT doc_id,
+         |    CASE WHEN h_old IS NULL THEN 'added'
+         |         WHEN h_new IS NULL THEN 'removed'
+         |         WHEN h_old <> h_new THEN 'changed'
+         |         ELSE 'unchanged' END AS change_class
+         |  FROM prev FULL OUTER JOIN next USING (doc_id))
+         |SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -97,6 +97,39 @@ object Curation {
     s.read.parquet(path)
   }
 
+  /** q90: corpus snapshot diff — the dataset-versioning audit run before
+    * promoting a new corpus release: FULL OUTER join of two snapshots on
+    * doc_id, each doc classified added / removed / changed / unchanged by
+    * comparing content hashes (h60 of text — in production both sides
+    * read the persisted [[refreshFeatureStore]] hash column and the text
+    * is never rescanned). Snapshots are derived deterministically from
+    * the one test corpus: old = doc_id%100 < 90 as-is; new = doc_id%100
+    * ≥ 10, with docs in [40,50) carrying revised text — so every class is
+    * populated and the classification is a pure function of the data.
+    *
+    * Scale design: ONE co-partitioned doc_id shuffle joins (doc_id, hash)
+    * pairs — the full-outer compare never moves text. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), expr("doc_id % 100").as("m"))
+    val prev = d.filter(col("m") < 90)
+      .select(col("doc_id"), PortableHash.h60(col("text")).as("h_old"))
+    val next = d.filter(col("m") >= 10)
+      .select(col("doc_id"), PortableHash.h60(
+        when(col("m").between(40, 49), concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_new"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change_class"))
+      .groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("change_class"))
+  }
+
   /** Benchmark decontamination (q56): flag train/val documents that share
     * at least one distinct 13-token n-gram with any test-split document —
     * the canonical overlap rule used to scrub eval contamination from

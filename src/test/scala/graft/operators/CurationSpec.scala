@@ -204,6 +204,21 @@ class CurationSpec extends SparkSpec {
     assert(again.count() === ids.length.toLong)
   }
 
+  test("q90 snapshot diff: classes partition the union of both snapshots") {
+    import org.apache.spark.sql.functions.col
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val rows = Curation.corpusDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    // every doc_id lands in exactly one class (union of both snapshots
+    // covers the whole corpus: <10 removed-only, >=90 added-only)
+    assert(rows.values.sum === n)
+    // the deterministic modulo derivation: ~10% each for added/removed,
+    // ~10% changed, rest unchanged
+    assert(rows("changed") > 0 && rows("added") > 0 && rows("removed") > 0)
+    assert(rows("unchanged") > rows("changed"))
+  }
+
   test("q56/q58 plans: eval grams and mixture rates broadcast (no corpus-side shuffle join)") {
     Seq(Curation.decontaminate(spark, sf), Curation.domainMix(spark, sf))
       .foreach { df =>
