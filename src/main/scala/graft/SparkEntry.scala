@@ -117,6 +117,7 @@ object SparkEntry {
     "q88_gap_histogram"   -> (RefQueries.gapHistogram _),
     "q89_lang_deciles"    -> (RefQueries.langDeciles _),
     "q90_corpus_diff"     -> ((s, d) => graft.operators.Curation.corpusDiff(s, d)),
+    "q91_boilerplate"     -> ((s, d) => graft.operators.TextQueries.boilerplateGrams(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1547,5 +1548,18 @@ object SparkEntry {
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // q91: q16's shingle construction, counted by doc frequency; the
+    // (df DESC, shingle) tiebreak makes the LIMIT deterministic
+    "q91_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0] AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
+        |  FROM toks WHERE len(t) >= 3)),
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        |  FROM sh GROUP BY 1)
+        |SELECT shingle, doc_freq FROM df WHERE doc_freq >= 20
+        |ORDER BY doc_freq DESC, shingle LIMIT 100""".stripMargin,
   )
 }

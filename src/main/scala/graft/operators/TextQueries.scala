@@ -289,4 +289,25 @@ object TextQueries {
       .select(col("doc_id"),
         md5(array_join(Text.tokens(col("text")), " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** q91: boilerplate n-gram mining — the C4/RefinedWeb repeated-span
+    * rule's DISCOVERY pass: shingles occurring in ≥ minDf distinct
+    * documents are template/boilerplate candidates to strip (the
+    * within-corpus twin of q56's cross-set decontamination). Doc
+    * frequency, not term frequency: each doc votes once per distinct
+    * shingle (`Text.shingles` is already per-doc distinct).
+    *
+    * Scale design: the same flat (doc, shingle) explode every dedup
+    * operator rides, one partial/final count per shingle, then top-k by
+    * (df, shingle) via TakeOrdered — no global sort materialization. */
+  def boilerplateGrams(s: SparkSession, dir: String, minDf: Long = 20,
+                       topK: Int = 100): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(topK)
 }

@@ -124,4 +124,29 @@ class TextQueriesSpec extends SparkSpec {
     frees.foreach(v => assert(v > 0.3 && v < 3.0, s"filler pair lift off: $v"))
     assert(colloc > frees.max * 3)
   }
+
+  test("q91 boilerplate grams: doc-frequency semantics, ordered, bounded") {
+    import org.apache.spark.sql.functions._
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val rows = TextQueries.boilerplateGrams(spark, sf, minDf = 5, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    // doc frequency can never exceed the corpus size, and every shingle
+    // is exactly 3 tokens
+    rows.foreach { case (sh, df) =>
+      assert(df >= 5 && df <= nDocs)
+      assert(sh.split(" ").length === 3, s"bad shingle: $sh")
+    }
+    // (df DESC, shingle ASC) ordering is total — re-running cannot reorder
+    assert(rows.toSeq === rows.sortBy { case (sh, df) => (-df, sh) }.toSeq)
+    // df really counts DOCS, not occurrences: the top shingle's df equals
+    // the number of docs whose distinct shingle set contains it
+    val (top, topDf) = rows.head
+    val manual = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.shingles(
+          graft.functions.Text.tokens(col("text"))).as("sh"))
+      .filter(array_contains(col("sh"), top)).count()
+    assert(manual === topDf)
+  }
 }
