@@ -120,6 +120,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"expected partial aggregation:\n$plan")
   }
 
+  test("q85 rollup expands the 6-row partials, not the scan") {
+    val plan = planOf(RefQueries.rollupPricing(spark, sf))
+    val lines = plan.linesIterator.toArray
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in rollup plan:\n$plan")
+    // the Expand's input must be post-shuffle reduced data, not the scan
+    val below = lines.slice(expandIdx + 1, expandIdx + 4).mkString("\n")
+    assert(below.contains("Exchange") || below.contains("ShuffleQueryStage")
+        || below.contains("AQEShuffleRead") || below.contains("HashAggregate"),
+      s"Expand feeds from the raw scan:\n$plan")
+  }
+
+  test("q76 profiling plans per-column aggregates with no multi-distinct expand") {
+    val plan = planOf(RefQueries.profileLineitem(spark, sf))
+    assert(!plan.contains("Expand"), s"multi-distinct Expand back:\n$plan")
+    // each union branch scans exactly one column
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"single-column pruning lost:\n$plan")
+  }
+
+  test("q90 snapshot diff plans a keyed full-outer join, never a nested loop") {
+    val plan = planOf(graft.operators.Curation.corpusDiff(spark, sf))
+    assert(plan.contains("FullOuter"), s"full outer join missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in diff plan:\n$plan")
+  }
+
+  test("q91 boilerplate projects tokens before the generator and top-ks without a global sort") {
+    val plan = planOf(TextQueries.boilerplateGrams(spark, sf))
+    // the generator-inlining trap's signature: tokenization re-inlined at
+    // every element_at site instead of reading the projected toks column
+    assert(!plan.contains("element_at(filter(split"),
+      s"tokenization inlined into the generator:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrdered:\n$plan")
+  }
+
+  test("q89 decile window is partitioned by lang (ranking distributes)") {
+    val plan = planOf(RefQueries.langDeciles(spark, sf))
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"NTILE window lost its partitioning:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
