@@ -118,6 +118,7 @@ object SparkEntry {
     "q89_lang_deciles"    -> (RefQueries.langDeciles _),
     "q90_corpus_diff"     -> ((s, d) => graft.operators.Curation.corpusDiff(s, d)),
     "q91_boilerplate"     -> ((s, d) => graft.operators.TextQueries.boilerplateGrams(s, d)),
+    "q92_cohort_durs"     -> ((s, d) => RefQueries.cohortDurations(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1561,5 +1562,50 @@ object SparkEntry {
         |  FROM sh GROUP BY 1)
         |SELECT shingle, doc_freq FROM df WHERE doc_freq >= 20
         |ORDER BY doc_freq DESC, shingle LIMIT 100""".stripMargin,
+    // q92: q78's cohort CTEs x q79's deterministic quantile machinery,
+    // partitioned by (cohort_day, step)
+    "q92_cohort_durs" -> {
+      import graft.functions.PortableHash
+      val k = 64
+      s"""WITH fs AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS cohort_day
+         |  FROM events GROUP BY 1),
+         |e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, t1, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+         |  WHERE event_type = 'click' AND us > t1 GROUP BY 1, 2),
+         |t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(us) AS t3
+         |  FROM e JOIN t2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1, 2, 3),
+         |f AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+         |    (t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 86400000000) AS s2w,
+         |    (t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000) AS conv
+         |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)),
+         |d AS (SELECT cohort_day, step, dur FROM (
+         |    SELECT user_id, 'view_to_click' AS step,
+         |      CASE WHEN s2w THEN t2 - t1 END AS dur FROM f
+         |    UNION ALL SELECT user_id, 'click_to_purchase',
+         |      CASE WHEN conv THEN t3 - t2 END FROM f
+         |    UNION ALL SELECT user_id, 'view_to_purchase',
+         |      CASE WHEN conv THEN t3 - t1 END FROM f) u
+         |  JOIN fs USING (user_id) WHERE dur IS NOT NULL),
+         |n AS (SELECT cohort_day, step, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |  FROM d GROUP BY 1, 2),
+         |dv AS (SELECT DISTINCT cohort_day, step, dur AS v FROM d),
+         |hh AS (SELECT cohort_day, step, v,
+         |    ${PortableHash.h60Sql("CAST(v AS VARCHAR)")} AS h FROM dv),
+         |o AS (SELECT cohort_day, step, v, row_number() OVER
+         |    (PARTITION BY cohort_day, step ORDER BY h, v) AS hrk FROM hh),
+         |sm AS (SELECT cohort_day, step, v FROM o WHERE hrk <= $k),
+         |r AS (SELECT cohort_day, step, v, row_number() OVER
+         |    (PARTITION BY cohort_day, step ORDER BY v) - 1 AS vrk,
+         |    COUNT(*) OVER (PARTITION BY cohort_day, step) AS m FROM sm)
+         |SELECT cohort_day, step, n_obs,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 50) // 100 THEN v END) AS p50_us,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 90) // 100 THEN v END) AS p90_us,
+         |  MAX(CASE WHEN vrk = ((m - 1) * 99) // 100 THEN v END) AS p99_us
+         |FROM r JOIN n USING (cohort_day, step) GROUP BY 1, 2, 3
+         |ORDER BY cohort_day, step""".stripMargin
+    },
   )
 }

@@ -769,6 +769,41 @@ object RefQueries {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q92: cohort × step duration quantiles — the q78 × q79 composition:
+    * funnel transition latencies per signup cohort, the panel that shows
+    * whether NEWER cohorts convert faster. Same checkpointed event
+    * projection feeds cohort firsts and the funnel frame (q78's
+    * materialization rationale); the KMV quantile shuffle carries ≤ k
+    * pairs per (cohort, step, partition) — days×3 groups, metadata
+    * scale. */
+  def cohortDurations(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val agg = graft.functions.KmvQuantile.columnAgg(k)
+    val e = events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      .localCheckpoint(true)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(date_format(timestamp_seconds(expr("us div 1000000")),
+        "yyyy-MM-dd")).as("cohort_day"))
+    funnelPathsFrom(e)
+      .join(firsts, Seq("user_id"))
+      .select(col("cohort_day"), expr(
+        """stack(3,
+          |  'view_to_click',     CASE WHEN s2_in_window THEN t2 - t1 END,
+          |  'click_to_purchase', CASE WHEN converted    THEN t3 - t2 END,
+          |  'view_to_purchase',  CASE WHEN converted    THEN t3 - t1 END
+          |) AS (step, dur_us)""".stripMargin))
+      .filter(col("dur_us").isNotNull)
+      .select(col("cohort_day"), col("step"),
+        graft.functions.PortableHash.h60(col("dur_us").cast("string")).as("h"),
+        col("dur_us").as("v"))
+      .groupBy(col("cohort_day"), col("step"))
+      .agg(count(lit(1)).as("n_obs"), agg(col("h"), col("v")).as("q"))
+      .select(col("cohort_day"), col("step"), col("n_obs"),
+        col("q._1").as("p50_us"), col("q._2").as("p90_us"),
+        col("q._3").as("p99_us"))
+      .orderBy(col("cohort_day"), col("step"))
+  }
+
   /** q76: column profiling — the data-quality summary a pipeline computes
     * on every ingest (the ODS-layer audit the reference does by eyeballing
     * Kafka topics): per numeric column of the fact table, row count, null

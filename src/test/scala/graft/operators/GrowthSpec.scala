@@ -55,6 +55,22 @@ class GrowthSpec extends SparkSpec {
     assert(byStep("view_to_click") >= byStep("view_to_purchase"))
   }
 
+  test("q92 invariants: cohort durations cross-foot with q79's global rows") {
+    val global = RefQueries.funnelDurations(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = RefQueries.cohortDurations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cd, step, n, p50, p90, p99) =>
+      assert(n > 0 && p50 > 0 && p50 <= p90 && p90 <= p99, s"$cd/$step")
+    }
+    // per-step observation counts partition q79's global counts exactly
+    rows.groupBy(_._2).foreach { case (step, rs) =>
+      assert(rs.map(_._3).sum === global(step), s"$step n_obs partition")
+    }
+  }
+
   test("q73 invariants: quad sums to actives; churn balances yesterday") {
     val rows = RefQueries.growthAccounting(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
