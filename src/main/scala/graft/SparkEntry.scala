@@ -119,6 +119,7 @@ object SparkEntry {
     "q90_corpus_diff"     -> ((s, d) => graft.operators.Curation.corpusDiff(s, d)),
     "q91_boilerplate"     -> ((s, d) => graft.operators.TextQueries.boilerplateGrams(s, d)),
     "q92_cohort_durs"     -> ((s, d) => RefQueries.cohortDurations(s, d)),
+    "q93_attribution"     -> (RefQueries.attributionReport _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1607,5 +1608,21 @@ object SparkEntry {
          |FROM r JOIN n USING (cohort_day, step) GROUP BY 1, 2, 3
          |ORDER BY cohort_day, step""".stripMargin
     },
+    // q93: DuckDB's native ASOF join against the arg_max-reduced touch
+    // table — q61's tie rule (right row at the purchase's own µs wins),
+    // the 72 h lookback applied after the match
+    "q93_attribution" ->
+      """WITH t AS (SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.ts, p.value, t.ts AS touch_ts, t.touch_type
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts)
+        |SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(touch_ts) <= 259200000000
+        |       THEN touch_type ELSE 'organic' END AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1129,6 +1129,47 @@ object RefQueries {
       .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
   }
 
+  /** q93: last-touch attribution — each purchase credited to the user's
+    * most recent marketing touch (view or click) at or before the purchase
+    * and within a 72 h lookback; purchases with no in-window touch are
+    * 'organic'. The revenue-credit companion to q75's funnel (which counts
+    * reach, not credit); the reference's closest shape is the process-time
+    * dim lookup this family replaces with reproducible event-time
+    * semantics (DimUtil.java getDimInfo).
+    *
+    * Scale shape: the [[AsOf.asOfJoin]] union-sort construction — ONE
+    * user_id shuffle + one running ignoreNulls window, no per-purchase
+    * range join against the touch history. Ties (a view and a click in
+    * the same truncated microsecond) reduce to the highest event_id
+    * BEFORE the as-of, so the winner is data-determined on both engines
+    * (arg_max there, max(struct) here — the AsOf uniqueness contract). */
+  def attributionFrom(e: DataFrame,
+                      lookbackUs: Long = 72L * 3600 * 1000000L): DataFrame = {
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("us"), col("m.event_type").as("touch_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value"))
+    graft.operators.AsOf.asOfJoin(purchases, touches, Seq("user_id"), "us",
+        Seq("touch_type"))
+      .withColumn("channel",
+        when(col("asof_ts").isNotNull &&
+             col("us") - col("asof_ts") <= lookbackUs,
+          col("touch_type_asof")).otherwise(lit("organic")))
+      .withColumn("day", day(expr("us div 1000000")))
+      .groupBy(col("day"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+      .orderBy(col("day"), col("channel"))
+  }
+
+  def attributionReport(s: SparkSession, dir: String): DataFrame =
+    attributionFrom(events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value")))
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */
