@@ -1143,20 +1143,27 @@ object RefQueries {
     * the same truncated microsecond) reduce to the highest event_id
     * BEFORE the as-of, so the winner is data-determined on both engines
     * (arg_max there, max(struct) here — the AsOf uniqueness contract). */
-  def attributionFrom(e: DataFrame,
-                      lookbackUs: Long = 72L * 3600 * 1000000L): DataFrame = {
+  def attributedPurchases(e: DataFrame,
+                          lookbackUs: Long = 72L * 3600 * 1000000L): DataFrame = {
     val touches = e.filter(col("event_type").isin("view", "click"))
       .groupBy(col("user_id"), col("us"))
       .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
       .select(col("user_id"), col("us"), col("m.event_type").as("touch_type"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), col("value"))
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
     graft.operators.AsOf.asOfJoin(purchases, touches, Seq("user_id"), "us",
         Seq("touch_type"))
       .withColumn("channel",
         when(col("asof_ts").isNotNull &&
              col("us") - col("asof_ts") <= lookbackUs,
           col("touch_type_asof")).otherwise(lit("organic")))
+      .select(col("event_id"), col("user_id"), col("us"), col("value"),
+        col("channel"))
+  }
+
+  def attributionFrom(e: DataFrame,
+                      lookbackUs: Long = 72L * 3600 * 1000000L): DataFrame = {
+    attributedPurchases(e, lookbackUs)
       .withColumn("day", day(expr("us div 1000000")))
       .groupBy(col("day"), col("channel"))
       .agg(count(lit(1)).as("n_purchases"),
