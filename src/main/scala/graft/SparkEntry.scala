@@ -120,6 +120,7 @@ object SparkEntry {
     "q91_boilerplate"     -> ((s, d) => graft.operators.TextQueries.boilerplateGrams(s, d)),
     "q92_cohort_durs"     -> ((s, d) => RefQueries.cohortDurations(s, d)),
     "q93_attribution"     -> (RefQueries.attributionReport _),
+    "q94_zorder_layout"   -> (graft.functions.ZOrder.layoutAudit _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1624,5 +1625,19 @@ object SparkEntry {
         |  COUNT(*) AS n_purchases,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q94: the same shift-mask interleave, generated by the shared
+    // ZOrder.zValueSql constants — grid scaling, bucketing, and spans all
+    // in exact integer arithmetic
+    "q94_zorder_layout" ->
+      s"""WITH st AS (SELECT MAX(l_partkey) AS pa, MAX(l_suppkey) AS sa FROM lineitem),
+         |n AS (SELECT l_partkey, l_suppkey,
+         |    (CAST(l_partkey AS BIGINT) * 65536) // (pa + 1) AS an,
+         |    (CAST(l_suppkey AS BIGINT) * 65536) // (sa + 1) AS bn
+         |  FROM lineitem, st)
+         |SELECT ${graft.functions.ZOrder.zValueSql("an", "bn")} >> 24 AS z_bucket,
+         |  COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
