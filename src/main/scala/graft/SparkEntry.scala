@@ -121,6 +121,7 @@ object SparkEntry {
     "q92_cohort_durs"     -> ((s, d) => RefQueries.cohortDurations(s, d)),
     "q93_attribution"     -> (RefQueries.attributionReport _),
     "q94_zorder_layout"   -> (graft.functions.ZOrder.layoutAudit _),
+    "q95_cube_orders"     -> (RefQueries.cubeOrders _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1639,5 +1640,15 @@ object SparkEntry {
          |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
          |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q95: GROUP BY CUBE, same GROUPING() bit convention as q85's rollup
+    "q95_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, o_year,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority, o_year) AS BIGINT) AS gid,
+        |  COUNT(*) AS order_ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_orderstatus, o_orderpriority,
+        |        year(o_orderdate) AS o_year, o_totalprice FROM orders)
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority, o_year)
+        |ORDER BY gid, o_orderstatus, o_orderpriority, o_year""".stripMargin,
   )
 }

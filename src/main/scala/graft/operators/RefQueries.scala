@@ -769,6 +769,31 @@ object RefQueries {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q95: full CUBE over orders — order volume and exact revenue at ALL
+    * 2³ grains of (status, priority, year), completing the grouping-sets
+    * family (q84 pivot, q85 rollup). Spark expands the cube inside one
+    * two-phase aggregate: the fact table is scanned and shuffled ONCE for
+    * all eight grains. Scale shape: same two-level trick as q85 — reduce
+    * to the (status, priority, year) partials FIRST (a few hundred rows),
+    * then cube the partial frame; the naive single `cube` Expands every
+    * scan row ×8 grains before its partial aggregate, 8× the shuffle for
+    * identical results (decimal partials re-sum exactly). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame = {
+    val detail = Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("p"),
+        count(lit(1)).as("n"))
+    detail.cube(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
+      .agg(grouping_id().as("gid"),
+        sum(col("n")).as("order_ct"),
+        sum(col("p")).cast("double").as("revenue"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_year"))
+  }
+
   /** q92: cohort × step duration quantiles — the q78 × q79 composition:
     * funnel transition latencies per signup cohort, the panel that shows
     * whether NEWER cohorts convert faster. Same checkpointed event

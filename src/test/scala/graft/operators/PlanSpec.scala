@@ -132,6 +132,17 @@ class PlanSpec extends SparkSpec {
       s"Expand feeds from the raw scan:\n$plan")
   }
 
+  test("q95 cube expands the reduced partials, not the scan") {
+    val plan = planOf(RefQueries.cubeOrders(spark, sf))
+    val lines = plan.linesIterator.toArray
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in cube plan:\n$plan")
+    val below = lines.slice(expandIdx + 1, expandIdx + 4).mkString("\n")
+    assert(below.contains("Exchange") || below.contains("ShuffleQueryStage")
+        || below.contains("AQEShuffleRead") || below.contains("HashAggregate"),
+      s"Expand feeds from the raw scan:\n$plan")
+  }
+
   test("q76 profiling plans per-column aggregates with no multi-distinct expand") {
     val plan = planOf(RefQueries.profileLineitem(spark, sf))
     assert(!plan.contains("Expand"), s"multi-distinct Expand back:\n$plan")

@@ -117,4 +117,30 @@ class WideAggSpec extends SparkSpec {
     assert(grand.head._5 === detail.map(_._5).sum)
     assert(math.abs(grand.head._4 - detail.map(_._4).sum) < 1e-6)
   }
+
+  test("q95 cube: all 8 grains present and every grain cross-foots") {
+    val rows = RefQueries.cubeOrders(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getAs[java.lang.Long]("o_year")).map(_.longValue),
+        r.getAs[Long]("gid"), r.getAs[Long]("order_ct"),
+        r.getAs[Double]("revenue")))
+    assert(rows.map(_._4).distinct.sorted.toSeq === (0L to 7L).toSeq)
+    val detail = rows.filter(_._4 === 0L)
+    // every non-detail grain's counts and revenue re-sum from the detail
+    rows.filterNot(_._4 === 0L).foreach {
+      case (st, pr, yr, gid, n, rev) =>
+        val d = detail.filter { case (s2, p2, y2, _, _, _) =>
+          ((gid & 4) != 0 || s2 === st) &&
+          ((gid & 2) != 0 || p2 === pr) &&
+          ((gid & 1) != 0 || y2 === yr)
+        }
+        assert(n === d.map(_._5).sum, s"count at gid=$gid ($st,$pr,$yr)")
+        assert(math.abs(rev - d.map(_._6).sum) < 1e-6,
+          s"revenue at gid=$gid ($st,$pr,$yr)")
+    }
+    // the grand total is a single row counting every order
+    val grand = rows.filter(_._4 === 7L)
+    assert(grand.length === 1 &&
+      grand.head._5 === graft.Tables.load(spark, sf, "orders").count())
+  }
 }
