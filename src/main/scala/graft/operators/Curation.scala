@@ -118,6 +118,14 @@ object Curation {
       .select(col("doc_id"), PortableHash.h60(
         when(col("m").between(40, 49), concat(col("text"), lit(" rev2")))
           .otherwise(col("text"))).as("h_new"))
+    diffClasses(prev, next)
+  }
+
+  /** Shared diff stage: classify `(doc_id, h_old)` vs `(doc_id, h_new)`
+    * snapshots into the 4-class summary. Batch q90 and the streaming twin
+    * ([[graft.streaming.DiffStream]]) both end in THIS stage, so streamed
+    * == batch is structural, not coincidental. */
+  def diffClasses(prev: DataFrame, next: DataFrame): DataFrame =
     prev.join(next, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("h_old").isNull, "added")
@@ -128,7 +136,6 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("change_class"))
-  }
 
   /** Benchmark decontamination (q56): flag train/val documents that share
     * at least one distinct 13-token n-gram with any test-split document —
