@@ -46,4 +46,26 @@ object Warehouse {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-ordered layout: cluster files on the Morton interleave of two
+    * dimension columns so parquet footer min/max stays tight in BOTH —
+    * selective filters on EITHER dimension then skip most row groups
+    * (ZOrderPruningSpec measures 6× fewer rows read vs a single-column
+    * sort; bucketing solves repeated equi-joins, this solves 2-D
+    * selective scans). Columns are normalized to the 16-bit grid by their
+    * own max (one broadcast stats row), and the sort key is dropped
+    * before write — the layout is invisible to readers except in cost. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    files: Int = 64): Unit = {
+    val stats = df.agg(max(col(dimA)).as("za_max"), max(col(dimB)).as("zb_max"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zv", graft.functions.ZOrder.zValue(
+        (col(dimA) * 65536L) / (col("za_max") + 1) cast "long",
+        (col(dimB) * 65536L) / (col("zb_max") + 1) cast "long"))
+      .repartitionByRange(files, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv", "za_max", "zb_max")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

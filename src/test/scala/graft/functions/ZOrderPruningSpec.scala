@@ -36,20 +36,14 @@ class ZOrderPruningSpec extends SparkSpec {
   test("z-ordered files skip most row groups on a second-dimension filter") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
-    val Seq(pa, sa) = li.agg(max(col("l_partkey")), max(col("l_suppkey")))
-      .collect().map(r => Seq(r.getLong(0), r.getLong(1))).head
     val n = 64
 
-    // (a) z-ordered: range-partition + sort by the interleaved key, so
-    // every file's footer min/max is tight in BOTH dimensions
-    val zDir = Files.createTempDirectory("graft-zlay").toString
-    li.withColumn("zv", ZOrder.zValue(
-        (col("l_partkey") * 65536L) / lit(pa + 1) cast "long",
-        (col("l_suppkey") * 65536L) / lit(sa + 1) cast "long"))
-      .repartitionByRange(n, col("zv"))
-      .sortWithinPartitions(col("zv"))
-      .drop("zv")
-      .write.mode("overwrite").parquet(zDir)
+    // (a) z-ordered via the K4 sink path: range-partition + sort by the
+    // interleaved key, so every file's footer min/max is tight in BOTH
+    // dimensions
+    val zDir = Files.createTempDirectory("graft-zlay").toString + "/t"
+    graft.sinks.Warehouse.writeZOrdered(li, zDir,
+      "l_partkey", "l_suppkey", files = n)
 
     // (b) single-column sort: partkey clustered, suppkey scrambled within
     // (hash tiebreak models arrival order — sorting by suppkey itself
