@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series repair and calendar analytics — the gap-fill / interval
+  * family a reporting layer needs on top of the reference's per-day DWS
+  * aggregates (gmall's sugar ADS charts assume a dense day axis the
+  * DWS layer does not guarantee; reference GmvController.java renders a
+  * day-keyed map straight into a chart axis).
+  *
+  * Scale design shared by the queries here:
+  *  - corpus-sized work is always ONE partial/final day-keyed aggregate;
+  *    the spine/window stages run over one row per day (metadata scale,
+  *    q83's convention), so the unpartitioned ORDER BY day window is a
+  *    few-thousand-row single task, not a fact-table sort;
+  *  - all filled values are integer arithmetic (cents, counts, integer
+  *    lerp with a positive numerator/denominator so `div` truncation is
+  *    engine-portable) — no float interpolation that could diverge
+  *    between engines or between partitionings.
+  */
+object Series {
+
+  private val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+
+  /** q96: daily gap-fill over a sparse series — the urgent/finished order
+    * segment observes only ~1/3 of calendar days, so the dense day spine
+    * (min..max observed) left-joins the observations and repairs holes
+    * two ways: last-observation-carried-forward for the money column and
+    * integer linear interpolation for the count column
+    * (`(prev*(nextD-d) + next*(d-prevD)) div (nextD-prevD)` — numerator
+    * and denominator both positive, so Spark's `div` and DuckDB's `//`
+    * truncate identically).
+    *
+    * Spine bounds come from the observed min/max, so every hole has both
+    * neighbors — LOCF/lerp never sees an open edge. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .groupBy(datediff(col("o_orderdate").cast("date"), epoch)
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+
+    // 1-row bounds frame -> dense spine (a few thousand rows at any SF)
+    val spine = obs.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+
+    val w = Window.orderBy(col("d"))
+    val pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val post = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsD = when(col("n").isNotNull, col("d"))
+
+    spine.join(obs, Seq("d"), "left")
+      .withColumn("pn", last(col("n"), ignoreNulls = true).over(pre))
+      .withColumn("pd", last(obsD, ignoreNulls = true).over(pre))
+      .withColumn("nn", first(col("n"), ignoreNulls = true).over(post))
+      .withColumn("nd", first(obsD, ignoreNulls = true).over(post))
+      .withColumn("locf",
+        last(col("rev_cents"), ignoreNulls = true).over(pre))
+      .select(
+        date_format(date_add(epoch, col("d").cast("int")), "yyyy-MM-dd")
+          .as("day"),
+        when(col("n").isNotNull, 1L).otherwise(0L).as("is_obs"),
+        coalesce(col("n"),
+          expr("(pn * (nd - d) + nn * (d - pd)) div (nd - pd)"))
+          .as("n_filled"),
+        col("locf").as("rev_locf_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[gapFill]]. */
+  val gapFillSql: String =
+    """WITH obs AS (
+      |  SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+      |  GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(mn, mx)) AS d
+      |  FROM (SELECT min(d) AS mn, max(d) AS mx FROM obs)),
+      |j AS (SELECT s.d, o.n, o.rev_cents
+      |  FROM spine s LEFT JOIN obs o USING (d)),
+      |f AS (SELECT d, n, rev_cents,
+      |    last_value(n IGNORE NULLS) OVER pre AS pn,
+      |    last_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER pre AS pd,
+      |    first_value(n IGNORE NULLS) OVER post AS nn,
+      |    first_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER post AS nd,
+      |    last_value(rev_cents IGNORE NULLS) OVER pre AS locf
+      |  FROM j
+      |  WINDOW pre AS (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    post AS (ORDER BY d
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d')
+      |    AS day,
+      |  CAST(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_obs,
+      |  COALESCE(n, (pn * (nd - d) + nn * (d - pd)) // (nd - pd))
+      |    AS n_filled,
+      |  locf AS rev_locf_cents
+      |FROM f ORDER BY day""".stripMargin
+
+  /** Derived interval per event: [ts, ts + (event_id % 300 + 30) s) in
+    * microseconds — a deterministic pure function of the data, standing in
+    * for a session/lease/validity duration column. */
+  private def eventIntervals(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("st"), col("event_id"))
+      .withColumn("en",
+        col("st") + (col("event_id") % 300 + 30) * lit(1000000L))
+
+  /** q97: coalesce overlapping intervals per user (gaps-and-islands with a
+    * running max end): an interval starts a new island iff its start lies
+    * strictly after every earlier interval's end, i.e. touching intervals
+    * merge. The classic normalizer for leases / sessions-with-duration /
+    * SCD validity ranges (the q71 history family produces exactly such
+    * interval sets).
+    *
+    * Scale: ONE shuffle on user_id; both windows and the island reduce run
+    * inside that partitioning (no second exchange — the island key extends
+    * the partition key). Per-user interval counts are bounded by per-user
+    * activity, the same skew profile every user-keyed operator here has. */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"), col("event_id"))
+    val prevMax = max(col("en"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    eventIntervals(s, dir)
+      .withColumn("new_island",
+        when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("start_us"), max(col("en")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
+  /** DuckDB oracle for [[intervalMerge]]. */
+  val intervalMergeSql: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS st, event_id,
+      |    epoch_us(ts) + (event_id % 300 + 30) * 1000000 AS en
+      |  FROM events),
+      |fl AS (SELECT user_id, st, en, event_id,
+      |    CASE WHEN max(en) OVER (PARTITION BY user_id
+      |        ORDER BY st, en, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR st > max(en) OVER (PARTITION BY user_id
+      |        ORDER BY st, en, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |isl AS (SELECT user_id, st, en,
+      |    SUM(new_island) OVER (PARTITION BY user_id
+      |      ORDER BY st, en, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(st) AS start_us, MAX(en) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q102: month-over-month and year-over-year revenue deltas — the
+    * calendar-comparison report every ADS GMV chart grows into
+    * (reference serves single-day GMV; this is its period-comparison
+    * extension). The comparison windows are RANGE frames over the month
+    * INDEX (year*12+month), not ROWS frames, so a missing month yields
+    * NULL deltas instead of silently comparing against the wrong month.
+    *
+    * Scale: the fact table reduces to one row per month in a single
+    * partial/final aggregate; the windows run over ~tens of rows. */
+  def monthlyDeltas(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(s, dir, "orders")
+      .groupBy(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("midx"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("midx"))
+    val prev1 = max(col("rev_cents")).over(w.rangeBetween(-1, -1))
+    val prev12 = max(col("rev_cents")).over(w.rangeBetween(-12, -12))
+    monthly
+      .select(col("month"), col("rev_cents"), col("n_orders"),
+        (col("rev_cents") - prev1).as("mom_delta_cents"),
+        (col("rev_cents") - prev12).as("yoy_delta_cents"))
+      .orderBy(col("month"))
+  }
+
+  /** DuckDB oracle for [[monthlyDeltas]]. */
+  val monthlyDeltasSql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+      |      AS BIGINT) AS midx,
+      |    strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT month, rev_cents, n_orders,
+      |  rev_cents - max(rev_cents) OVER (ORDER BY midx
+      |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS mom_delta_cents,
+      |  rev_cents - max(rev_cents) OVER (ORDER BY midx
+      |    RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING) AS yoy_delta_cents
+      |FROM m ORDER BY month""".stripMargin
+}
