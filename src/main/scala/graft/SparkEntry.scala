@@ -122,6 +122,13 @@ object SparkEntry {
     "q93_attribution"     -> (RefQueries.attributionReport _),
     "q94_zorder_layout"   -> (graft.functions.ZOrder.layoutAudit _),
     "q95_cube_orders"     -> (RefQueries.cubeOrders _),
+    "q96_gap_fill"        -> (graft.operators.Series.gapFill _),
+    "q97_interval_merge"  -> (graft.operators.Series.intervalMerge _),
+    "q98_basket_pairs"    -> (graft.operators.Graph.basketPairs _),
+    "q99_triangles"       -> (graft.operators.Graph.triangleCounts _),
+    "q100_overlap"        -> ((s, d) => graft.operators.Overlap.audienceOverlap(s, d)),
+    "q101_fuzzy_dups"     -> ((s, d) => Dedup.fuzzyHeadPairs(s, d)),
+    "q102_mom_yoy"        -> (graft.operators.Series.monthlyDeltas _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1650,5 +1657,17 @@ object SparkEntry {
         |        year(o_orderdate) AS o_year, o_totalprice FROM orders)
         |GROUP BY CUBE (o_orderstatus, o_orderpriority, o_year)
         |ORDER BY gid, o_orderstatus, o_orderpriority, o_year""".stripMargin,
+    // q96-q97, q102: time-series repair / calendar family — oracle SQL
+    // lives next to the Scala in operators/Series.scala
+    "q96_gap_fill"       -> graft.operators.Series.gapFillSql,
+    "q97_interval_merge" -> graft.operators.Series.intervalMergeSql,
+    // q98-q99: co-purchase graph family (operators/Graph.scala)
+    "q98_basket_pairs"   -> graft.operators.Graph.basketPairsSql,
+    "q99_triangles"      -> graft.operators.Graph.triangleCountsSql,
+    // q100: theta-composed KMV set overlap (operators/Overlap.scala)
+    "q100_overlap"       -> graft.operators.Overlap.audienceOverlapSql(),
+    // q101: banded edit-distance near-dups (operators/Dedup.scala)
+    "q101_fuzzy_dups"    -> Dedup.fuzzyHeadPairsSql(),
+    "q102_mom_yoy"       -> graft.operators.Series.monthlyDeltasSql,
   )
 }

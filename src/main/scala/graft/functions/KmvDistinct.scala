@@ -96,4 +96,29 @@ object KmvDistinct {
   def estimateSql(k: Int = 64): String =
     s"CASE WHEN nd < $k THEN nd " +
       s"ELSE CAST(round(${k - 1}.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT) END"
+
+  /** Sketch-valued form: the same bounded-state aggregation, but the
+    * FINISH returns the bottom-k sorted distinct-hash array itself instead
+    * of collapsing to an estimate — the mergeable artifact that set
+    * operations (union / intersection-below-theta, q100) compose on.
+    * Same shuffle contract: ≤ k longs per (group, partition). */
+  def sketchAgg(k: Int = 64): UserDefinedFunction =
+    udaf(KmvSketch(k), Encoders.scalaLong)
+}
+
+/** [[KmvDistinct]] with the raw bottom-k array as the output — see
+  * [[KmvDistinct.sketchAgg]]. */
+case class KmvSketch(k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = KmvDistinct(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    inner.reduce(b, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
