@@ -174,6 +174,40 @@ class PlanSpec extends SparkSpec {
       s"NTILE window lost its partitioning:\n$plan")
   }
 
+  test("q98 broadcasts item supports; pair join is equi on the order key") {
+    val plan = planOf(Graph.basketPairs(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"item-support joins should broadcast:\n$plan")
+    // the pair self-join must key on ok (equi), never loop
+    assert(!plan.contains("NestedLoop") || plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated:\n$plan")
+  }
+
+  test("q99 triangle joins are all hash equi-joins on vertex keys") {
+    val plan = planOf(Graph.triangleCounts(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"triangle join looped:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected keyed joins:\n$plan")
+  }
+
+  test("q101 fuzzy blocking plans an equi join on the prefix key") {
+    val plan = planOf(Dedup.fuzzyHeadPairs(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"blocking did not reach the join key:\n$plan")
+  }
+
+  test("q96 reduces the fact table before the day-spine window") {
+    val df = graft.operators.Series.gapFill(spark, sf)
+    val plan = planOf(df)
+    // the unpartitioned spine window must sit ABOVE the day aggregate:
+    // exactly one scan of orders, filters pushed
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority)") ||
+      plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      s"segment filters not pushed into scan:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 <= 2,
+      s"orders scanned more than expected:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
