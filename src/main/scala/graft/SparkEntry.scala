@@ -129,6 +129,11 @@ object SparkEntry {
     "q100_overlap"        -> ((s, d) => graft.operators.Overlap.audienceOverlap(s, d)),
     "q101_fuzzy_dups"     -> ((s, d) => Dedup.fuzzyHeadPairs(s, d)),
     "q102_mom_yoy"        -> (graft.operators.Series.monthlyDeltas _),
+    "q103_weighted_sample" -> (graft.operators.Stats.weightedSample _),
+    "q104_outlier_audit"  -> (graft.operators.Stats.outlierAudit _),
+    "q105_revenue_share"  -> (graft.operators.Stats.revenueShare _),
+    "q106_fanout_audit"   -> (graft.operators.Stats.fanoutAudit _),
+    "q107_top_concat"     -> (graft.operators.Stats.topPartsConcat _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1669,5 +1674,11 @@ object SparkEntry {
     // q101: banded edit-distance near-dups (operators/Dedup.scala)
     "q101_fuzzy_dups"    -> Dedup.fuzzyHeadPairsSql(),
     "q102_mom_yoy"       -> graft.operators.Series.monthlyDeltasSql,
+    // q103-q105: statistical curation/report family (operators/Stats.scala)
+    "q103_weighted_sample" -> graft.operators.Stats.weightedSampleSql,
+    "q104_outlier_audit" -> graft.operators.Stats.outlierAuditSql,
+    "q105_revenue_share" -> graft.operators.Stats.revenueShareSql,
+    "q106_fanout_audit"  -> graft.operators.Stats.fanoutAuditSql,
+    "q107_top_concat"    -> graft.operators.Stats.topPartsConcatSql,
   )
 }

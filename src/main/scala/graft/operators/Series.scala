@@ -36,8 +36,14 @@ object Series {
     *
     * Spine bounds come from the observed min/max, so every hole has both
     * neighbors — LOCF/lerp never sees an open edge. */
-  def gapFill(s: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.load(s, dir, "orders")
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillFrom(gapFillObs(s, dir))
+
+  /** The observed day aggregate feeding [[gapFillFrom]] — also the state
+    * schema `streaming/SeriesStream.mergeDayBatch` maintains
+    * incrementally (day partials merge by sum). */
+  def gapFillObs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderstatus") === "F")
       .groupBy(datediff(col("o_orderdate").cast("date"), epoch)
@@ -45,6 +51,8 @@ object Series {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
 
+  /** Spine + repair stage over an observed (d, n, rev_cents) frame. */
+  def gapFillFrom(obs: DataFrame): DataFrame = {
     // 1-row bounds frame -> dense spine (a few thousand rows at any SF)
     val spine = obs.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("d"))

@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash
+
+/** Statistical curation/reporting operators: deterministic weighted
+  * sampling, moment-based outlier audits, and share-of-total reporting.
+  * All three follow the repo's exactness doctrine — selection predicates
+  * and scores are integer/decimal arithmetic computable bit-identically
+  * by the DuckDB oracle, and no operator materializes more than one
+  * corpus pass.
+  */
+object Stats {
+
+  /** q103: weight-proportional deterministic Bernoulli sample — every doc
+    * is kept with probability w/32 where w ∈ 1..8 is a length-derived
+    * quality weight, via the pure-integer predicate
+    * `h60(doc_id) < w · 2^55` (w·2^55 ≤ 2^58 « Long.MaxValue, and
+    * h60 is uniform on [0, 2^60)). The q57 stratified sampler hits an
+    * EXACT per-stratum quota; this is its expected-rate sibling — no
+    * per-stratum count pass at all, one corpus scan, embarrassingly
+    * parallel, and stable under re-runs/appends because membership is a
+    * pure function of doc_id (the property training-data pipelines need
+    * for reproducible corpus releases).
+    *
+    * Output is the per-(lang, w) audit: population, sampled count, and
+    * achieved ppm vs the w/32 target — the report a curation team reads
+    * to confirm the sampler is unbiased. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w8 = least(lit(8L), greatest(lit(1L), expr("n_chars div 64")))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+        w8.as("w"),
+        PortableHash.h60(col("doc_id").cast("string")).as("h"))
+      .withColumn("kept",
+        when(col("h") < col("w") * lit(1L << 55), 1L).otherwise(0L))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_sampled"))
+      .withColumn("achieved_ppm",
+        expr("n_sampled * 1000000 div n_docs"))
+      .withColumn("target_ppm", expr("w * 1000000 div 32"))
+      .orderBy(col("lang"), col("w"))
+  }
+
+  /** DuckDB oracle for [[weightedSample]]. */
+  val weightedSampleSql: String = {
+    val h = PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT lang,
+       |    least(8, greatest(1, n_chars // 64)) AS w,
+       |    CASE WHEN $h < least(8, greatest(1, n_chars // 64))
+       |        * ${1L << 55} THEN 1 ELSE 0 END AS kept
+       |  FROM documents)
+       |SELECT lang, CAST(w AS BIGINT) AS w,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(kept) AS BIGINT) * 1000000 // COUNT(*) AS achieved_ppm,
+       |  CAST(w AS BIGINT) * 1000000 // 32 AS target_ppm
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q104: moment-based 2σ outlier audit per event type — the data-quality
+    * screen run before a metric column feeds training or reporting. The
+    * z-score test is cross-multiplied into EXACT integer arithmetic:
+    * `|x − μ| > 2σ  ⇔  (n·x − sum)² > 4·(n·sumsq − sum²)`, evaluated in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so there is no float mean,
+    * no float variance, and no rounding anywhere — the flag is a pure
+    * function of the data at any partitioning. One corpus pass computes
+    * the moments (plain partial/final aggregate), the per-row test joins
+    * the 5-row moment frame back by broadcast. */
+  def outlierAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(big(col("v")) * big(col("v"))).as("svv"))
+    ev.join(broadcast(moments), Seq("event_type"))
+      .withColumn("lhs",
+        (big(col("n")) * big(col("v")) - big(col("sv"))) *
+        (big(col("n")) * big(col("v")) - big(col("sv"))))
+      .withColumn("rhs",
+        lit(4) * (big(col("n")) * col("svv") - big(col("sv")) * big(col("sv"))))
+      .withColumn("is_out", when(col("lhs") > col("rhs"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_out")).as("n_outliers"),
+        min(when(col("is_out") === 1L, col("v"))).as("min_out_cents"),
+        max(when(col("is_out") === 1L, col("v"))).as("max_out_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[outlierAudit]]. */
+  val outlierAuditSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS sv,
+      |    CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT)
+      |      AS svv
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT e.event_type, e.v,
+      |    CASE WHEN (CAST(n AS HUGEINT) * v - sv)
+      |           * (CAST(n AS HUGEINT) * v - sv)
+      |         > 4 * (CAST(n AS HUGEINT) * svv
+      |           - CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT))
+      |      THEN 1 ELSE 0 END AS is_out
+      |  FROM e JOIN m USING (event_type))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN is_out = 1 THEN v END) AS min_out_cents,
+      |  MAX(CASE WHEN is_out = 1 THEN v END) AS max_out_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q105: share-of-total reporting — each nation's revenue as ppm of its
+    * region's and of the grand total, the ratio_to_report/percent-of-total
+    * OLAP pattern. The fact table reduces once to (region, nation) rows;
+    * the region and grand totals are WINDOW sums over that reduced frame
+    * (25 rows — metadata scale), never second scans. Shares are integer
+    * ppm (exact decimal cents cross-divided), so the report hashes
+    * identically at any parallelism. */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("rev_cents"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    val overall = Window.partitionBy()
+    // ppm numerators stay in Long: rev_cents·10^6 overflows only past
+    // ~9·10^12 total cents (≈ $90B) per window — far beyond the measured
+    // SFs; past that boundary both engines switch to DECIMAL/HUGEINT the
+    // q104 way (and DuckDB would error loudly, not wrap)
+    base
+      .withColumn("region_rev", sum(col("rev_cents")).over(byRegion))
+      .withColumn("total_rev", sum(col("rev_cents")).over(overall))
+      .select(col("r_name"), col("n_name"), col("rev_cents"),
+        expr("rev_cents * 1000000 div region_rev").as("region_share_ppm"),
+        expr("rev_cents * 1000000 div total_rev").as("total_share_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q106: join fan-out audit — the data-quality screen for the
+    * MULTIPLICITY side of referential integrity (q77 catches orphans;
+    * this catches the exploding-join side): per relation, the log2
+    * histogram of children-per-parent-key, with exact min/max per bucket
+    * to pin the tail. A fact joined through a key whose fan-out
+    * histogram has a long tail is the row-explosion / skew hazard every
+    * scale-up postmortem starts with — this is the report you read
+    * BEFORE shipping the join.
+    *
+    * One aggregate per relation (key-count then bucket-count, both
+    * partial/final); log2 bucket via LENGTH(bin(x))-1, pure integer
+    * (q88's convention). */
+  def fanoutAudit(s: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, key: String, rel: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("fo"))
+        .select((length(bin(col("fo"))) - 1).cast("long").as("bucket"),
+          col("fo"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_keys"), min(col("fo")).as("min_fanout"),
+          max(col("fo")).as("max_fanout"))
+        .withColumn("relation", lit(rel))
+    hist(Tables.load(s, dir, "lineitem"), "l_orderkey",
+        "lineitem_per_order")
+      .unionByName(hist(Tables.load(s, dir, "orders"), "o_custkey",
+        "orders_per_customer"))
+      .unionByName(hist(Tables.load(s, dir, "lineitem"), "l_partkey",
+        "lineitem_per_part"))
+      .select(col("relation"), col("bucket"), col("n_keys"),
+        col("min_fanout"), col("max_fanout"))
+      .orderBy(col("relation"), col("bucket"))
+  }
+
+  /** DuckDB oracle for [[fanoutAudit]]. */
+  val fanoutAuditSql: String = {
+    def hist(table: String, key: String, rel: String): String =
+      s"""SELECT '$rel' AS relation,
+         |  CAST(LENGTH(bin(fo)) - 1 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  MIN(fo) AS min_fanout, MAX(fo) AS max_fanout
+         |FROM (SELECT $key, CAST(COUNT(*) AS BIGINT) AS fo FROM $table
+         |  GROUP BY 1) GROUP BY 1, 2""".stripMargin
+    hist("lineitem", "l_orderkey", "lineitem_per_order") +
+      "\nUNION ALL\n" +
+      hist("orders", "o_custkey", "orders_per_customer") +
+      "\nUNION ALL\n" +
+      hist("lineitem", "l_partkey", "lineitem_per_part") +
+      "\nORDER BY relation, bucket"
+  }
+
+  /** q107: grouped string aggregation — top-3 parts per brand by revenue,
+    * concatenated in rank order (the LISTAGG/string_agg report surface).
+    * Two determinism traps are closed: collect_list order is
+    * partition-dependent (sorted structs fix it) and revenue ties would
+    * make rank 3 arbitrary (p_name tiebreak makes the string a pure
+    * function of the data). Scale shape: rank 3 is cut by a brand-
+    * PARTITIONED window (WindowGroupLimit pushes the limit into the
+    * partial sort) BEFORE any list materializes, so the collected list
+    * is ≤ 3 structs per brand no matter how many parts a brand has —
+    * never listagg-then-truncate. */
+  def topPartsConcat(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
+    val pr = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_cents"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_cents").desc, col("p_name"))
+    val top = pr.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("p_brand"))
+      .agg(collect_list(struct(col("rk"), col("p_name"))).as("xs"))
+      .select(col("p_brand"),
+        expr("array_join(transform(array_sort(xs), x -> x.p_name), ',')")
+          .as("top_parts"))
+    val counts = pr.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+    top.join(counts, Seq("p_brand"))
+      .select(col("p_brand"), col("top_parts"), col("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** DuckDB oracle for [[topPartsConcat]]. */
+  val topPartsConcatSql: String =
+    """WITH pr AS (SELECT p_brand, p_name,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT p_brand, p_name, rev_cents,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY rev_cents DESC, p_name) AS rk
+      |  FROM pr)
+      |SELECT p_brand,
+      |  string_agg(CASE WHEN rk <= 3 THEN p_name END, ','
+      |    ORDER BY rk) AS top_parts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[revenueShare]]. */
+  val revenueShareSql: String =
+    """WITH b AS (SELECT r_name, n_name,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev_cents,
+      |  rev_cents * 1000000 // SUM(rev_cents) OVER (PARTITION BY r_name)
+      |    AS region_share_ppm,
+      |  rev_cents * 1000000 // SUM(rev_cents) OVER ()
+      |    AS total_share_ppm
+      |FROM b ORDER BY 1, 2""".stripMargin
+}

@@ -68,4 +68,27 @@ object SeriesStream {
     state.select(col("user_id"), col("island"), col("start_us"),
       col("end_us"), col("n_events"))
       .orderBy(col("user_id"), col("island"))
+
+  // ---- q96 twin: incremental day-aggregate + shared repair stage ------
+
+  /** Empty observed-day state for [[mergeDayBatch]]: (d, n, rev_cents) —
+    * `Series.gapFillObs`'s schema. */
+  def emptyDayState(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("d", "n", "rev_cents")
+  }
+
+  /** Fold one micro-batch of qualifying orders (day index `d`, `n`,
+    * `rev_cents` partials — produce them with the same aggregate as
+    * `Series.gapFillObs`) into the maintained day state. Day partials
+    * merge by SUM, so this is O(days) per trigger and replay-order
+    * immaterial; exactly-once under foreachBatch retries composes with
+    * [[VersionedState]] (a re-delivered batch must not double-sum —
+    * identical contract to RollingStream's day counts). The REPORT stage
+    * (spine + LOCF + lerp) is `Series.gapFillFrom(state)` — shared with
+    * batch q96, so streamed == batch is structural once states match. */
+  def mergeDayBatch(state: DataFrame, batchObs: DataFrame): DataFrame =
+    state.unionByName(batchObs)
+      .groupBy(col("d"))
+      .agg(sum(col("n")).as("n"), sum(col("rev_cents")).as("rev_cents"))
 }

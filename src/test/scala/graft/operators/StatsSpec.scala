@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("q103 weighted sampling: rates track targets, membership is stable") {
+    val rows = Stats.weightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, w, nDocs, nSampled, achieved, target) =>
+      assert(w >= 1 && w <= 8)
+      assert(nSampled <= nDocs)
+      assert(target === w * 1000000L / 32)
+      assert(achieved === nSampled * 1000000L / nDocs)
+    }
+    // pooled over all strata the sampler must track its blended target
+    // well within binomial noise at this n
+    val total = rows.map(_._3).sum
+    val sampled = rows.map(_._4).sum
+    val expected = rows.map(r => r._3.toDouble * r._2 / 32).sum
+    assert(math.abs(sampled - expected) / expected < 0.5,
+      s"sampled $sampled vs expected $expected")
+    // determinism: a second run keeps the identical counts (pure function
+    // of doc_id — the reproducible-corpus-release property)
+    val again = Stats.weightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(again.toSet === rows.map(r => (r._1, r._2, r._4)).toSet)
+  }
+
+  test("q104 outlier audit: flags match a driver-side float recompute") {
+    val flagged = Stats.outlierAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.nonEmpty)
+    val raw = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    flagged.foreach { case (et, nEvents, nOut) =>
+      val vs = raw.filter(_._1 == et).map(_._2)
+      assert(nEvents === vs.length.toLong)
+      val n = vs.length.toDouble
+      val mu = vs.sum / n
+      val sd = math.sqrt(vs.map(x => (x - mu) * (x - mu)).sum / n)
+      // the integer cross-multiplied test is EXACT; the float recompute
+      // agrees except possibly at the knife-edge — allow none here since
+      // cents-scale data sits far from exact 2-sigma boundaries
+      val expect = vs.count(x => math.abs(x - mu) > 2 * sd).toLong
+      assert(nOut === expect, s"$et: $nOut vs recomputed $expect")
+    }
+  }
+
+  test("q105 revenue share: ppm shares cross-foot to their windows") {
+    val rows = Stats.revenueShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totalRev = rows.map(_._3).sum
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val regionRev = rs.map(_._3).sum
+      rs.foreach { case (_, n, rev, regShare, totShare) =>
+        assert(regShare === rev * 1000000L / regionRev, s"$region/$n region")
+        assert(totShare === rev * 1000000L / totalRev, s"$region/$n total")
+      }
+      // truncated shares within a window sum to <= 1e6 and recover it
+      // within one ppm per member (floor-division remainder bound)
+      val sum = rs.map(_._4).sum
+      assert(sum <= 1000000L && sum > 1000000L - rs.length)
+    }
+  }
+
+  test("q106 fan-out audit: every key in exactly one bucket; tails pinned") {
+    val rows = Stats.fanoutAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val rels = rows.map(_._1).distinct.sorted
+    assert(rels === Seq("lineitem_per_order", "lineitem_per_part",
+      "orders_per_customer").sorted)
+    rows.foreach { case (rel, bucket, nKeys, mn, mx) =>
+      assert(nKeys >= 1)
+      // bucket b holds fanouts in [2^b, 2^(b+1))
+      assert(mn >= (1L << bucket) && mx < (1L << (bucket + 1)),
+        s"$rel bucket $bucket bounds [$mn,$mx] escape")
+    }
+    // keys cross-foot: sum of n_keys per relation == distinct key count
+    val orderKeys = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    assert(rows.filter(_._1 == "lineitem_per_order").map(_._3).sum === orderKeys)
+  }
+
+  test("q107 top-concat: strings recompute from a driver-side rank") {
+    val rows = Stats.topPartsConcat(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val pr = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (brand, topStr, nParts) =>
+      val mine = pr.filter(_._1 == brand)
+      assert(nParts === mine.length.toLong)
+      val expect = mine.sortBy(p => (-p._3, p._2)).take(3).map(_._2).mkString(",")
+      assert(topStr === expect, s"$brand: '$topStr' vs '$expect'")
+    }
+  }
+
+  test("q96 streaming twin: merged day state reports identically to batch") {
+    val obs = graft.operators.Series.gapFillObs(spark, sf)
+    // split the SOURCE rows (not the aggregate) three ways, aggregate each
+    // slice with the same day grouping, fold
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .withColumn("bucket", col("o_orderkey") % 3)
+    var st = graft.streaming.SeriesStream.emptyDayState(spark)
+    Seq(0L, 1L, 2L).foreach { b =>
+      val slice = orders.filter(col("bucket") === b)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      st = graft.streaming.SeriesStream.mergeDayBatch(st, slice)
+        .localCheckpoint(true)
+    }
+    val a = graft.operators.Series.gapFillFrom(st).collect().map(_.toSeq)
+    val b = graft.operators.Series.gapFillFrom(obs).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
