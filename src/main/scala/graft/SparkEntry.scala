@@ -134,6 +134,9 @@ object SparkEntry {
     "q105_revenue_share"  -> (graft.operators.Stats.revenueShare _),
     "q106_fanout_audit"   -> (graft.operators.Stats.fanoutAudit _),
     "q107_top_concat"     -> (graft.operators.Stats.topPartsConcat _),
+    "q108_cum_reach"      -> (graft.operators.Stats.cumulativeReach _),
+    "q109_set_ops"        -> (graft.operators.Stats.yearCohortSetOps _),
+    "q110_benford"        -> (graft.operators.Stats.benfordAudit _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1680,5 +1683,8 @@ object SparkEntry {
     "q105_revenue_share" -> graft.operators.Stats.revenueShareSql,
     "q106_fanout_audit"  -> graft.operators.Stats.fanoutAuditSql,
     "q107_top_concat"    -> graft.operators.Stats.topPartsConcatSql,
+    "q108_cum_reach"     -> graft.operators.Stats.cumulativeReachSql,
+    "q109_set_ops"       -> graft.operators.Stats.yearCohortSetOpsSql,
+    "q110_benford"       -> graft.operators.Stats.benfordAuditSql,
   )
 }

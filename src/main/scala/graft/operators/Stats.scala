@@ -246,6 +246,136 @@ object Stats {
       |  CAST(COUNT(*) AS BIGINT) AS n_parts
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q108: cumulative reach — running count of DISTINCT users ever seen,
+    * by day. The naive form (COUNT(DISTINCT) over a growing window)
+    * re-scans every prefix; the scalable identity is
+    * `cum_distinct(d) = #{users whose FIRST day ≤ d}` — ONE user-keyed
+    * min pass over the corpus, then a day-grain spine + running sum at
+    * metadata scale (q96's convention). Daily actives ride the same
+    * scan. */
+  def cumulativeReach(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n_new"))
+    val active = ev.distinct().groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"))
+    val spine = ev.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(firstDay.withColumnRenamed("f", "d"), Seq("d"), "left")
+      .join(active, Seq("d"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
+      .withColumn("cum_reach", sum(col("n_new")).over(w))
+      .select(col("d"), col("n_new"), col("n_active"), col("cum_reach"))
+      .orderBy(col("d"))
+  }
+
+  /** DuckDB oracle for [[cumulativeReach]]. */
+  val cumulativeReachSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |fd AS (SELECT f AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+      |  FROM (SELECT user_id, MIN(d) AS f FROM e GROUP BY 1) GROUP BY 1),
+      |ac AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM (SELECT DISTINCT user_id, d FROM e) GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(mn, mx)) AS d
+      |  FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM e))
+      |SELECT s.d, COALESCE(fd.n_new, 0) AS n_new,
+      |  COALESCE(ac.n_active, 0) AS n_active,
+      |  CAST(SUM(COALESCE(fd.n_new, 0)) OVER (ORDER BY s.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_reach
+      |FROM spine s
+      |LEFT JOIN fd ON fd.d = s.d
+      |LEFT JOIN ac ON ac.d = s.d
+      |ORDER BY s.d""".stripMargin
+
+  /** q109: set-operation audit — customers with orders in 1995 vs 1996
+    * classified into both / only-1995 / only-1996, expressed with the
+    * DataFrame `intersect` / `except` operators themselves (the declared
+    * surface should exercise Spark's set-op planning — they lower to
+    * distinct-preserving semi/anti joins, shuffling each side once on
+    * the full row as key). */
+  def yearCohortSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def custs(year: Int) =
+      o.filter(expr(s"year(o_orderdate) = $year"))
+        .select(col("o_custkey")).distinct()
+    val a = custs(1995)
+    val b = custs(1996)
+    def counted(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_customers"))
+        .withColumn("cohort", lit(label))
+    counted(a.intersect(b), "both")
+      .unionByName(counted(a.except(b), "only_1995"))
+      .unionByName(counted(b.except(a), "only_1996"))
+      .select(col("cohort"), col("n_customers"))
+      .orderBy(col("cohort"))
+  }
+
+  /** DuckDB oracle for [[yearCohortSetOps]]. */
+  val yearCohortSetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(o_orderdate) = 1995),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE year(o_orderdate) = 1996)
+      |SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1995', CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY cohort""".stripMargin
+
+  /** q110: Benford first-digit screen over order amounts — the classic
+    * fabricated-data detector: empirical first-digit shares vs the
+    * Benford expectation log10(1+1/d). Expectations are EMBEDDED integer
+    * ppm literals (no runtime log10 — a libm ulp cannot flip a rounding);
+    * observed shares are integer ppm over a window total. One aggregate
+    * pass; the 9-row compare is metadata. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(substring(col("v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        expr(benfordCase).as("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** round(log10(1+1/d)·10^6) for d = 1..9, precomputed so both engines
+    * compare against identical literals. */
+  private val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  private val benfordCase: String =
+    "CAST(CASE digit " +
+      benfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ") +
+      " END AS BIGINT)"
+
+  /** DuckDB oracle for [[benfordAudit]]. */
+  val benfordAuditSql: String =
+    s"""WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1)
+       |SELECT digit, n,
+       |  n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS obs_ppm,
+       |  $benfordCase AS benford_ppm
+       |FROM c ORDER BY digit""".stripMargin
+
   /** DuckDB oracle for [[revenueShare]]. */
   val revenueShareSql: String =
     """WITH b AS (SELECT r_name, n_name,

@@ -107,6 +107,44 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q108 cumulative reach: monotone, ends at the user universe") {
+    val rows = Stats.cumulativeReach(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // cum_reach is the running sum of n_new and never decreases
+    var run = 0L
+    rows.foreach { case (_, nNew, nActive, cum) =>
+      run += nNew
+      assert(cum === run)
+      assert(nActive >= nNew, "new users are active on their first day")
+    }
+    val universe = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.last._4 === universe)
+  }
+
+  test("q109 set ops: classes partition each year's cohort") {
+    val m = Stats.yearCohortSetOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("both", "only_1995", "only_1996"))
+    def yearCount(y: Int) = graft.Tables.load(spark, sf, "orders")
+      .filter(expr(s"year(o_orderdate) = $y"))
+      .select(col("o_custkey")).distinct().count()
+    assert(m("both") + m("only_1995") === yearCount(1995))
+    assert(m("both") + m("only_1996") === yearCount(1996))
+  }
+
+  test("q110 benford: shares cross-foot; expectations are the fixed table") {
+    val rows = Stats.benfordAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 9L))
+    val total = rows.map(_._2).sum
+    rows.foreach { case (d, n, obs, exp) =>
+      assert(obs === n * 1000000L / total)
+      assert(exp === math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+    }
+  }
+
   test("q96 streaming twin: merged day state reports identically to batch") {
     val obs = graft.operators.Series.gapFillObs(spark, sf)
     // split the SOURCE rows (not the aggregate) three ways, aggregate each
