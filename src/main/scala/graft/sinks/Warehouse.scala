@@ -68,4 +68,45 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
   }
+
+  /** Small-file compaction — the maintenance job every streaming sink
+    * needs: foreachBatch appends leave one-file-per-trigger debris, and
+    * at 100 TB a million 100 KB files costs more in scan planning +
+    * open() overhead than the data itself. Rewrites a parquet directory
+    * into ≤ `targetFiles` files, re-sorted by `sortKey` when given (so
+    * compaction REPAIRS clustering that trigger-sized appends eroded —
+    * min/max footers tighten back up).
+    *
+    * Atomicity: writes to `<path>.compact.tmp`, then swaps directories —
+    * readers race either the old or the new complete layout, never a
+    * half-written one (same visibility idea as VersionedState's
+    * _SUCCESS gate). Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int, sortKey: Option[String] = None): (Int, Int) = {
+    def parquetFiles(p: java.io.File): Int =
+      Option(p.listFiles).map(_.count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).getOrElse(0)
+    val dir = new java.io.File(path)
+    val before = parquetFiles(dir)
+    val df = spark.read.parquet(path)
+    val arranged = sortKey match {
+      case Some(k) =>
+        df.repartitionByRange(targetFiles, col(k)).sortWithinPartitions(col(k))
+      case None => df.coalesce(targetFiles)
+    }
+    val tmp = path + ".compact.tmp"
+    arranged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(path + ".compact.old")
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      old.renameTo(dir) // roll back visibility before failing
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(old)
+    (before, parquetFiles(dir))
+  }
 }
