@@ -57,6 +57,47 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"KMV shuffle ($sketchBig B) not materially below exact ($exactBig B) at sf0.01")
   }
 
+  test("q100 overlap shuffle stays sketch-sized while segments grow 10x") {
+    // the two bottom-k segment sketches are the ONLY aggregation state
+    // that crosses the wire for the estimate path; the exact companions
+    // ride a user-keyed aggregate that grows with the user universe. The
+    // TOTAL therefore grows with users — but removing the exact columns
+    // must leave a near-flat sketch shuffle. Measure the sketch-only
+    // fragment at two SFs.
+    import graft.functions.{KmvDistinct, PortableHash}
+    def sketchOnly(dir: String): DataFrame = {
+      val ev = graft.Tables.load(spark, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"),
+          PortableHash.h60(col("user_id").cast("string")).as("h"))
+      val sk = KmvDistinct.sketchAgg(64)
+      ev.filter(col("event_type") === "view").agg(sk(col("h")).as("sa"))
+        .crossJoin(ev.filter(col("event_type") === "purchase")
+          .agg(sk(col("h")).as("sb")))
+        .select(size(col("sa")).as("na"), size(col("sb")).as("nb"))
+    }
+    val small = shuffledBytes(sketchOnly(sf))
+    val big = shuffledBytes(sketchOnly("/root/testdata/sf0.01"))
+    assert(small > 0, "no shuffle measured for the sketch aggregate")
+    assert(big < small * 2 + 4096,
+      s"sketch shuffle grew with segment size ($small -> $big B) — state not bounded")
+  }
+
+  test("q98 support enrichment must not re-shuffle the pair table") {
+    // the unavoidable wire cost is pairFrame's: two incidence exchanges
+    // for the orderkey self-join plus the distinct-pair support partials
+    // (that IS the output domain). The item-support and order-count
+    // enrichment joins are BROADCAST — adding them must cost only their
+    // own dimension-sized aggregates, never a second pass of the pair
+    // table through an exchange.
+    val dir = "/root/testdata/sf0.01"
+    val base = shuffledBytes(Graph.pairFrame(spark, dir))
+    val full = shuffledBytes(Graph.basketPairs(spark, dir))
+    assert(base > 0 && full >= base)
+    assert(full < base * 3 / 2 + (1 << 20),
+      s"enrichment grew shuffle $base -> $full B — pairs re-shuffled?")
+  }
+
   test("sequence packing shuffles doc metadata, not document text") {
     val textBytes = graft.Tables.load(spark, sf, "documents")
       .agg(sum(length(col("text")))).head().getLong(0)
