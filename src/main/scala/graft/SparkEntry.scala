@@ -137,6 +137,7 @@ object SparkEntry {
     "q108_cum_reach"      -> (graft.operators.Stats.cumulativeReach _),
     "q109_set_ops"        -> (graft.operators.Stats.yearCohortSetOps _),
     "q110_benford"        -> (graft.operators.Stats.benfordAudit _),
+    "q111_vocab_growth"   -> (TextQueries.vocabGrowth _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1686,5 +1687,6 @@ object SparkEntry {
     "q108_cum_reach"     -> graft.operators.Stats.cumulativeReachSql,
     "q109_set_ops"       -> graft.operators.Stats.yearCohortSetOpsSql,
     "q110_benford"       -> graft.operators.Stats.benfordAuditSql,
+    "q111_vocab_growth"  -> TextQueries.vocabGrowthSql,
   )
 }

@@ -314,4 +314,58 @@ object TextQueries {
       .filter(col("doc_freq") >= minDf)
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(topK)
+
+  /** q111: vocabulary growth (type-token curve, the Heaps'-law audit) —
+    * per decile of the corpus in doc_id order: token occurrences, NEW
+    * distinct types first seen in that decile, and the cumulative
+    * vocabulary. The capacity-planning curve for any vocabulary-keyed
+    * state (dedup fingerprint stores, BM25 postings, bigram tables):
+    * whether type growth is flattening decides how those stores scale
+    * with the next 10× of corpus.
+    *
+    * Scale: "cumulative distinct" via the q108 first-seen identity — one
+    * token-keyed min pass (the only corpus-scale shuffle), then 10-row
+    * metadata windows; never a growing COUNT DISTINCT per prefix. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("mxd"))
+    val toks = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("doc_id * 10 div (mxd + 1)"))
+    val occ = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new_types"))
+      .withColumnRenamed("fb", "bucket")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    occ.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        col("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[vocabGrowth]]. */
+  val vocabGrowthSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest([t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+      |      if len(t) > 0]) AS tok
+      |  FROM documents),
+      |mx AS (SELECT max(doc_id) AS mxd FROM documents),
+      |b AS (SELECT doc_id * 10 // (mxd + 1) AS bucket, tok FROM toks, mx),
+      |occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |  FROM b GROUP BY 1),
+      |fs AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+      |  FROM (SELECT tok, MIN(bucket) AS fb FROM b GROUP BY 1) GROUP BY 1)
+      |SELECT occ.bucket, occ.n_tokens,
+      |  COALESCE(fs.n_new_types, 0) AS n_new_types,
+      |  CAST(SUM(COALESCE(fs.n_new_types, 0)) OVER (ORDER BY occ.bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+      |FROM occ LEFT JOIN fs ON fs.bucket = occ.bucket
+      |ORDER BY occ.bucket""".stripMargin
 }

@@ -149,4 +149,27 @@ class TextQueriesSpec extends SparkSpec {
       .filter(array_contains(col("sh"), top)).count()
     assert(manual === topDf)
   }
+
+  test("q111 vocab growth: cumulative types cross-foot with exact distincts") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // cumulative vocabulary is the running sum of per-bucket new types and
+    // ends at the corpus-wide distinct token count
+    var run = 0L
+    rows.foreach { case (_, nTok, nNew, cum) =>
+      run += nNew
+      assert(cum === run)
+      assert(nNew <= nTok, "more new types than occurrences")
+    }
+    val totalTypes = graft.Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(rows.last._4 === totalTypes)
+    // token occurrences cross-foot to the corpus total
+    val totalToks = graft.Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t")).count()
+    assert(rows.map(_._2).sum === totalToks)
+  }
 }
