@@ -91,4 +91,85 @@ object SeriesStream {
     state.unionByName(batchObs)
       .groupBy(col("d"))
       .agg(sum(col("n")).as("n"), sum(col("rev_cents")).as("rev_cents"))
+
+  // ---- transformWithState deployment shape ---------------------------
+  //
+  // The foreachBatch twin above maintains the island set as a FRAME; this
+  // is the per-key state-store form: open islands live in a ValueState
+  // per user (RocksDB-backed), and an island is EMITTED (append mode)
+  // once the watermark passes its end — at that point no future interval
+  // can touch it (future st ≥ watermark > end, and the merge rule needs
+  // st ≤ end), so sealed islands are final. State per user is only the
+  // OPEN islands; sealed ones leave the store — the same
+  // bounded-without-TTL discipline as AsOfStream's version pruning.
+
+  /** Input: one interval, with `ts` = the start instant (watermark
+    * column); st/en in microseconds. */
+  case class IvIn(userId: Long, ts: java.sql.Timestamp, st: Long, en: Long)
+  /** A sealed (watermark-final) merged island. */
+  case class IvOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+  private[streaming] case class Island(st: Long, en: Long, n: Long)
+
+  /** Order-insensitive merge sweep over islands (the closure op). */
+  private[streaming] def sweep(ivs: Array[Island]): Array[Island] = {
+    val sorted = ivs.sortBy(i => (i.st, i.en))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Island]
+    sorted.foreach { iv =>
+      if (out.nonEmpty && iv.st <= out.last.en) {
+        val l = out.last
+        out(out.length - 1) =
+          Island(l.st, math.max(l.en, iv.en), l.n + iv.n)
+      } else out += iv
+    }
+    out.toArray
+  }
+
+  class IntervalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, IvIn, IvOut] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[Array[Island]] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[Array[Island]]("open",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Island]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def sealReady(userId: Long, wmUs: Long): Iterator[IvOut] = {
+      val cur = if (open.exists()) open.get() else Array.empty[Island]
+      val (done, live) = cur.partition(_.en < wmUs)
+      if (live.isEmpty) open.clear() else open.update(live)
+      done.sortBy(i => (i.st, i.en)).iterator
+        .map(i => IvOut(userId, i.st, i.en, i.n))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[IvIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[IvOut] = {
+      val cur = if (open.exists()) open.get() else Array.empty[Island]
+      val merged = sweep(cur ++ rows.map(r => Island(r.st, r.en, 1L)))
+      open.update(merged)
+      // one timer per island end: fires when the watermark passes it
+      merged.foreach(i => getHandle.registerTimer(i.en / 1000 + 1))
+      // islands already sealed by the current watermark emit immediately
+      sealReady(userId, tv.getCurrentWatermarkInMs() * 1000)
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[IvOut] =
+      sealReady(userId, tv.getCurrentWatermarkInMs() * 1000)
+  }
+
+  /** Streaming interval coalescing on the per-key state store: append-mode
+    * sealed islands, identical to batch q97's merged spans once the
+    * watermark closes. */
+  def intervalStateStream(in: org.apache.spark.sql.Dataset[IvIn])
+      : org.apache.spark.sql.Dataset[IvOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.userId)
+      .transformWithState(new IntervalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -58,6 +58,48 @@ class SeriesStreamSpec extends SparkSpec {
     assert(stateSet(st) === Set((1L, 1L, 0L, 110L, 3L)))
   }
 
+  test("transformWithState islands seal at the watermark and match batch") {
+    val s = spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = 1700000000000000L // µs
+      def iv(u: Long, stOff: Long, enOff: Long) =
+        SeriesStream.IvIn(u, new java.sql.Timestamp((base + stOff) / 1000),
+          base + stOff, base + enOff)
+      // u1: [0,10s] and [5s,20s] merge; [30s,35s] separate
+      // u2: [0,8s]; a LATE-batch bridge [7s,32s] joins [40s,45s]? no —
+      //     it merges with [0,8s] only (32s < 40s), then [40s,45s] alone
+      val b1 = Seq(iv(1, 0L, 10000000L), iv(2, 0L, 8000000L))
+      val b2 = Seq(iv(1, 5000000L, 20000000L), iv(2, 7000000L, 32000000L))
+      val b3 = Seq(iv(1, 30000000L, 35000000L), iv(2, 40000000L, 45000000L))
+      val in = MemoryStream[SeriesStream.IvIn]
+      in.addData(b1)
+      val out = SeriesStream.intervalStateStream(
+        in.toDS().withWatermark("ts", "1 second"))
+      val name = s"ivstate_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Seq(b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+        // flush: a far-future dummy event closes the watermark
+        in.addData(iv(-1L, 7200000000000L, 7200000001000L))
+        q.processAllAvailable()
+        val finals = s.table(name).as[SeriesStream.IvOut].collect()
+          .filter(_.userId != -1L)
+          .map(o => (o.userId, o.startUs - base, o.endUs - base, o.nEvents))
+          .toSet
+        assert(finals === Set(
+          (1L, 0L, 20000000L, 2L), (1L, 30000000L, 35000000L, 1L),
+          (2L, 0L, 32000000L, 2L), (2L, 40000000L, 45000000L, 1L)))
+      } finally q.stop()
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("untouched users carry through; early insert renumbers") {
     val s = spark; import s.implicits._
     var st = SeriesStream.mergeBatch(SeriesStream.emptyState(s),
