@@ -138,6 +138,7 @@ object SparkEntry {
     "q109_set_ops"        -> (graft.operators.Stats.yearCohortSetOps _),
     "q110_benford"        -> (graft.operators.Stats.benfordAudit _),
     "q111_vocab_growth"   -> (TextQueries.vocabGrowth _),
+    "q112_pagerank"       -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1688,5 +1689,6 @@ object SparkEntry {
     "q109_set_ops"       -> graft.operators.Stats.yearCohortSetOpsSql,
     "q110_benford"       -> graft.operators.Stats.benfordAuditSql,
     "q111_vocab_growth"  -> TextQueries.vocabGrowthSql,
+    "q112_pagerank"      -> graft.operators.Graph.pagerankSql(),
   )
 }

@@ -116,6 +116,80 @@ object Graph {
       .orderBy(col("pk"))
   }
 
+  /** q112: PageRank on the thresholded co-purchase graph — the iterative
+    * bulk-synchronous graph computation (the family GraphX/Pregel serve),
+    * expressed as five declarative join+aggregate rounds that Catalyst
+    * plans independently, with `localCheckpoint` truncating lineage
+    * between rounds (the q48 clustering discipline — without it the plan
+    * doubles per iteration).
+    *
+    * EXACT integer arithmetic end-to-end: masses start at 10^12 per node
+    * and update as `0.15·10^12 + (85 · Σ inflow) div 100` with per-edge
+    * contributions `mass div deg` — truncating integer division in both
+    * engines, so five rounds stay bit-identical to the unrolled DuckDB
+    * oracle (float PageRank would drift per-iteration per-engine). Mass
+    * truncation-leak is deterministic and immaterial for RANKING. At
+    * billions of nodes rescale the base (10^9/node) to keep Σ·85 inside
+    * Long — documented, not needed at measured SFs.
+    *
+    * Scale: each round shuffles the edge list once (join on the source
+    * key, aggregate on the destination key); the undirected edge set is
+    * materialized both ways ONCE up front. */
+  def pagerank(s: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    pagerankFrom(pairFrame(s, dir).select(col("p1"), col("p2")), iters)
+
+  /** The iteration core over an undirected (p1 < p2) edge frame. */
+  def pagerankFrom(e: DataFrame, iters: Int): DataFrame = {
+    val edges = e.unionByName(
+        e.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("p1")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("p1", "pk")
+      .localCheckpoint(true)
+    var mass = deg.select(col("pk"), lit(1000000000000L).as("mass"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(mass.withColumnRenamed("pk", "p1"), Seq("p1"))
+        .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
+        .select(col("p2").as("pk"), expr("mass div deg").as("c"))
+        .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
+      mass = deg.select(col("pk"))
+        .join(inflow, Seq("pk"), "left")
+        .select(col("pk"),
+          expr("150000000000 + (85 * coalesce(inf, 0)) div 100").as("mass"))
+        .localCheckpoint(true)
+    }
+    mass.orderBy(col("pk"))
+  }
+
+  /** DuckDB oracle for [[pagerank]] — the five rounds unrolled. */
+  def pagerankSql(iters: Int = 5): String = {
+    val header =
+      """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2
+        |  FROM dl a JOIN dl b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ed AS (SELECT p1, p2 FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT p1 AS pk, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY 1),
+        |m0 AS (SELECT pk, CAST(1000000000000 AS BIGINT) AS mass
+        |  FROM deg)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT d.pk,
+         |  150000000000 + (85 * COALESCE(i$i.inf, 0)) // 100 AS mass
+         |  FROM deg d LEFT JOIN (
+         |    SELECT ed.p2 AS pk, CAST(SUM(m.mass // g.deg) AS BIGINT) AS inf
+         |    FROM ed
+         |    JOIN m${i - 1} m ON m.pk = ed.p1
+         |    JOIN deg g ON g.pk = ed.p1
+         |    GROUP BY 1) i$i ON i$i.pk = d.pk)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n") +
+      s"\nSELECT pk, CAST(mass AS BIGINT) AS mass FROM m$iters ORDER BY pk"
+  }
+
   /** DuckDB oracle for [[triangleCounts]]. */
   val triangleCountsSql: String =
     """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

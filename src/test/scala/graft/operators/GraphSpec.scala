@@ -39,6 +39,39 @@ class GraphSpec extends SparkSpec {
     assert(perNode === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("q112 pagerank: star-fixture masses match a literal integer recompute") {
+    import spark.implicits._
+    // hub 1 connected to 2,3,4,5 (star): hub must dominate, and every
+    // mass must equal the exact integer recurrence computed driver-side
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("p1", "p2")
+    val got = Graph.pagerankFrom(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side recompute of the identical recurrence
+    val adj = Map(1L -> Seq(2L, 3L, 4L, 5L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L), 5L -> Seq(1L))
+    val deg = adj.map { case (k, v) => k -> v.length.toLong }
+    var m = adj.keys.map(_ -> 1000000000000L).toMap
+    (1 to 5).foreach { _ =>
+      m = adj.keys.map { i =>
+        val inflow = adj.filter(_._2.contains(i)).keys.toSeq
+          .map(j => m(j) / deg(j)).sum
+        i -> (150000000000L + 85L * inflow / 100L)
+      }.toMap
+    }
+    assert(got === m)
+    assert(got(1L) > got(2L) * 2, "hub should dominate leaves")
+    assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size === 1, "leaves symmetric")
+  }
+
+  test("q112 on real data: deterministic across runs, hubs outrank leaves") {
+    val a = Graph.pagerank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Graph.pagerank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq, "pagerank not deterministic")
+    assert(a.nonEmpty)
+    // every node keeps at least the teleport mass
+    a.foreach { case (pk, mass) => assert(mass >= 150000000000L, s"$pk lost teleport mass") }
+  }
+
   test("q99 on real data: counts positive and nodes are thresholded-edge endpoints") {
     val tri = Graph.triangleCounts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
