@@ -100,6 +100,48 @@ class SeriesStreamSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("interval state survives a checkpointed query restart") {
+    val s = spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = 1700000000000000L
+      def iv(u: Long, stOff: Long, enOff: Long) =
+        SeriesStream.IvIn(u, new java.sql.Timestamp((base + stOff) / 1000),
+          base + stOff, base + enOff)
+      val ckpt = java.nio.file.Files.createTempDirectory("ck-iv").toString
+      val outDir = java.nio.file.Files.createTempDirectory("out-iv").toString + "/t"
+      val in = MemoryStream[SeriesStream.IvIn]
+      def start() = SeriesStream.intervalStateStream(
+          in.toDS().withWatermark("ts", "1 second"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SeriesStream.IvOut], _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      // first life: an OPEN island for user 9
+      in.addData(iv(9, 0L, 10000000L))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // second life: an overlapping interval must MERGE with the restored
+      // island (possible only if state survived), then the flush seals it
+      val q2 = start()
+      in.addData(iv(9, 5000000L, 20000000L))
+      q2.processAllAvailable()
+      in.addData(iv(-1L, 7200000000000L, 7200000001000L))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = s.read.parquet(outDir).as[SeriesStream.IvOut].collect()
+        .filter(_.userId == 9L)
+        .map(o => (o.startUs - base, o.endUs - base, o.nEvents)).toSet
+      assert(rows === Set((0L, 20000000L, 2L)),
+        s"restored state did not merge: $rows")
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("untouched users carry through; early insert renumbers") {
     val s = spark; import s.implicits._
     var st = SeriesStream.mergeBatch(SeriesStream.emptyState(s),
