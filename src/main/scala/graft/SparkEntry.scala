@@ -139,6 +139,7 @@ object SparkEntry {
     "q110_benford"        -> (graft.operators.Stats.benfordAudit _),
     "q111_vocab_growth"   -> (TextQueries.vocabGrowth _),
     "q112_pagerank"       -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
+    "q113_no_click"       -> ((s, d) => RefQueries.noClickPurchases(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1690,5 +1691,6 @@ object SparkEntry {
     "q110_benford"       -> graft.operators.Stats.benfordAuditSql,
     "q111_vocab_growth"  -> TextQueries.vocabGrowthSql,
     "q112_pagerank"      -> graft.operators.Graph.pagerankSql(),
+    "q113_no_click"      -> RefQueries.noClickPurchasesSql,
   )
 }

@@ -600,6 +600,58 @@ object RefQueries {
           .as("converted"))
   }
 
+  /** q113: NEGATIVE sequence matching — purchases reached from the first
+    * view WITHOUT an intervening click, Flink CEP's `notFollowedBy` in
+    * batch form (the reference's only CEP pattern, UserJumpApp's
+    * entry-not-followed-by-page, is the streaming special case our
+    * T2/q07 covers; this is the general absence-between-anchors report).
+    * Anchors reuse q75's first-touch construction: t1 = first view,
+    * tp = first purchase strictly after t1 (UNconditional on clicks),
+    * tc = first click strictly after t1; the absence flag is then pure
+    * arithmetic (`tc IS NULL OR tc > tp`) — no correlated NOT EXISTS
+    * per row, so the plan stays three user-keyed conditional-min
+    * aggregations (one shuffle key), the q75 scale shape. */
+  def noClickPurchases(s: SparkSession, dir: String,
+                       windowUs: Long = 86400L * 1000000L): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    def firstAfter(evType: String, out: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(t1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("us")).as(out))
+        .select(col("user_id"), col(out))
+    t1.join(firstAfter("purchase", "tp"), Seq("user_id"))
+      .join(firstAfter("click", "tc"), Seq("user_id"), "left")
+      .filter(col("tp") - col("t1") <= windowUs)
+      .select(col("user_id"), col("t1"), col("tp"),
+        when(col("tc").isNull || col("tc") > col("tp"), 1L).otherwise(0L)
+          .as("no_click"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB oracle for [[noClickPurchases]]. */
+  val noClickPurchasesSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |tp AS (SELECT e.user_id, MIN(us) AS tp FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t1 GROUP BY 1),
+      |tc AS (SELECT e.user_id, MIN(us) AS tc FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY 1)
+      |SELECT t1.user_id, t1.t1, tp.tp,
+      |  CAST(CASE WHEN tc.tc IS NULL OR tc.tc > tp.tp THEN 1 ELSE 0 END
+      |    AS BIGINT) AS no_click
+      |FROM t1
+      |JOIN tp ON tp.user_id = t1.user_id
+      |LEFT JOIN tc ON tc.user_id = t1.user_id
+      |WHERE tp.tp - t1.t1 <= 86400000000
+      |ORDER BY t1.user_id""".stripMargin
+
   /** q74: TRUE per-session visitor stats — the upgrade of the reference's
     * sv metric, which only counts session ENTRIES
     * (VisitorStatsApp.java:106-125 increments sv when last_page_id is
