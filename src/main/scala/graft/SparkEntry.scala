@@ -140,6 +140,8 @@ object SparkEntry {
     "q111_vocab_growth"   -> (TextQueries.vocabGrowth _),
     "q112_pagerank"       -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q113_no_click"       -> ((s, d) => RefQueries.noClickPurchases(s, d)),
+    "q114_anomaly_days"   -> (graft.operators.Series.anomalyDays _),
+    "q115_phrase_search"  -> ((s, d) => TextQueries.phraseSearch(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1692,5 +1694,7 @@ object SparkEntry {
     "q111_vocab_growth"  -> TextQueries.vocabGrowthSql,
     "q112_pagerank"      -> graft.operators.Graph.pagerankSql(),
     "q113_no_click"      -> RefQueries.noClickPurchasesSql,
+    "q114_anomaly_days"  -> graft.operators.Series.anomalyDaysSql,
+    "q115_phrase_search" -> TextQueries.phraseSearchSql(),
   )
 }

@@ -204,6 +204,81 @@ object Series {
       .orderBy(col("month"))
   }
 
+  /** q114: trailing-window volume anomaly screen — each day's event count
+    * tested against the mean/variance of the PRECEDING seven calendar
+    * days (the alerting panel a DWS layer drives: "is today's traffic
+    * off-trend?"). Composes q83's RANGE-frame convention (the trailing
+    * frame is over the day INDEX, so calendar gaps shrink the sample
+    * instead of silently pulling in stale days) with q104's exact z-test:
+    * `|x − μ| > 2σ  ⇔  (m·x − s)² > 4·(m·ssq − s²)` cross-multiplied into
+    * DECIMAL(38,0)/HUGEINT — no float mean or variance anywhere, so the
+    * flag is a pure function of the data at any partitioning. Days with
+    * fewer than three trailing observations report a NULL flag (not
+    * false): an alert from a 1-2 day baseline is noise, and the NULL
+    * makes the warm-up visible to the consumer.
+    *
+    * Scale: the corpus-sized work is one day-keyed partial/final
+    * aggregate; the trailing window runs over ONE ROW PER DAY (metadata
+    * scale, q83's argument), so the unpartitioned ORDER BY window is a
+    * few-thousand-row single task even at 100 TB. */
+  def anomalyDays(s: SparkSession, dir: String): DataFrame =
+    anomalyDaysFrom(Tables.load(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day_num"),
+        expr("ts div 1000000000").as("sec"))
+      .groupBy(col("day_num"))
+      .agg(min(date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd"))
+          .as("day"),
+        count(lit(1)).as("n_events")))
+
+  /** The anomaly report stage over an already-reduced daily frame
+    * (day_num, day, n_events) — shared with the incremental twin (the
+    * maintained state of `streaming/RollingStream` IS that frame, so the
+    * streamed report equals the batch one structurally). */
+  def anomalyDaysFrom(daily: DataFrame): DataFrame = {
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = Window.orderBy(col("day_num")).rangeBetween(-7, -1)
+    daily
+      .withColumn("t_days", count(lit(1)).over(w))
+      .withColumn("t_sum", sum(col("n_events")).over(w))
+      .withColumn("t_ssq",
+        sum(big(col("n_events")) * big(col("n_events"))).over(w))
+      .withColumn("is_anomaly",
+        when(col("t_days") < 3, lit(null).cast("boolean")).otherwise(
+          (big(col("t_days")) * big(col("n_events")) - big(col("t_sum"))) *
+          (big(col("t_days")) * big(col("n_events")) - big(col("t_sum"))) >
+          lit(4) * (big(col("t_days")) * col("t_ssq") -
+            big(col("t_sum")) * big(col("t_sum")))))
+      .select(col("day"), col("n_events"), col("t_days"),
+        coalesce(col("t_sum"), lit(0L)).as("t_events"), col("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[anomalyDays]]. */
+  val anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_num,
+      |    MIN(strftime(ts, '%Y-%m-%d')) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, n_events,
+      |    CAST(COUNT(*) OVER wt AS BIGINT) AS t_days,
+      |    CAST(SUM(n_events) OVER wt AS BIGINT) AS t_sum,
+      |    SUM(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT))
+      |      OVER wt AS t_ssq
+      |  FROM daily
+      |  WINDOW wt AS (ORDER BY day_num
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, n_events, t_days,
+      |  COALESCE(t_sum, 0) AS t_events,
+      |  CASE WHEN t_days < 3 THEN NULL
+      |    ELSE (CAST(t_days AS HUGEINT) * n_events - t_sum)
+      |       * (CAST(t_days AS HUGEINT) * n_events - t_sum)
+      |       > 4 * (CAST(t_days AS HUGEINT) * t_ssq
+      |         - CAST(t_sum AS HUGEINT) * CAST(t_sum AS HUGEINT))
+      |  END AS is_anomaly
+      |FROM t ORDER BY day""".stripMargin
+
   /** DuckDB oracle for [[monthlyDeltas]]. */
   val monthlyDeltasSql: String =
     """WITH m AS (

@@ -281,6 +281,81 @@ object TextQueries {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** q115: phrase search over a positional inverted index — the retrieval
+    * operation BM25 (q64) cannot answer: "these two tokens ADJACENT, in
+    * order" (bag-of-words scoring is blind to position). The query
+    * workload is derived, not hard-coded: the top-`topK` bigrams of the
+    * doc_id%10==0 sample split (ties broken lexicographically) are
+    * searched across the WHOLE corpus, so the query exercises the index
+    * rather than restating the counting query that produced it.
+    *
+    * Scale design: the postings frame (doc_id, pos, term) is the
+    * materialized index artifact — at 100 TB it would be persisted
+    * bucketed by term (the Warehouse K4 layout) and reused across query
+    * batches. Both sides of the positional self-join are first semi-
+    * joined against the ≤topK broadcast phrase terms, so the join input
+    * is phrase-term-posting-sized, never corpus-sized; the equi-join on
+    * (doc_id, a.pos+1 = b.pos) then verifies adjacency. Overlapping
+    * occurrences each count once (both engines enumerate positions). */
+  def phraseSearch(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // query workload: top bigrams of the sample split, deterministic ties
+    val phrases = toks.filter(col("doc_id") % 10 === 0)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"))
+    val postings = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val a = postings
+      .join(broadcast(phrases.select(col("w1")).distinct()),
+        postings("term") === col("w1"), "leftsemi")
+      .select(col("doc_id"), col("pos"), col("term").as("t1"))
+    val b = postings
+      .join(broadcast(phrases.select(col("w2")).distinct()),
+        postings("term") === col("w2"), "leftsemi")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("term").as("t2"))
+    a.join(broadcast(phrases),
+        a("t1") === phrases("w1"))
+      .join(b, col("doc_id") === col("doc_b") &&
+        col("pos") + 1 === col("pos_b") && col("t2") === col("w2"))
+      .groupBy(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("phrase"))
+  }
+
+  /** DuckDB oracle for [[phraseSearch]] (positional index via zipped
+    * unnest — `range(len(t))` yields 0-based positions matching Spark's
+    * posexplode). */
+  def phraseSearchSql(topK: Int = 5): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS t FROM documents),
+       |q AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 2),
+       |top AS (SELECT w1, w2, COUNT(*) AS c FROM q GROUP BY 1, 2
+       |  ORDER BY c DESC, w1, w2 LIMIT $topK),
+       |post AS (SELECT doc_id, unnest(t) AS term,
+       |    unnest(range(len(t))) AS pos FROM toks),
+       |hits AS (SELECT p1.doc_id, top.w1, top.w2
+       |  FROM post p1
+       |  JOIN top ON p1.term = top.w1
+       |  JOIN post p2 ON p2.doc_id = p1.doc_id
+       |    AND p2.pos = p1.pos + 1 AND p2.term = top.w2)
+       |SELECT w1 || ' ' || w2 AS phrase,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Document fingerprint: md5 over the normalized token stream (the
     * oracle-checkable twin of the rolling-hash fingerprint; dedupable by
     * equality). */
