@@ -142,6 +142,7 @@ object SparkEntry {
     "q113_no_click"       -> ((s, d) => RefQueries.noClickPurchases(s, d)),
     "q114_anomaly_days"   -> (graft.operators.Series.anomalyDays _),
     "q115_phrase_search"  -> ((s, d) => TextQueries.phraseSearch(s, d)),
+    "q116_heavy_hitters"  -> ((s, d) => graft.operators.Stats.heavyHitters(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1696,5 +1697,6 @@ object SparkEntry {
     "q113_no_click"      -> RefQueries.noClickPurchasesSql,
     "q114_anomaly_days"  -> graft.operators.Series.anomalyDaysSql,
     "q115_phrase_search" -> TextQueries.phraseSearchSql(),
+    "q116_heavy_hitters" -> graft.operators.Stats.heavyHittersSql(),
   )
 }

@@ -376,6 +376,55 @@ object Stats {
        |  $benfordCase AS benford_ppm
        |FROM c ORDER BY digit""".stripMargin
 
+  /** q116: heavy-hitter tokens via the two-pass Misra-Gries protocol —
+    * the frequent-items question ("which tokens exceed 1/k of the
+    * corpus?") answered WITHOUT materializing the vocabulary-sized count
+    * table. Pass 1 runs the [[graft.functions.MisraGries]] bounded-state
+    * sketch (O(k) per partition, map-side partials, merged under the
+    * Agarwal-et-al. mergeable-summaries rule) to produce a guaranteed
+    * SUPERSET of ≤ k-1 candidates; pass 2 exact-counts ONLY the
+    * broadcast candidates and applies the exact `n·k > N` filter, so the
+    * OUTPUT is a pure function of the data — bit-identical to the
+    * oracle's full GROUP BY — while the shuffle never carries more than
+    * k-1 keys' partials. At 100 TB with an n-gram key space this is the
+    * difference between an O(k) sketch and a vocabulary-scale shuffle
+    * (the q111 Heaps'-law curve measures exactly how fast that
+    * vocabulary grows).
+    *
+    * The synthetic corpus has a 31-word vocabulary, so every token
+    * clears the 1/64 bar (the sketch never decrements here); the
+    * adversarial decrement/merge paths are pinned by MisraGriesSpec on
+    * a skewed large-vocabulary fixture instead. */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+    val mg = udaf(graft.functions.MisraGries(k))
+    val cands = toks.agg(mg(col("w")).as("cand"))
+      .select(explode(col("cand")).as("w"))
+    val tot = toks.agg(count(lit(1)).as("total_tokens"))
+    toks.join(broadcast(cands), Seq("w"), "leftsemi")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_occurrences") * lit(k.toLong) > col("total_tokens"))
+      .select(col("w").as("token"), col("n_occurrences"),
+        col("total_tokens"))
+      .orderBy(col("token"))
+  }
+
+  /** DuckDB oracle for [[heavyHitters]] — the full GROUP BY the sketch
+    * avoids; equality holds because the exact second pass makes the
+    * Spark output independent of sketch internals. */
+  def heavyHittersSql(k: Int = 64): String =
+    s"""WITH toks AS (SELECT [t for t in
+       |    string_split_regex(lower(text), '[^a-z0-9]+')
+       |    if len(t) > 0] AS t FROM documents),
+       |u AS (SELECT unnest(t) AS w FROM toks),
+       |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM u)
+       |SELECT w AS token, n AS n_occurrences, tot AS total_tokens
+       |FROM c, t WHERE n * $k > tot ORDER BY token""".stripMargin
+
   /** DuckDB oracle for [[revenueShare]]. */
   val revenueShareSql: String =
     """WITH b AS (SELECT r_name, n_name,
