@@ -16,12 +16,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
-    // nanosecond Long via this legacy conf — set defensively so any session
-    // (not just Verify/Bench) can load every table
+    // Earlier driver data stored events.ts as TIMESTAMP(NANOS), which Spark
+    // only reads (as a nanosecond Long) via this legacy conf — keep it set
+    // defensively so either generation of the testdata loads.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Engine-wide contract: events.ts is a BIGINT of epoch NANOseconds
+    // (every downstream operator and every DuckDB oracle — epoch_ns(ts) —
+    // computes in that domain). Current driver data stores ts as
+    // TIMESTAMP(MICROS)/NTZ, so normalize at the load boundary: under the
+    // pinned-UTC session the NTZ→TZ cast is the identity, and µs×1000 is
+    // exactly DuckDB's epoch_ns of the same instant. Nanos-generation data
+    // (ts already a Long via the legacy conf) passes through untouched.
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    else df
   }
 
   /** Register every table as a temp view (used by the SQL surface). */
