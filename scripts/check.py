@@ -45,6 +45,16 @@ def main():
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             continue
         a, b = canon(spark_df), canon(ora_df)
+        # driver hashes VALUES: an int64 vs float64 divergence (e.g. a
+        # DuckDB HUGEINT fetched as float) stringifies differently and
+        # fails the hash even when numerically equal — flag it here too
+        dt_bad = [c for c in a.columns if c in b.columns and
+                  ({str(a[c].dtype), str(b[c].dtype)} == {"int64", "float64"})]
+        if dt_bad:
+            n_bad += 1
+            print(f"✗ {name}: DTYPE int-vs-float {dt_bad} "
+                  f"(HUGEINT in oracle? cast to BIGINT)")
+            continue
         if list(a.columns) != list(b.columns):
             n_bad += 1
             print(f"✗ {name}: COLUMNS spark={list(a.columns)} oracle={list(b.columns)}")

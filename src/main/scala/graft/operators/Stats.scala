@@ -436,9 +436,10 @@ object Stats {
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2)
       |SELECT r_name, n_name, rev_cents,
-      |  rev_cents * 1000000 // SUM(rev_cents) OVER (PARTITION BY r_name)
+      |  CAST(rev_cents * 1000000
+      |    // SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
       |    AS region_share_ppm,
-      |  rev_cents * 1000000 // SUM(rev_cents) OVER ()
+      |  CAST(rev_cents * 1000000 // SUM(rev_cents) OVER () AS BIGINT)
       |    AS total_share_ppm
       |FROM b ORDER BY 1, 2""".stripMargin
 }
