@@ -25,16 +25,25 @@ object Tables {
     // Engine-wide contract: events.ts is a BIGINT of epoch NANOseconds
     // (every downstream operator and every DuckDB oracle — epoch_ns(ts) —
     // computes in that domain). Current driver data stores ts as
-    // TIMESTAMP(MICROS)/NTZ, so normalize at the load boundary: under the
-    // pinned-UTC session the NTZ→TZ cast is the identity, and µs×1000 is
-    // exactly DuckDB's epoch_ns of the same instant. Nanos-generation data
-    // (ts already a Long via the legacy conf) passes through untouched.
-    if (name == "events" &&
-        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
-    else df
+    // TIMESTAMP(MICROS) NTZ whose wall-clock MEANS UTC, so normalize at the
+    // load boundary with pure wall-clock arithmetic (timestampdiff over NTZ
+    // values never consults spark.sql.session.timeZone — a non-UTC caller
+    // session cannot shift the result; a session-tz CAST here could).
+    // Nanos-generation data (ts already a Long via the legacy conf) passes
+    // through untouched. The derived column does cost parquet range
+    // pushdown on ts — accepted: no declared query filters events.ts by a
+    // constant range (they window/aggregate over the full stream); a query
+    // that needs one should filter the native column pre-conversion.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    if (name == "events" && df.schema("ts").dataType != LongType) {
+      val toNs =
+        if (df.schema("ts").dataType == TimestampType)
+          // instant-typed: unix_micros is tz-independent already
+          "unix_micros(ts) * 1000L"
+        else
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(toNs))
+    } else df
   }
 
   /** Register every table as a temp view (used by the SQL surface). */
