@@ -143,6 +143,13 @@ object SparkEntry {
     "q114_anomaly_days"   -> (graft.operators.Series.anomalyDays _),
     "q115_phrase_search"  -> ((s, d) => TextQueries.phraseSearch(s, d)),
     "q116_heavy_hitters"  -> ((s, d) => graft.operators.Stats.heavyHitters(s, d)),
+    "q117_components"     -> (graft.operators.Graph.connectedComponents _),
+    "q118_equidepth"      -> ((s, d) => graft.operators.Ranks.equiDepthHistogram(s, d)),
+    "q119_skyline"        -> (graft.operators.Stats.skyline _),
+    "q120_robust_outliers" -> (graft.operators.Ranks.robustOutliers _),
+    "q121_session_paths"  -> ((s, d) => RefQueries.sessionPaths(s, d)),
+    "q122_bfs_distance"   -> (graft.operators.Graph.bfsDistances _),
+    "q123_spearman"       -> (graft.operators.Ranks.spearmanBrands _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1698,5 +1705,14 @@ object SparkEntry {
     "q114_anomaly_days"  -> graft.operators.Series.anomalyDaysSql,
     "q115_phrase_search" -> TextQueries.phraseSearchSql(),
     "q116_heavy_hitters" -> graft.operators.Stats.heavyHittersSql(),
+    // q117: connected components via converged label propagation
+    "q117_components"    -> graft.operators.Graph.connectedComponentsSql,
+    // q118/q120: distributed exact-rank family (operators/Ranks.scala)
+    "q118_equidepth"     -> graft.operators.Ranks.equiDepthHistogramSql(),
+    "q119_skyline"       -> graft.operators.Stats.skylineSql,
+    "q120_robust_outliers" -> graft.operators.Ranks.robustOutliersSql,
+    "q121_session_paths" -> RefQueries.sessionPathsSql(),
+    "q122_bfs_distance"  -> graft.operators.Graph.bfsDistancesSql,
+    "q123_spearman"      -> graft.operators.Ranks.spearmanBrandsSql,
   )
 }

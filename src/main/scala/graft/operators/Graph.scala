@@ -190,6 +190,147 @@ object Graph {
       s"\nSELECT pk, CAST(mass AS BIGINT) AS mass FROM m$iters ORDER BY pk"
   }
 
+  /** q117: connected components of the thresholded co-purchase graph —
+    * every part labeled with the smallest part key reachable from it (the
+    * canonical component id). Components are the graph-shaped dedup: the
+    * transitive closure q48's duplicate clusters compute over similarity
+    * edges, here as a first-class operator over arbitrary edge sets.
+    *
+    * Min-label propagation to CONVERGENCE (not a fixed round count): each
+    * round every node takes the min of its own label and its neighbors',
+    * and iteration stops when a round changes nothing — labels only ever
+    * decrease, so `new < old` counts changes exactly, and the fixpoint is
+    * the component minimum regardless of round count (which is why a
+    * data-dependent loop can still hash-match a recursive-CTE oracle).
+    * Rounds needed = graph diameter: 8–11 on the measured co-purchase
+    * graphs (small-world; the support threshold keeps the edge set
+    * vocabulary-sized, so per-round cost after the initial pair join is
+    * metadata-scale). At adversarial diameters (long chains) the
+    * known upgrade is alternating large-star/small-star contraction
+    * (O(log²  n) rounds, Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same edge-frame API, not needed at any
+    * measured SF. `localCheckpoint` truncates lineage per round (the
+    * q112 discipline); the convergence `count` is one extra metadata-
+    * sized action per round.
+    */
+  def connectedComponents(s: SparkSession, dir: String): DataFrame =
+    componentsFrom(pairFrame(s, dir).select(col("p1"), col("p2")))
+
+  /** The label-propagation core over an undirected (p1 < p2) edge frame. */
+  def componentsFrom(e: DataFrame): DataFrame = {
+    val edges = e.unionByName(
+        e.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("p1").as("pk")).distinct()
+      .select(col("pk"), col("pk").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("pk", "p1"), Seq("p1"))
+        .groupBy(col("p2").as("pk")).agg(min(col("lbl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("pk"), "left")
+        .select(col("pk"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("pk"), col("lbl").as("old")), Seq("pk"))
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("pk"), col("lbl").as("component"))
+      .orderBy(col("pk"))
+  }
+
+  /** DuckDB oracle for [[connectedComponents]] — recursive reachability
+    * closure, component id = min reachable node. The closure is quadratic
+    * in component size (fine at oracle scale; the Spark side never builds
+    * it). */
+  val connectedComponentsSql: String =
+    """WITH RECURSIVE dl AS (SELECT DISTINCT l_orderkey AS ok,
+      |    l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT a.pk AS p1, b.pk AS p2
+      |  FROM dl a JOIN dl b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ed AS (SELECT p1, p2 FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+      |nodes AS (SELECT DISTINCT p1 AS v FROM ed),
+      |reach(v, u) AS (SELECT v, v FROM nodes
+      |  UNION
+      |  SELECT r.v, ed.p2 FROM reach r JOIN ed ON ed.p1 = r.u)
+      |SELECT v AS pk, MIN(u) AS component FROM reach
+      |GROUP BY v ORDER BY v""".stripMargin
+
+  /** q122: BFS hop distances from the canonical source (the smallest part
+    * key in the thresholded co-purchase graph) — the single-source
+    * shortest-path layer of the graph family (q99 counts closed wedges,
+    * q112 ranks, q117 partitions; this measures reach: "how many hops is
+    * every product from the anchor"). Unreached nodes (other components)
+    * report −1.
+    *
+    * Level-synchronous frontier expansion: round d joins ONLY the
+    * frontier (nodes at distance exactly d) against the edge list, and a
+    * node's distance is fixed the first time it is reached — exactly-once
+    * assignment, so rounds = source eccentricity (≤ graph diameter; 8–11
+    * measured, same small-world bound as q117's propagation). The
+    * frontier frame SHRINKS as the wave passes — later rounds join
+    * near-empty frames, the property that makes level-synchronous BFS
+    * viable at cluster scale. Convergence is an empty next frontier; the
+    * oracle's recursion cap (64) is far above any measured eccentricity
+    * and the spec asserts the Spark loop stays under it. */
+  def bfsDistances(s: SparkSession, dir: String): DataFrame =
+    bfsFrom(pairFrame(s, dir).select(col("p1"), col("p2")))
+
+  /** The frontier-expansion core over an undirected (p1 < p2) edge frame. */
+  def bfsFrom(e: DataFrame): DataFrame = {
+    val edges = e.unionByName(
+        e.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("p1").as("pk")).distinct()
+    var dist = nodes
+      .crossJoin(broadcast(nodes.agg(min(col("pk")).as("src"))))
+      .select(col("pk"), when(col("pk") === col("src"), 0L).as("dist"))
+      .localCheckpoint(true)
+    var d = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && d < 64) {
+      val reached = edges
+        .join(dist.filter(col("dist") === d)
+          .select(col("pk").as("p1")), Seq("p1"))
+        .select(col("p2").as("pk")).distinct()
+      val next = dist
+        .join(reached.withColumn("nd", lit(d + 1L)), Seq("pk"), "left")
+        .select(col("pk"), coalesce(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint(true)
+      d += 1
+      frontierSize = next.filter(col("dist") === d).count()
+      dist = next
+    }
+    dist.select(col("pk"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("pk"))
+  }
+
+  /** DuckDB oracle for [[bfsDistances]] — recursive (node, depth) walk,
+    * UNION-deduplicated so cycles terminate, depth-capped at 64 (above
+    * any measured eccentricity; GraphSpec asserts the Spark loop
+    * converges below the cap), min depth per node. */
+  val bfsDistancesSql: String =
+    """WITH RECURSIVE dl AS (SELECT DISTINCT l_orderkey AS ok,
+      |    l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT a.pk AS p1, b.pk AS p2
+      |  FROM dl a JOIN dl b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ed AS (SELECT p1, p2 FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+      |nodes AS (SELECT DISTINCT p1 AS v FROM ed),
+      |src AS (SELECT MIN(v) AS s FROM nodes),
+      |walk(v, d) AS (SELECT s, CAST(0 AS BIGINT) FROM src
+      |  UNION
+      |  SELECT ed.p2, w.d + 1 FROM walk w JOIN ed ON ed.p1 = w.v
+      |  WHERE w.d < 64),
+      |md AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
+      |SELECT n.v AS pk, COALESCE(md.dist, -1) AS dist
+      |FROM nodes n LEFT JOIN md ON md.v = n.v
+      |ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[triangleCounts]]. */
   val triangleCountsSql: String =
     """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -1271,4 +1271,67 @@ object RefQueries {
       .select(col("p_brand"), col("rk"), col("p_partkey"), col("revenue"))
       .orderBy(col("p_brand"), col("rk"))
   }
+
+  /** q121: session path mining — the 20 most common session-opening
+    * event-type sequences (first 5 events per session, 10-minute
+    * inactivity gap), the clickstream n-gram report UX/funnel teams read
+    * to discover journeys they have NOT hand-declared (q75's funnel needs
+    * the pattern up front; this surfaces the patterns).
+    *
+    * Shape: sessionization is the q97 gaps-and-islands pass (one
+    * user-keyed window; the running `brk` sum extends the partition key,
+    * no second exchange), each session folds to ONE path row via a
+    * sorted-struct collect (q107's determinism convention: array_sort on
+    * (ts, event_id, type) structs is a total order, so the collected list
+    * is partitioning-invariant; ≤ 5 elements survive the slice), and the
+    * final top-k is an orderBy+limit — planned as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k rows), never a global sort.
+    * Ties break by path string, so the cut is data-determined. */
+  def sessionPaths(s: SparkSession, dir: String, gapNs: Long = 600000000000L,
+                   maxLen: Int = 5, topK: Int = 20): DataFrame =
+    sessionPathsFrom(Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      gapNs, maxLen, topK)
+
+  /** The sessionize→fold→top-k core over a (user_id, ts, event_id,
+    * event_type) frame with epoch-ns ts. */
+  def sessionPathsFrom(e: DataFrame, gapNs: Long, maxLen: Int,
+                       topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", slice(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), 1, maxLen)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[sessionPaths]]. */
+  def sessionPathsSql(gapNs: Long = 600000000000L, maxLen: Int = 5,
+                      topK: Int = 20): String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+       |    event_type FROM events),
+       |s AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+       |      OR tns - lag(tns) OVER w > $gapNs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+       |s2 AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+       |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+       |p AS (SELECT user_id, sid, array_to_string(
+       |    (list(event_type ORDER BY tns, event_id))[1:$maxLen], '>')
+       |    AS path
+       |  FROM s2 GROUP BY 1, 2),
+       |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p
+       |  GROUP BY 1)
+       |SELECT path, n_sessions FROM c
+       |ORDER BY n_sessions DESC, path LIMIT $topK""".stripMargin
 }

@@ -442,4 +442,56 @@ object Stats {
       |  CAST(rev_cents * 1000000 // SUM(rev_cents) OVER () AS BIGINT)
       |    AS total_share_ppm
       |FROM b ORDER BY 1, 2""".stripMargin
+
+  /** q119: skyline (Pareto frontier) of the part catalog — the sizes where
+    * the cheapest part is strictly cheaper than the cheapest part of EVERY
+    * larger size (maximize size, minimize price; a point survives iff
+    * nothing weakly dominates it). The multi-objective "best tradeoffs"
+    * query the OLAP literature names SKYLINE — no single ORDER BY answers
+    * it, and the naive form is a quadratic NOT EXISTS self-join.
+    *
+    * Scale shape: one partial/final aggregate collapses the catalog to the
+    * per-size minimum (≤ |distinct sizes| rows — vocabulary scale), a
+    * broadcast join back pins the exact count and representative part at
+    * each minimum (min-partkey, so the row is data-determined), and the
+    * dominance test is one running-min window over the size-sorted
+    * vocabulary frame — the window is unpartitioned but runs at metadata
+    * scale, the q105 convention, never over the catalog itself. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select(col("p_size"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"),
+      col("p_partkey"))
+    val best = p.groupBy(col("p_size")).agg(min(col("cents")).as("best_cents"))
+      .withColumnRenamed("p_size", "b_size")
+    val at = p.join(broadcast(best),
+        col("p_size") === col("b_size") && col("cents") === col("best_cents"))
+      .groupBy(col("b_size").as("p_size"), col("best_cents"))
+      .agg(count(lit(1)).as("n_at_best"),
+        min(col("p_partkey")).as("best_partkey"))
+    val wLarger = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    at.withColumn("min_larger", min(col("best_cents")).over(wLarger))
+      .filter(col("min_larger").isNull ||
+        col("best_cents") < col("min_larger"))
+      .select(col("p_size"), col("best_cents"), col("n_at_best"),
+        col("best_partkey"))
+      .orderBy(col("p_size"))
+  }
+
+  /** DuckDB oracle for [[skyline]]. */
+  val skylineSql: String =
+    """WITH p AS (SELECT p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents, p_partkey
+      |  FROM part),
+      |b AS (SELECT p_size, MIN(cents) AS best_cents FROM p GROUP BY 1),
+      |a AS (SELECT p.p_size, b.best_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_at_best,
+      |    MIN(p_partkey) AS best_partkey
+      |  FROM p JOIN b ON p.p_size = b.p_size AND p.cents = b.best_cents
+      |  GROUP BY 1, 2),
+      |f AS (SELECT *, MIN(best_cents) OVER (ORDER BY p_size DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ml FROM a)
+      |SELECT p_size, best_cents, n_at_best, best_partkey FROM f
+      |WHERE ml IS NULL OR best_cents < ml
+      |ORDER BY p_size""".stripMargin
 }

@@ -83,4 +83,68 @@ class GraphSpec extends SparkSpec {
       assert(edgeNodes.contains(pk), s"$pk not on any thresholded edge")
     }
   }
+
+  test("q117 components: planted two-component chain fixture") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation) and
+    // triangle 10-11-12; labels must converge to each component's min
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L)).toDF("p1", "p2")
+    val got = Graph.componentsFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("q117 on real data: edge endpoints agree, component ids are members") {
+    val comp = Graph.connectedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    // every edge joins nodes of the same component; every component id is
+    // itself a member node carrying its own label (the canonical min)
+    val edges = Graph.pairFrame(spark, sf).select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"edge ($a,$b) straddles components") }
+    comp.values.toSet.foreach { (c: Long) =>
+      assert(comp(c) === c, s"component id $c is not its own root") }
+    comp.foreach { case (pk, c) => assert(c <= pk, "label above member key") }
+  }
+
+  test("q122 BFS: chain fixture distances; detached pair unreached") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("p1", "p2")
+    val got = Graph.bfsFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> -1L, 11L -> -1L))
+  }
+
+  test("q122 on real data: BFS levels are locally consistent with edges") {
+    val dist = Graph.bfsDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Graph.pairFrame(spark, sf).select(col("p1"), col("p2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = dist.keys.min
+    assert(dist(src) === 0L)
+    assert(dist.values.max < 64L, "eccentricity at the oracle recursion cap")
+    // adjacent nodes differ by at most one hop (both reached), and a
+    // reached/unreached pair cannot share an edge
+    edges.foreach { case (a, b) =>
+      val (da, db) = (dist(a), dist(b))
+      assert((da >= 0) === (db >= 0), s"edge ($a,$b) half-reached")
+      if (da >= 0) assert(math.abs(da - db) <= 1, s"edge ($a,$b): $da vs $db")
+    }
+    // every reached non-source node has a parent one level up
+    val byNode = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    dist.filter { case (pk, d) => d > 0 }.foreach { case (pk, d) =>
+      assert(byNode(pk).exists(n => dist(n) === d - 1), s"$pk has no parent") }
+    // unreached nodes are exactly those outside the source's component
+    val comp = Graph.connectedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist.foreach { case (pk, d) =>
+      assert((d >= 0) === (comp(pk) === comp(src)), s"$pk reachability") }
+  }
 }

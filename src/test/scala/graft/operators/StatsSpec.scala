@@ -145,6 +145,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q119 skyline: survivors undominated, dropped sizes dominated") {
+    val p = graft.Tables.load(spark, sf, "part").select(col("p_size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bestBySize = p.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).min }
+    val got = Stats.skyline(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val frontier = got.map(g => g._1 -> g._2).toMap
+    got.foreach { case (size, cents, nAt, _) =>
+      assert(cents === bestBySize(size))
+      assert(nAt === p.count(x => x._1 == size && x._2 == cents))
+      // undominated: no larger size reaches this price or better
+      assert(!bestBySize.exists { case (s2, c2) => s2 > size && c2 <= cents },
+        s"size $size dominated")
+    }
+    bestBySize.keys.filterNot(frontier.contains).foreach { s =>
+      assert(bestBySize.exists { case (s2, c2) =>
+        s2 > s && c2 <= bestBySize(s) }, s"size $s dropped but undominated")
+    }
+  }
+
   test("q96 streaming twin: merged day state reports identically to batch") {
     val obs = graft.operators.Series.gapFillObs(spark, sf)
     // split the SOURCE rows (not the aggregate) three ways, aggregate each

@@ -8,6 +8,23 @@ import org.apache.spark.sql.functions._
   * independent recomputation, not just its own arithmetic. */
 class WideAggSpec extends SparkSpec {
 
+  test("q121 session paths: fixture sessionizes on the gap and truncates") {
+    import spark.implicits._
+    val G = 600000000000L // 10 min in ns
+    // user 1: 6 events in one session (path truncates to 5), then a gap
+    // opens a second session; user 2: single-event session. Same-ts rows
+    // order by event_id.
+    val e = Seq(
+      (1L, 0L * G, 1L, "a"), (1L, 0L * G, 2L, "b"), (1L, 1L, 3L, "c"),
+      (1L, 2L, 4L, "d"), (1L, 3L, 5L, "e"), (1L, 4L, 6L, "f"),
+      (1L, 2L * G, 7L, "z"),
+      (2L, 0L, 8L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = RefQueries.sessionPathsFrom(e, G, 5, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b>c>d>e" -> 1L, "z" -> 1L, "a" -> 1L))
+  }
+
   test("q83 rolling week equals a literal trailing-7-day recomputation") {
     val rows = RefQueries.rollingDaily(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
