@@ -229,14 +229,14 @@ object Graph {
       val nbrMin = edges
         .join(labels.withColumnRenamed("pk", "p1"), Seq("p1"))
         .groupBy(col("p2").as("pk")).agg(min(col("lbl")).as("nl"))
+      // carry the previous label through the checkpoint so convergence is
+      // a filter over the cached frame, not a second join job per round
       val next = labels.join(nbrMin, Seq("pk"), "left")
-        .select(col("pk"),
+        .select(col("pk"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("pk"), col("lbl").as("old")), Seq("pk"))
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select(col("pk"), col("lbl"))
     }
     labels.select(col("pk"), col("lbl").as("component"))
       .orderBy(col("pk"))
