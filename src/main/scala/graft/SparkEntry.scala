@@ -150,6 +150,8 @@ object SparkEntry {
     "q121_session_paths"  -> ((s, d) => RefQueries.sessionPaths(s, d)),
     "q122_bfs_distance"   -> (graft.operators.Graph.bfsDistances _),
     "q123_spearman"       -> (graft.operators.Ranks.spearmanBrands _),
+    "q124_change_points"  -> ((s, d) => graft.operators.Series.changePoints(s, d)),
+    "q125_postings"       -> ((s, d) => TextQueries.postingsIndex(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1714,5 +1716,7 @@ object SparkEntry {
     "q121_session_paths" -> RefQueries.sessionPathsSql(),
     "q122_bfs_distance"  -> graft.operators.Graph.bfsDistancesSql,
     "q123_spearman"      -> graft.operators.Ranks.spearmanBrandsSql,
+    "q124_change_points" -> graft.operators.Series.changePointsSql(),
+    "q125_postings"      -> TextQueries.postingsIndexSql(),
   )
 }

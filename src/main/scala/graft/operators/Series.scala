@@ -279,6 +279,72 @@ object Series {
       |  END AS is_anomaly
       |FROM t ORDER BY day""".stripMargin
 
+  /** q124: change-point detection on the daily revenue series — the top-5
+    * candidate break days by the binary-segmentation CUSUM statistic
+    * C_d = |n·S_d − d·S_n| (S = revenue prefix sum, d = day rank), the
+    * maximization that finds WHERE a series' mean shifts (regime change,
+    * pipeline breakage, pricing event). The q114 trailing-window screen
+    * flags local spikes; this finds the global structural break.
+    *
+    * The statistic is the exact-integer cross-multiplication of
+    * |S_d/d − (S_n−S_d)/(n−d)|-style mean splits (the q104 convention:
+    * no float means, no drift; n·S stays far below Long past 10⁴ days ×
+    * 10¹³ total cents). Corpus-sized work is ONE day-keyed partial/final
+    * aggregate; the prefix sums, ranks, and the top-k run on the
+    * metadata-scale day frame (q83's convention), with the final cut an
+    * orderBy+limit → TakeOrderedAndProject. The last day is excluded
+    * (no right segment to split off). */
+  def changePoints(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          .as("day_idx"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("rev_cents"))
+    val wOrd = Window.orderBy(col("day_idx"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("rev_cents")).as("s_total"))
+    daily
+      .withColumn("d_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("s_prefix", sum(col("rev_cents")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("d_rank") < col("n_days"))
+      .select(col("day"), col("d_rank"), col("s_prefix"),
+        abs(col("n_days") * col("s_prefix") - col("d_rank") * col("s_total"))
+          .as("cusum_stat"),
+        expr("s_prefix div d_rank").as("mean_before_cents"),
+        expr("(s_total - s_prefix) div (n_days - d_rank)")
+          .as("mean_after_cents"))
+      .orderBy(col("cusum_stat").desc, col("day"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[changePoints]]. */
+  def changePointsSql(k: Int = 5): String =
+    s"""WITH daily AS (SELECT
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+       |      AS day_idx,
+       |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders GROUP BY 1, 2),
+       |r AS (SELECT day,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS d_rank,
+       |    CAST(SUM(rev_cents) OVER (ORDER BY day_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_prefix
+       |  FROM daily),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(rev_cents) AS BIGINT) AS s_total FROM daily)
+       |SELECT day, d_rank, s_prefix,
+       |  ABS(n_days * s_prefix - d_rank * s_total) AS cusum_stat,
+       |  s_prefix // d_rank AS mean_before_cents,
+       |  (s_total - s_prefix) // (n_days - d_rank) AS mean_after_cents
+       |FROM r CROSS JOIN t
+       |WHERE d_rank < n_days
+       |ORDER BY cusum_stat DESC, day LIMIT $k""".stripMargin
+
   /** DuckDB oracle for [[monthlyDeltas]]. */
   val monthlyDeltasSql: String =
     """WITH m AS (

@@ -443,4 +443,55 @@ object TextQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
       |FROM occ LEFT JOIN fs ON fs.bucket = occ.bucket
       |ORDER BY occ.bucket""".stripMargin
+
+  /** q125: inverted-index construction — per term (document frequency ≥
+    * `minDf`): exact df and the first-`k` posting list, the physical
+    * artifact behind every retrieval operator in the library (q46/q64
+    * score BM25 on the fly; a production retrieval layer reads THIS).
+    *
+    * One corpus tokenization (doc_id, term) deduped, then ONE term-keyed
+    * shuffle reused by both aggregates. The posting cut ranks doc_id per
+    * term BEFORE any list materializes (WindowGroupLimit pushes the
+    * rank-≤-k cut into the sort — q107's discipline: collect ≤ k ids per
+    * term, never build-then-truncate a corpus-length list); term
+    * partitions are vocabulary-shaped (df-bounded), so no single-reducer
+    * window. Postings render as a comma-joined string (the q107
+    * determinism convention; doc_id order is the total order). */
+  def postingsIndex(s: SparkSession, dir: String, k: Int = 10,
+                    minDf: Long = 5L): DataFrame = {
+    val posts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .distinct()
+    val dfCounts = posts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    posts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("term"))
+      .agg(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+        "x -> CAST(x AS STRING)), ',')").as("postings"))
+      .join(dfCounts, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy(col("term"))
+  }
+
+  /** DuckDB oracle for [[postingsIndex]]. */
+  def postingsIndexSql(k: Int = 10, minDf: Long = 5L): String =
+    s"""WITH t AS (SELECT DISTINCT doc_id, tok AS term
+       |  FROM documents,
+       |    UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+       |  WHERE tok <> ''),
+       |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t
+       |  GROUP BY 1 HAVING COUNT(*) >= $minDf),
+       |r AS (SELECT term, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+       |  FROM t),
+       |p AS (SELECT term, array_to_string(
+       |    list(doc_id ORDER BY doc_id), ',') AS postings
+       |  FROM r WHERE rk <= $k GROUP BY 1)
+       |SELECT p.term, d.df, p.postings
+       |FROM p JOIN d USING (term)
+       |ORDER BY p.term""".stripMargin
 }

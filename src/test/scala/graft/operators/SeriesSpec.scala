@@ -111,4 +111,31 @@ class SeriesSpec extends SparkSpec {
     val first = rows.minBy(_._1)
     assert(first._4.isEmpty && first._5.isEmpty)
   }
+
+  test("q124 change points: statistic recomputes from the daily series") {
+    val daily = graft.Tables.load(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+          .cast("long")).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    val sTotal = daily.map(_._2).sum
+    var acc = 0L
+    val stats = daily.zipWithIndex.dropRight(1).map { case ((day, rev), i) =>
+      acc += rev
+      (day, i + 1L, acc, math.abs(n * acc - (i + 1L) * sTotal))
+    }
+    val expTop = stats.sortBy(t => (-t._4, t._1)).take(5)
+    val got = graft.operators.Series.changePoints(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq === expTop.toSeq)
+    got.foreach { g =>
+      assert(g._5 === g._3 / g._2, s"${g._1} mean_before")
+      assert(g._6 === (sTotal - g._3) / (n - g._2), s"${g._1} mean_after")
+    }
+  }
 }

@@ -172,4 +172,24 @@ class TextQueriesSpec extends SparkSpec {
       .select(explode(graft.functions.Text.tokens(col("text"))).as("t")).count()
     assert(rows.map(_._2).sum === totalToks)
   }
+
+  test("q125 postings: df exact, lists sorted prefixes of the full postings") {
+    import org.apache.spark.sql.functions._
+    val posts = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .distinct().collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val got = TextQueries.postingsIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (term, df, postings) =>
+      val full = posts(term)
+      assert(df === full.length, s"$term df")
+      assert(postings === full.take(10).mkString(","), s"$term postings")
+    }
+    // every qualifying term is present — the cut is df, nothing else
+    assert(got.map(_._1).toSet === posts.filter(_._2.length >= 5).keySet)
+  }
 }
