@@ -294,14 +294,22 @@ object Series {
     * metadata-scale day frame (q83's convention), with the final cut an
     * orderBy+limit → TakeOrderedAndProject. The last day is excluded
     * (no right segment to split off). */
-  def changePoints(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val daily = Tables.load(s, dir, "orders")
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
-          .as("day_idx"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-        .as("rev_cents"))
+  def changePoints(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    changePointsFrom(
+      Tables.load(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+            .as("day_idx"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents")), k)
+
+  /** The statistic/report stage over an already-reduced daily frame
+    * (day_idx, day, rev_cents) — shared with the incremental twin: the
+    * maintained day-partials state (sums merge exactly across
+    * micro-batches) IS that frame, so the streamed report equals the
+    * batch one structurally (the q83/q96 convention). */
+  def changePointsFrom(daily: DataFrame, k: Int = 5): DataFrame = {
     val wOrd = Window.orderBy(col("day_idx"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(count(lit(1)).as("n_days"),

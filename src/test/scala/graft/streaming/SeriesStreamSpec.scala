@@ -142,6 +142,41 @@ class SeriesStreamSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("q124 twin: day-partials folded per batch report identical " +
+      "change points") {
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          .as("day_idx"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(keys(keys.length / 4), keys(keys.length * 2 / 3))
+    val slices = Seq(
+      orders.filter(col("o_orderkey") < cuts.head),
+      orders.filter(col("o_orderkey") >= cuts.head &&
+        col("o_orderkey") < cuts(1)),
+      orders.filter(col("o_orderkey") >= cuts(1)))
+    // maintained state: per-day revenue partials, merged by SUM — a day
+    // split across micro-batches re-sums exactly
+    var state = slices.head.sparkSession.emptyDataFrame
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val part = slice.groupBy(col("day_idx"), col("day"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      state = if (i == 0) part.localCheckpoint(true)
+        else state.unionByName(part)
+          .groupBy(col("day_idx"), col("day"))
+          .agg(sum(col("rev_cents")).as("rev_cents"))
+          .localCheckpoint(true)
+    }
+    val streamed = graft.operators.Series.changePointsFrom(state)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Series.changePoints(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("untouched users carry through; early insert renumbers") {
     val s = spark; import s.implicits._
     var st = SeriesStream.mergeBatch(SeriesStream.emptyState(s),
