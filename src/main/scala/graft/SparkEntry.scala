@@ -152,6 +152,7 @@ object SparkEntry {
     "q123_spearman"       -> (graft.operators.Ranks.spearmanBrands _),
     "q124_change_points"  -> ((s, d) => graft.operators.Series.changePoints(s, d)),
     "q125_postings"       -> ((s, d) => TextQueries.postingsIndex(s, d)),
+    "q126_weighted_median" -> (graft.operators.Ranks.weightedMedian _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1718,5 +1719,6 @@ object SparkEntry {
     "q123_spearman"      -> graft.operators.Ranks.spearmanBrandsSql,
     "q124_change_points" -> graft.operators.Series.changePointsSql(),
     "q125_postings"      -> TextQueries.postingsIndexSql(),
+    "q126_weighted_median" -> graft.operators.Ranks.weightedMedianSql,
   )
 }

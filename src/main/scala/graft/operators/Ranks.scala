@@ -82,6 +82,102 @@ object Ranks {
       .drop("__pid", "__mid", "__base", "__off")
   }
 
+  /** Exact running sum of `valueCol` over the (groupCols, orderCols)
+    * total order — the distributed PREFIX-SCAN companion to
+    * [[globalRowNumber]] (rank tells you WHERE a row sits; this tells you
+    * how much mass precedes it — the primitive behind weighted medians,
+    * cumulative-share reports, and packing cursors). Same skeleton: range
+    * repartition, per-(partition, group) sums reduced to a metadata frame
+    * whose running totals become start offsets, offsets broadcast back.
+    * The in-partition prefix sum is a window over (partition, group) —
+    * that exchange is p×|groups|-way parallel, never a single reducer,
+    * and is the one extra shuffle a sum needs over a rank (positions fall
+    * out of the sorted id block; sums genuinely need the scan). Same
+    * localCheckpoint pin, same reason.
+    */
+  def globalRunningSum(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], valueCol: String,
+                       out: String = "cum", partitions: Int = 0): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols: Seq[Column] = (groupCols ++ orderCols).map(col)
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val gcols = groupCols.map(col)
+    val perPart = ranged.groupBy(col("__pid") +: gcols: _*)
+      .agg(sum(col(valueCol)).as("__s"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPart
+      .withColumn("__off", coalesce(sum(col("__s")).over(w), lit(0L)))
+      .drop("__s")
+    val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(out, col("__off") + sum(col(valueCol)).over(wIn))
+      .drop("__pid", "__off")
+  }
+
+  /** q126: exact weighted median — per return flag, the smallest line
+    * price whose cumulative quantity reaches half the group's total
+    * (lower weighted median under the (cents, orderkey, linenumber)
+    * total order; the answer is an ELEMENT, the q120 no-interpolation
+    * convention). The unweighted median says half the LINES are cheaper;
+    * the weighted one says half the UNITS are — the version pricing and
+    * capacity questions actually need. Cumulative mass comes from
+    * [[globalRunningSum]]; the qualifying rows (2·cum ≥ total) form a
+    * suffix of the order, so the median is one min-struct aggregate,
+    * no second window. Integer cents × integer centi-units throughout.
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val tot = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("tot_units"), count(lit(1)).as("n_lines"))
+    globalRunningSum(li, Seq("l_returnflag"),
+        Seq("cents", "l_orderkey", "l_linenumber"), "w", "cum_w")
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .filter(lit(2L) * col("cum_w") >= col("tot_units"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("cents"), col("l_orderkey"),
+        col("l_linenumber"))).as("m"),
+        min(col("tot_units")).as("tot_units"),
+        min(col("n_lines")).as("n_lines"))
+      .select(col("l_returnflag"), col("m.cents").as("med_cents"),
+        col("tot_units"), col("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB oracle for [[weightedMedian]]. */
+  val weightedMedianSql: String =
+    """WITH li AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(l_quantity) AS BIGINT) AS w, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tot_units,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines FROM li GROUP BY 1),
+      |c AS (SELECT l_returnflag, cents, l_orderkey, l_linenumber,
+      |    CAST(SUM(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+      |  FROM li),
+      |q AS (SELECT c.l_returnflag, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c.l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber) AS rn
+      |  FROM c JOIN t USING (l_returnflag)
+      |  WHERE 2 * cum_w >= tot_units)
+      |SELECT q.l_returnflag, cents AS med_cents, tot_units, n_lines
+      |FROM q JOIN t USING (l_returnflag)
+      |WHERE rn = 1 ORDER BY 1""".stripMargin
+
   /** q118: exact equi-depth histogram of order values — K buckets of equal
     * row count (±1), with exact per-bucket bounds and mass. The equi-WIDTH
     * histogram (q88) shows shape but hides skew; equal-frequency bucket

@@ -89,6 +89,62 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum equals the window prefix sum, grouped and not") {
+    val li = graft.Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1)) -> r.getLong(2)
+    val dist = Ranks.globalRunningSum(li, Seq("l_returnflag"),
+        Seq("cents", "l_orderkey", "l_linenumber"), "w", partitions = 13)
+      .select(col("l_orderkey"), col("l_linenumber"), col("cum"))
+      .collect().map(key).toMap
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = li.withColumn("cum", sum(col("w")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cum"))
+      .collect().map(key).toMap
+    assert(dist === single)
+  }
+
+  test("q126 weighted median: half the units sit at or below it") {
+    val rows = Ranks.weightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val li = graft.Tables.load(spark, sf, "lineitem").select(
+        col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (rf, med, totUnits, nLines) =>
+      val g = li.filter(_._1 == rf)
+      assert(totUnits === g.map(_._3).sum)
+      assert(nLines === g.length.toLong)
+      val below = g.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = g.filter(_._2 <= med).map(_._3).sum
+      assert(2 * atOrBelow >= totUnits, s"$rf: median too low")
+      assert(2 * below < totUnits, s"$rf: median too high")
+    }
+  }
+
+  test("rank/scan degenerate inputs: empty and single-row frames flow") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "v", "k")
+    assert(Ranks.globalRowNumber(empty, Seq("g"), Seq("v", "k")).count() === 0L)
+    assert(Ranks.globalRunningSum(empty, Seq("g"), Seq("v", "k"), "v")
+      .count() === 0L)
+    val one = Seq(("a", 7L, 1L)).toDF("g", "v", "k")
+    val r = Ranks.globalRowNumber(one, Seq("g"), Seq("v", "k")).collect().head
+    assert(r.getAs[Long]("rnk") === 1L)
+    val c = Ranks.globalRunningSum(one, Seq("g"), Seq("v", "k"), "v")
+      .collect().head
+    assert(c.getAs[Long]("cum") === 7L)
+  }
+
   test("q120 robust outliers: median/MAD recompute literally per group") {
     val got = Ranks.robustOutliers(spark, sf).collect()
     assert(got.nonEmpty)
