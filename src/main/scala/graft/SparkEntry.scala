@@ -153,6 +153,7 @@ object SparkEntry {
     "q124_change_points"  -> ((s, d) => graft.operators.Series.changePoints(s, d)),
     "q125_postings"       -> ((s, d) => TextQueries.postingsIndex(s, d)),
     "q126_weighted_median" -> (graft.operators.Ranks.weightedMedian _),
+    "q127_concentration"  -> (graft.operators.Ranks.revenueConcentration _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1720,5 +1721,6 @@ object SparkEntry {
     "q124_change_points" -> graft.operators.Series.changePointsSql(),
     "q125_postings"      -> TextQueries.postingsIndexSql(),
     "q126_weighted_median" -> graft.operators.Ranks.weightedMedianSql,
+    "q127_concentration" -> graft.operators.Ranks.revenueConcentrationSql,
   )
 }

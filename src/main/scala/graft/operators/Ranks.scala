@@ -296,6 +296,75 @@ object Ranks {
       .orderBy(col("p_brand"))
   }
 
+  /** q127: revenue-concentration audit — per nation, the exact Gini
+    * coefficient of customer revenue and the top-decile revenue share,
+    * both in integer ppm (the whale-curve / inequality report behind
+    * "how concentrated is our revenue", and for a training corpus, "how
+    * concentrated are our tokens per domain"). Gini uses the ranked-sum
+    * identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over revenues sorted
+    * ascending — ranks from [[globalRowNumber]] grouped by nation
+    * (untied by custkey: revenues are an ELEMENT list, the determinism
+    * convention), the i·x products and their sum widened through
+    * DECIMAL(38,0) (i·x alone passes Long near 10⁷ customers × $10M;
+    * decimal holds to 10³⁸), one integral division at the end. The
+    * top-decile cut is a conditional sum in the SAME aggregate — rank >
+    * n − n div 10 — so the whole report is the rank pass plus ONE
+    * nation-keyed aggregate. */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val cnt = rev.groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    globalRowNumber(rev, Seq("n_name"), Seq("x", "c_custkey"), "i")
+      .join(broadcast(cnt), Seq("n_name"))
+      .groupBy(col("n_name"))
+      .agg(min(col("n")).as("n_customers"),
+        sum(col("x")).as("rev_cents"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("six"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(0L)).as("top_rev"))
+      .select(col("n_name"), col("n_customers"), col("rev_cents"),
+        expr("""CAST((1000000 * (2 * six
+          |  - (CAST(n_customers AS DECIMAL(38,0)) + 1) * rev_cents))
+          |  div (CAST(n_customers AS DECIMAL(38,0)) * rev_cents)
+          |  AS BIGINT)""".stripMargin).as("gini_ppm"),
+        expr("top_rev * 1000000 div rev_cents").as("top_decile_ppm"))
+      .orderBy(col("n_name"))
+  }
+
+  /** DuckDB oracle for [[revenueConcentration]]. */
+  val revenueConcentrationSql: String =
+    """WITH rev AS (SELECT n_name, c_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT n_name, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+      |      ORDER BY x, c_custkey) AS BIGINT) AS i
+      |  FROM rev),
+      |n AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n FROM rev
+      |  GROUP BY 1),
+      |a AS (SELECT r.n_name, MIN(n) AS n_customers,
+      |    CAST(SUM(x) AS BIGINT) AS rev_cents,
+      |    SUM(CAST(i AS HUGEINT) * x) AS six,
+      |    CAST(SUM(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS BIGINT)
+      |      AS top_rev
+      |  FROM r JOIN n USING (n_name) GROUP BY 1)
+      |SELECT n_name, n_customers, rev_cents,
+      |  CAST((1000000 * (2 * six
+      |    - (CAST(n_customers AS HUGEINT) + 1) * rev_cents))
+      |    // (CAST(n_customers AS HUGEINT) * rev_cents) AS BIGINT)
+      |    AS gini_ppm,
+      |  top_rev * 1000000 // rev_cents AS top_decile_ppm
+      |FROM a ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[spearmanBrands]]. */
   val spearmanBrandsSql: String =
     """WITH p AS (SELECT p_brand, p_size,

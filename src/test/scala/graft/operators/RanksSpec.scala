@@ -130,6 +130,37 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("q127 concentration: Gini recomputes via BigInt; bounds hold") {
+    val got = Ranks.revenueConcentration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val rev = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (nation, n, revCents, giniPpm, topPpm) =>
+      val g = rev.filter(_._1 == nation).sortBy(x => (x._3, x._2))
+      assert(n === g.length.toLong)
+      val xs = g.map(_._3)
+      assert(revCents === xs.sum)
+      val six = xs.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * x }.sum
+      val expGini = (BigInt(1000000) *
+        (2 * six - BigInt(n + 1) * xs.sum)) / (BigInt(n) * xs.sum)
+      assert(giniPpm === expGini.toLong, s"$nation gini")
+      assert(giniPpm >= 0 && giniPpm < 1000000L)
+      val topRev = xs.takeRight((n / 10).toInt).map(BigInt(_)).sum
+      assert(topPpm === (topRev * 1000000 / xs.sum).toLong, s"$nation top")
+      // the top decile holds at least its proportional share
+      assert(topPpm >= (n / 10) * 1000000L / n || n < 10)
+    }
+  }
+
   test("rank/scan degenerate inputs: empty and single-row frames flow") {
     val s = spark
     import s.implicits._
