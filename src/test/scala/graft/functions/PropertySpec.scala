@@ -33,6 +33,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rank/scan: random frames match window forms across partitionings") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(424242)
+    for (trial <- 1 to 4) {
+      // heavy ties on purpose: few distinct values, few groups, unique key
+      val nGroups = 1 + rng.nextInt(4)
+      val rows = (1 to (100 + rng.nextInt(400))).map { i =>
+        (s"g${rng.nextInt(nGroups)}", rng.nextInt(8).toLong, i.toLong,
+          1L + rng.nextInt(9))
+      }
+      val df = rows.toDF("g", "v", "k", "w").repartition(1 + rng.nextInt(6))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"), col("k"))
+      val expRank = df.withColumn("e", row_number().over(wr).cast("long"))
+        .select(col("k"), col("e")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expCum = df.withColumn("e", sum(col("w")).over(
+          wr.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+        .select(col("k"), col("e")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (parts <- Seq(2, 5)) {
+        val gotRank = graft.operators.Ranks.globalRowNumber(df, Seq("g"),
+            Seq("v", "k"), partitions = parts)
+          .select(col("k"), col("rnk")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotRank === expRank, s"trial $trial parts $parts rank")
+        val gotCum = graft.operators.Ranks.globalRunningSum(df, Seq("g"),
+            Seq("v", "k"), "w", partitions = parts)
+          .select(col("k"), col("cum")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotCum === expCum, s"trial $trial parts $parts cum")
+      }
+    }
+  }
+
   test("portable hash: h60 in [0, 2^60), deterministic; slot hashes in [0, P)") {
     val s = spark
     import s.implicits._
