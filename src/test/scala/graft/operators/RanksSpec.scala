@@ -161,6 +161,31 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("distributed rank spreads the sort the window form funnels " +
+      "through one task (measured)") {
+    // the q89 single-reducer trap, measured: rank the full orders table
+    // both ways and read where each row was materialized — for the
+    // window form EVERY row sits in one partition (one task sorts the
+    // world); globalRowNumber's max task share stays near 1/partitions
+    val o = graft.Tables.load(spark, sf, "orders").select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderkey"))
+    def shares(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.withColumn("__where", spark_partition_id())
+        .groupBy(col("__where")).count()
+        .collect().map(_.getLong(1))
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    val windowShares = shares(o.withColumn("rnk", row_number().over(w)))
+    val distShares = shares(Ranks.globalRowNumber(o, Nil,
+      Seq("cents", "o_orderkey"), partitions = 8))
+    val n = o.count().toDouble
+    assert(windowShares.max / n === 1.0,
+      "window rank should funnel every row through one task")
+    assert(distShares.max / n < 0.5,
+      s"distributed rank should spread: ${distShares.toSeq}")
+    assert(distShares.length >= 4, "expected multiple populated partitions")
+  }
+
   test("rank/scan degenerate inputs: empty and single-row frames flow") {
     val s = spark
     import s.implicits._
