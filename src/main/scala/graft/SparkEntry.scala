@@ -154,6 +154,7 @@ object SparkEntry {
     "q125_postings"       -> ((s, d) => TextQueries.postingsIndex(s, d)),
     "q126_weighted_median" -> (graft.operators.Ranks.weightedMedian _),
     "q127_concentration"  -> (graft.operators.Ranks.revenueConcentration _),
+    "q128_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1722,5 +1723,50 @@ object SparkEntry {
     "q125_postings"      -> TextQueries.postingsIndexSql(),
     "q126_weighted_median" -> graft.operators.Ranks.weightedMedianSql,
     "q127_concentration" -> graft.operators.Ranks.revenueConcentrationSql,
+    "q128_ann_pq" -> {
+      // mirrors pqTopK: per-subspace codebooks via the q31 deterministic
+      // Lloyd protocol (assign by round(cosine,6) with cid tiebreak,
+      // decimal-exact member means), ADC scores as exact integer
+      // micro-unit sums so the aggregate is order-free in both engines
+      val (m, sub, cb, nq, k) = (4, 16, 16, 5, 10)
+      def dotSql(a: String, b: String): String =
+        s"list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip($a, $b)])"
+      def assignCte(out: String, bin: String): String =
+        s"""$out AS (SELECT vec_id, ss, cid FROM (
+           |  SELECT s.vec_id, s.ss, b.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id, s.ss
+           |      ORDER BY ${cosSql("s.sv", "b.ce")} DESC, b.cid) AS rn
+           |  FROM sv s JOIN $bin b ON b.ss = s.ss) WHERE rn = 1)""".stripMargin
+      def lloydCte(r: Int, ain: String, bout: String): String =
+        s"""m$r AS (SELECT a.ss, a.cid, t.generate_series AS pos,
+           |    CAST(CAST(SUM(CAST(s.sv[t.generate_series] AS DECIMAL(27,7))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS comp
+           |  FROM $ain a JOIN sv s ON s.vec_id = a.vec_id AND s.ss = a.ss,
+           |    generate_series(1, $sub) t GROUP BY 1, 2, 3),
+           |$bout AS (SELECT ss, cid, list(comp ORDER BY pos) AS ce
+           |  FROM m$r GROUP BY 1, 2)""".stripMargin
+      s"""WITH sv AS (SELECT vec_id, t.gs AS ss,
+         |    embedding[t.gs * $sub + 1 : (t.gs + 1) * $sub] AS sv
+         |  FROM embeddings, generate_series(0, ${m - 1}) t(gs)),
+         |b0 AS (SELECT ss, vec_id AS cid, sv AS ce FROM sv
+         |  WHERE vec_id < $cb),
+         |${assignCte("a1", "b0")},
+         |${lloydCte(1, "a1", "b1")},
+         |${assignCte("a2", "b1")},
+         |${lloydCte(2, "a2", "b2")},
+         |${assignCte("codes", "b2")},
+         |qt AS (SELECT s.vec_id AS qid, s.ss, b.cid,
+         |    CAST(round(round(${dotSql("s.sv", "b.ce")}, 6) * 1000000, 0)
+         |      AS BIGINT) AS d_micro
+         |  FROM sv s JOIN b2 b ON b.ss = s.ss WHERE s.vec_id < $nq),
+         |sc AS (SELECT q.qid, c.vec_id AS nid,
+         |    CAST(SUM(q.d_micro) AS BIGINT) AS adc_micro
+         |  FROM codes c JOIN qt q ON q.ss = c.ss AND q.cid = c.cid
+         |  WHERE c.vec_id <> q.qid GROUP BY 1, 2)
+         |SELECT qid, nid, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_micro DESC, nid) AS rn FROM sc)
+         |WHERE rn <= $k ORDER BY qid, nid""".stripMargin
+    },
   )
 }

@@ -290,4 +290,88 @@ object Similarity {
       .select(col("qid"), col("nid"), col("qsim"))
       .orderBy(col("qid"), col("nid"))
   }
+
+  /** q128: product-quantized (PQ) ANN — the codebook compression that
+    * completes the quantization family (q65 shrinks VALUES to int8; PQ
+    * shrinks VECTORS to m codebook indexes): each 64-dim embedding splits
+    * into m=4 16-dim subvectors, each subspace trains its own
+    * `codebookSize`-entry codebook (the q31 deterministic-Lloyd protocol
+    * per subspace: seed from the first vectors, assign by round(cosine,6)
+    * with cid tiebreak, decimal-exact member means), and a vector's code
+    * is its per-subspace nearest centroid — 4 small integers standing in
+    * for 64 floats (64× smaller than float32 at these parameters).
+    *
+    * Retrieval is asymmetric distance computation (ADC): each query
+    * precomputes its dot product with every codebook entry (m ×
+    * codebookSize values — a METADATA-sized table, broadcast), and a
+    * corpus vector's approximate score is the SUM of m table lookups —
+    * never a float op against the corpus vector itself. Per-subspace
+    * dots round to 6 dp and convert to exact integer micro-units before
+    * the sum, so the ADC score is an ORDER-FREE integer aggregate
+    * (summing raw doubles would depend on partition order and break the
+    * oracle hash; the q104 exact-arithmetic discipline applied to ANN).
+    *
+    * 100 TB design: codes are a persisted 4-byte companion column (the
+    * q65 ingest-time argument, 16× further compressed); scoring reads
+    * codes only and joins the broadcast lookup tables — the scan is
+    * integer adds over a table 64× smaller than the raw embeddings, and
+    * recall sharpens by raising m/codebookSize (spec measures recall vs
+    * the exact q20 top-k). */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+             m: Int = 4, codebookSize: Int = 16,
+             lloydRounds: Int = 2): DataFrame = {
+    val dims = 64
+    val sub = dims / m
+    val radix = lit(1L << 32)
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    // (vec_id, ss, sv): the per-subspace view of the corpus
+    val subs = emb.select(col("vec_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("ss"),
+          slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.ss").as("ss"), col("x.sv").as("sv"))
+    def assign(books: DataFrame): DataFrame =
+      subs.join(broadcast(books), Seq("ss"))
+        .withColumn("csim", round(nanvl(
+          graft.plans.FloatVecCosine(s, col("sv"), col("ce")), lit(-2d)), 6))
+        .select(col("vec_id"), col("ss"),
+          (round(col("csim") * 1000000d, 0).cast("long") * radix -
+            col("cid")).as("enc"))
+        .groupBy(col("vec_id"), col("ss"))
+        .agg(max(col("enc")).as("enc"))
+        .select(col("vec_id"), col("ss"), pmod(-col("enc"), radix).as("cid"))
+    var books = subs.filter(col("vec_id") < codebookSize)
+      .select(col("ss"), col("vec_id").as("cid"), col("sv").as("ce"))
+    for (_ <- 1 to lloydRounds) {
+      books = assign(books)
+        .join(subs, Seq("vec_id", "ss"))
+        .select(col("ss"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("ss"), col("cid"), (col("pos") + 1).as("pos"))
+        .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
+          count(lit(1))).cast("float").as("comp"))
+        .groupBy(col("ss"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("comp")))), x => x.getField("comp")).as("ce"))
+    }
+    val codes = assign(books)
+    // ADC lookup tables: query × codebook dots in exact micro-units
+    val qtab = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("ss"), col("sv").as("qsv"))
+      .join(broadcast(books), Seq("ss"))
+      .select(col("qid"), col("ss"), col("cid"),
+        round(round(dot(col("qsv"), col("ce")), 6) * 1000000d, 0)
+          .cast("long").as("d_micro"))
+    val scored = codes.join(broadcast(qtab), Seq("ss", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("d_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("adc_micro"))
+      .orderBy(col("qid"), col("nid"))
+  }
 }

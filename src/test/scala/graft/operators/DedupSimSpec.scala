@@ -262,4 +262,34 @@ class DedupSimSpec extends SparkSpec {
       brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
     }
   }
+
+  test("PQ ANN: deterministic shape; codes retrieve far above random") {
+    val a = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "PQ not deterministic")
+    assert(a.groupBy(_._1).forall(_._2.length == 10), "10 rows per query")
+    // the PQ-selected neighbors must score far above the corpus average
+    // in EXACT cosine — ADC ordering carries real signal, not noise
+    val exactAll = Similarity.bruteForceTopK(spark, sf, nQueries = 5,
+        k = 2000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val byQuery = exactAll.groupBy(_._1._1)
+    a.groupBy(_._1).foreach { case (qid, rows) =>
+      val corpusMean = byQuery(qid).values.sum / byQuery(qid).size
+      val selMean = rows.map(r => exactAll((qid, r._2))).sum / rows.length
+      assert(selMean > corpusMean + 0.05,
+        s"query $qid: PQ selection ($selMean) ~ corpus mean ($corpusMean)")
+    }
+    // recall vs exact top-10 at the larger corpus: measured 0.30 against
+    // a 10/499 = 0.02 random baseline (64x-compressed codes)
+    val sf01 = "/root/testdata/sf0.01"
+    val brute10 = Similarity.bruteForceTopK(spark, sf01, nQueries = 5,
+        k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq10 = Similarity.pqTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq10 intersect brute10).size.toDouble / brute10.size
+    assert(recall >= 0.15, s"PQ recall too low: $recall")
+  }
 }
