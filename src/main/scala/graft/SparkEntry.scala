@@ -155,6 +155,7 @@ object SparkEntry {
     "q126_weighted_median" -> (graft.operators.Ranks.weightedMedian _),
     "q127_concentration"  -> (graft.operators.Ranks.revenueConcentration _),
     "q128_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q129_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1763,6 +1764,81 @@ object SparkEntry {
          |    CAST(SUM(q.d_micro) AS BIGINT) AS adc_micro
          |  FROM codes c JOIN qt q ON q.ss = c.ss AND q.cid = c.cid
          |  WHERE c.vec_id <> q.qid GROUP BY 1, 2)
+         |SELECT qid, nid, adc_micro FROM (
+         |  SELECT qid, nid, adc_micro, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_micro DESC, nid) AS rn FROM sc)
+         |WHERE rn <= $k ORDER BY qid, nid""".stripMargin
+    },
+    "q129_ann_ivfpq" -> {
+      // the two proven protocols composed: q31's coarse inverted file
+      // (c-prefixed CTEs) prunes candidates, q128's PQ codes (p-prefixed)
+      // score them via exact integer ADC
+      val dims = 64
+      val (m, sub, cb, nq, k, nProbe) = (4, 16, 16, 5, 10, 2)
+      def dotSql(a: String, b: String): String =
+        s"list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip($a, $b)])"
+      def coarseAssignCte(out: String, cin: String): String =
+        s"""$out AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+           |  FROM embeddings e, $cin c) WHERE rn = 1)""".stripMargin
+      def coarseLloydCte(r: Int, ain: String, cout: String): String =
+        s"""cm$r AS (SELECT cid, t.generate_series AS pos,
+           |    CAST(CAST(SUM(CAST(embedding[t.generate_series] AS DECIMAL(27,7))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS comp
+           |  FROM $ain, generate_series(1, $dims) t GROUP BY 1, 2),
+           |$cout AS (SELECT cid, list(comp ORDER BY pos) AS ce
+           |  FROM cm$r GROUP BY cid)""".stripMargin
+      def pqAssignCte(out: String, bin: String): String =
+        s"""$out AS (SELECT vec_id, ss, cid FROM (
+           |  SELECT s.vec_id, s.ss, b.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id, s.ss
+           |      ORDER BY ${cosSql("s.sv", "b.ce")} DESC, b.cid) AS rn
+           |  FROM psv s JOIN $bin b ON b.ss = s.ss) WHERE rn = 1)""".stripMargin
+      def pqLloydCte(r: Int, ain: String, bout: String): String =
+        s"""pm$r AS (SELECT a.ss, a.cid, t.generate_series AS pos,
+           |    CAST(CAST(SUM(CAST(s.sv[t.generate_series] AS DECIMAL(27,7))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS comp
+           |  FROM $ain a JOIN psv s ON s.vec_id = a.vec_id AND s.ss = a.ss,
+           |    generate_series(1, $sub) t GROUP BY 1, 2, 3),
+           |$bout AS (SELECT ss, cid, list(comp ORDER BY pos) AS ce
+           |  FROM pm$r GROUP BY 1, 2)""".stripMargin
+      s"""WITH cc0 AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings WHERE vec_id < $cb),
+         |${coarseAssignCte("ca1", "cc0")},
+         |${coarseLloydCte(1, "ca1", "cc1")},
+         |${coarseAssignCte("ca2", "cc1")},
+         |${coarseLloydCte(2, "ca2", "cc2")},
+         |${coarseAssignCte("casg", "cc2")},
+         |cprobes AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings q, cc2 c WHERE q.vec_id < $nq)
+         |  WHERE rn <= $nProbe),
+         |psv AS (SELECT vec_id, t.gs AS ss,
+         |    embedding[t.gs * $sub + 1 : (t.gs + 1) * $sub] AS sv
+         |  FROM embeddings, generate_series(0, ${m - 1}) t(gs)),
+         |pb0 AS (SELECT ss, vec_id AS cid, sv AS ce FROM psv
+         |  WHERE vec_id < $cb),
+         |${pqAssignCte("pa1", "pb0")},
+         |${pqLloydCte(1, "pa1", "pb1")},
+         |${pqAssignCte("pa2", "pb1")},
+         |${pqLloydCte(2, "pa2", "pb2")},
+         |${pqAssignCte("pcodes", "pb2")},
+         |qt AS (SELECT s.vec_id AS qid, s.ss, b.cid,
+         |    CAST(round(round(${dotSql("s.sv", "b.ce")}, 6) * 1000000, 0)
+         |      AS BIGINT) AS d_micro
+         |  FROM psv s JOIN pb2 b ON b.ss = s.ss WHERE s.vec_id < $nq),
+         |cand AS (SELECT p.qid, a.vec_id FROM casg a
+         |  JOIN cprobes p ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+         |sc AS (SELECT c.qid, c.vec_id AS nid,
+         |    CAST(SUM(q.d_micro) AS BIGINT) AS adc_micro
+         |  FROM cand c
+         |  JOIN pcodes pc ON pc.vec_id = c.vec_id
+         |  JOIN qt q ON q.qid = c.qid AND q.ss = pc.ss AND q.cid = pc.cid
+         |  GROUP BY 1, 2)
          |SELECT qid, nid, adc_micro FROM (
          |  SELECT qid, nid, adc_micro, row_number() OVER (PARTITION BY qid
          |    ORDER BY adc_micro DESC, nid) AS rn FROM sc)

@@ -317,35 +317,37 @@ object Similarity {
     * integer adds over a table 64× smaller than the raw embeddings, and
     * recall sharpens by raising m/codebookSize (spec measures recall vs
     * the exact q20 top-k). */
-  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-             m: Int = 4, codebookSize: Int = 16,
-             lloydRounds: Int = 2): DataFrame = {
-    val dims = 64
-    val sub = dims / m
-    val radix = lit(1L << 32)
-    val emb = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
-    // (vec_id, ss, sv): the per-subspace view of the corpus
-    val subs = emb.select(col("vec_id"), explode(array((0 until m).map(i =>
+  /** Per-subspace view of the corpus: (vec_id, ss, sv). */
+  private def pqSubs(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until m).map(i =>
         struct(lit(i).as("ss"),
           slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.ss").as("ss"), col("x.sv").as("sv"))
-    def assign(books: DataFrame): DataFrame =
-      subs.join(broadcast(books), Seq("ss"))
-        .withColumn("csim", round(nanvl(
-          graft.plans.FloatVecCosine(s, col("sv"), col("ce")), lit(-2d)), 6))
-        .select(col("vec_id"), col("ss"),
-          (round(col("csim") * 1000000d, 0).cast("long") * radix -
-            col("cid")).as("enc"))
-        .groupBy(col("vec_id"), col("ss"))
-        .agg(max(col("enc")).as("enc"))
-        .select(col("vec_id"), col("ss"), pmod(-col("enc"), radix).as("cid"))
+
+  /** Per-subspace nearest-codebook-entry assignment (the assignCells enc
+    * trick keyed by (vec_id, ss)). */
+  private def pqAssign(s: SparkSession, subs: DataFrame,
+                       books: DataFrame): DataFrame = {
+    val radix = lit(1L << 32)
+    subs.join(broadcast(books), Seq("ss"))
+      .withColumn("csim", round(nanvl(
+        graft.plans.FloatVecCosine(s, col("sv"), col("ce")), lit(-2d)), 6))
+      .select(col("vec_id"), col("ss"),
+        (round(col("csim") * 1000000d, 0).cast("long") * radix -
+          col("cid")).as("enc"))
+      .groupBy(col("vec_id"), col("ss"))
+      .agg(max(col("enc")).as("enc"))
+      .select(col("vec_id"), col("ss"), pmod(-col("enc"), radix).as("cid"))
+  }
+
+  /** Train the per-subspace codebooks (deterministic Lloyd, q31 protocol)
+    * and code the corpus. Returns (books, codes). */
+  private def pqTrain(s: SparkSession, subs: DataFrame, codebookSize: Int,
+                      lloydRounds: Int): (DataFrame, DataFrame) = {
     var books = subs.filter(col("vec_id") < codebookSize)
       .select(col("ss"), col("vec_id").as("cid"), col("sv").as("ce"))
     for (_ <- 1 to lloydRounds) {
-      books = assign(books)
+      books = pqAssign(s, subs, books)
         .join(subs, Seq("vec_id", "ss"))
         .select(col("ss"), col("cid"), posexplode(col("sv")))
         .groupBy(col("ss"), col("cid"), (col("pos") + 1).as("pos"))
@@ -355,16 +357,89 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("comp")))), x => x.getField("comp")).as("ce"))
     }
-    val codes = assign(books)
-    // ADC lookup tables: query × codebook dots in exact micro-units
-    val qtab = subs.filter(col("vec_id") < nQueries)
+    (books, pqAssign(s, subs, books))
+  }
+
+  /** Query→codebook ADC lookup tables in exact integer micro-units. */
+  private def pqQueryTables(subs: DataFrame, books: DataFrame,
+                            nQueries: Int): DataFrame =
+    subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("ss"), col("sv").as("qsv"))
       .join(broadcast(books), Seq("ss"))
       .select(col("qid"), col("ss"), col("cid"),
         round(round(dot(col("qsv"), col("ce")), 6) * 1000000d, 0)
           .cast("long").as("d_micro"))
+
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+             m: Int = 4, codebookSize: Int = 16,
+             lloydRounds: Int = 2): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val subs = pqSubs(emb, m, 64 / m)
+    val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+    val qtab = pqQueryTables(subs, books, nQueries)
     val scored = codes.join(broadcast(qtab), Seq("ss", "cid"))
       .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("d_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("adc_micro"))
+      .orderBy(col("qid"), col("nid"))
+  }
+
+  /** q129: IVF-PQ — the production retrieval index shape (the FAISS
+    * IVF+PQ architecture, residual-free variant): the q31 coarse
+    * inverted file prunes the CANDIDATE SET (each query probes its
+    * nProbe nearest of nCells cells), and the q128 PQ codes score ONLY
+    * those cells' members via integer ADC lookups. Neither half is new —
+    * the composition is the point: at 100 TB the scan touches
+    * (nProbe/nCells) of the corpus and reads 4-byte codes instead of
+    * 256-byte vectors, an end-to-end ~1000× byte reduction over
+    * brute force, while every stage stays deterministic and the DuckDB
+    * oracle (the two proven protocols composed) still hash-matches.
+    * Both trainings run on the SAME persisted corpus frame — one scan
+    * feeds coarse Lloyd, PQ Lloyd, coding, and candidate generation. */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 5,
+                k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+                lloydRounds: Int = 2, m: Int = 4,
+                codebookSize: Int = 16): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    // coarse inverted file (q31 protocol)
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(assignCells(s, emb, cents))
+    val assigned = assignCells(s, emb, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        graft.plans.FloatVecCosine(s, col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    // PQ codes + query tables (q128 protocol, same corpus frame)
+    val subs = pqSubs(emb, m, 64 / m)
+    val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+    val qtab = pqQueryTables(subs, books, nQueries)
+    // candidates = members of each query's probed cells; ADC-score them
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val scored = cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("qid", "ss", "cid"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(sum(col("d_micro")).as("adc_micro"))
     val w = Window.partitionBy(col("qid"))

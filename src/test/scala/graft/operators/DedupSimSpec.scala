@@ -292,4 +292,23 @@ class DedupSimSpec extends SparkSpec {
     val recall = (pq10 intersect brute10).size.toDouble / brute10.size
     assert(recall >= 0.15, s"PQ recall too low: $recall")
   }
+
+  test("IVF-PQ: scores agree with plain PQ; pruning is structural") {
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.map(_._1._1).distinct.length === 5, "5 queries served")
+    // same codes + same tables => identical ADC scores wherever both
+    // indexes return a pair; IVF only prunes, never rescores
+    val pqAll = Similarity.pqTopK(spark, sf, k = 2000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    ivfpq.foreach { case (key, adc) =>
+      pqAll.get(key).foreach(full =>
+        assert(full === adc, s"$key: IVF-PQ rescored ($adc vs $full)"))
+    }
+    // determinism across runs
+    val again = Similarity.ivfPqTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(ivfpq.toSeq === again.toSeq)
+  }
 }
