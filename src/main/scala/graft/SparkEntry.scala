@@ -156,6 +156,7 @@ object SparkEntry {
     "q127_concentration"  -> (graft.operators.Ranks.revenueConcentration _),
     "q128_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q129_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q130_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -259,7 +260,39 @@ object SparkEntry {
     * (q17/q18/q19/q21/q31) hash with the engine-portable PortableHash /
     * FloatVecLshBucket basis, so DuckDB recomputes identical signatures,
     * bands, and buckets. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q130_ann_recall" -> annRecallSql(oracleSqlBase))
+
+  /** q130 oracle: the ANN methods' own proven SQL protocols composed
+    * into a recall audit against the exact top-k — both engines grade
+    * the same candidate sets against the same truth. */
+  private def annRecallSql(base: Map[String, String]): String = {
+    val methods = Seq(
+      "int8" -> "q65_ann_quantized",
+      "ivf" -> "q31_ann_ivf",
+      "ivfpq" -> "q129_ann_ivfpq",
+      "lsh_banded" -> "q42_ann_lsh_banded",
+      "pq" -> "q128_ann_pq")
+    val ctes = methods
+      .map { case (nm, key) => s"m_$nm AS (\n${base(key)}\n)" }
+      .mkString(",\n")
+    val rows = methods.map { case (nm, _) =>
+      s"""SELECT '$nm' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT qid, nid FROM m_$nm INTERSECT
+         |        SELECT qid, nid FROM ex)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS (
+       |${base("q20_ann_topk")}
+       |),
+       |$ctes,
+       |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+       |h AS ($rows)
+       |SELECT method, n_exact, n_hits,
+       |  n_hits * 1000000 // n_exact AS recall_ppm
+       |FROM h CROSS JOIN nx ORDER BY method""".stripMargin
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -449,4 +449,37 @@ object Similarity {
       .select(col("qid"), col("nid"), col("adc_micro"))
       .orderBy(col("qid"), col("nid"))
   }
+
+  /** q130: ANN recall audit — the evaluation harness as a first-class
+    * query: every approximate index in the library (banded LSH, IVF,
+    * int8, PQ, IVF-PQ) retrieves its top-k, and the report counts how
+    * many of the EXACT top-k pairs (q20 brute force) each one recovered,
+    * as integer-ppm recall. The completeness critic for the retrieval
+    * family: an index whose recall regresses shows up as a changed row
+    * in the driver's hash compare, so quality is GATED, not just
+    * documented. At 100 TB this runs on a query sample against a corpus
+    * slice — the methodology every production ANN deployment ships with.
+    * The oracle composes the methods' own proven SQL protocols, so both
+    * engines grade the same candidates against the same truth. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(s, dir).select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "int8" -> quantizedTopK(s, dir),
+      "ivf" -> ivfTopK(s, dir),
+      "ivfpq" -> ivfPqTopK(s, dir),
+      "lsh_banded" -> lshTopKMulti(s, dir),
+      "pq" -> pqTopK(s, dir))
+    methods.map { case (nm, df) =>
+      exact.join(df.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(nm).as("method"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(nx)
+      .select(col("method"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy(col("method"))
+  }
 }

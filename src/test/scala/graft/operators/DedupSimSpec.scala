@@ -311,4 +311,20 @@ class DedupSimSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
     assert(ivfpq.toSeq === again.toSeq)
   }
+
+  test("q130 recall audit: arithmetic cross-foots, every index finds signal") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq ===
+      Seq("int8", "ivf", "ivfpq", "lsh_banded", "pq"))
+    rows.foreach { case (m, nExact, nHits, ppm) =>
+      assert(nExact > 0 && nHits >= 0 && nHits <= nExact, s"$m counts")
+      assert(ppm === nHits * 1000000L / nExact, s"$m ppm arithmetic")
+      assert(nHits > 0, s"$m recovered nothing — index broken")
+    }
+    val byM = rows.map(r => r._1 -> r._4).toMap
+    // value-compression (int8) preserves ordering far better than
+    // vector-compression (PQ) at these parameters
+    assert(byM("int8") > byM("pq"), "int8 should out-recall PQ")
+  }
 }
