@@ -157,6 +157,7 @@ object SparkEntry {
     "q128_ann_pq"         -> ((s, d) => Similarity.pqTopK(s, d)),
     "q129_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q130_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
+    "q131_ppjoin"         -> ((s, d) => Dedup.ppjoinPairs(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1877,5 +1878,8 @@ object SparkEntry {
          |    ORDER BY adc_micro DESC, nid) AS rn FROM sc)
          |WHERE rn <= $k ORDER BY qid, nid""".stripMargin
     },
+    // q131: prefix-filtered exact set-similarity join; the oracle is the
+    // BRUTE-FORCE inverted-index join — prefix filtering is lossless
+    "q131_ppjoin" -> Dedup.ppjoinPairsSql,
   )
 }
