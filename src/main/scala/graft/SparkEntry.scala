@@ -158,6 +158,7 @@ object SparkEntry {
     "q129_ann_ivfpq"      -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q130_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
     "q131_ppjoin"         -> ((s, d) => Dedup.ppjoinPairs(s, d)),
+    "q132_hll_uv"         -> (graft.operators.Hll.distinctUsers _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1881,5 +1882,7 @@ object SparkEntry {
     // q131: prefix-filtered exact set-similarity join; the oracle is the
     // BRUTE-FORCE inverted-index join — prefix filtering is lossless
     "q131_ppjoin" -> Dedup.ppjoinPairsSql,
+    // q132: HLL registers + integer-exact raw estimate (operators/Hll.scala)
+    "q132_hll_uv" -> graft.operators.Hll.distinctUsersSql,
   )
 }
