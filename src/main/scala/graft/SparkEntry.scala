@@ -159,6 +159,7 @@ object SparkEntry {
     "q130_ann_recall"     -> ((s, d) => Similarity.annRecall(s, d)),
     "q131_ppjoin"         -> ((s, d) => Dedup.ppjoinPairs(s, d)),
     "q132_hll_uv"         -> (graft.operators.Hll.distinctUsers _),
+    "q133_bpe_merges"     -> ((s, d) => TextQueries.bpeMerges(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1884,5 +1885,7 @@ object SparkEntry {
     "q131_ppjoin" -> Dedup.ppjoinPairsSql,
     // q132: HLL registers + integer-exact raw estimate (operators/Hll.scala)
     "q132_hll_uv" -> graft.operators.Hll.distinctUsersSql,
+    // q133: BPE merge-table learning, loop unrolled the q112 way
+    "q133_bpe_merges" -> TextQueries.bpeMergesSql(),
   )
 }

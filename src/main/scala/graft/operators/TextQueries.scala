@@ -494,4 +494,110 @@ object TextQueries {
        |SELECT p.term, d.df, p.postings
        |FROM p JOIN d USING (term)
        |ORDER BY p.term""".stripMargin
+
+  /** q133: byte-pair-encoding vocabulary LEARNING — the iterative merge
+    * loop (Sennrich et al. 2016) that produces a subword tokenizer, not
+    * just applies one (q24 counts tokens with a fixed BPE-ish regex; this
+    * learns the merge table the regex approximates). Each round counts
+    * every adjacent symbol pair across the word-frequency table and merges
+    * the globally most frequent pair (ties broken lexicographically, so
+    * the learned vocabulary is a pure function of the corpus).
+    *
+    * Representation: a word's symbol sequence is a string of
+    * `|`-wrapped symbols (`low` → `|l||o||w||_|`, `_` the end-of-word
+    * marker), so applying a merge is ONE `replace(seq, '|l||r|',
+    * '|lr|')` — the wrapper makes matches align on whole symbols only (a
+    * bare "l r" search could match the tail of a longer symbol) and
+    * string replace's leftmost-nonoverlapping scan IS greedy BPE merge
+    * order. Both engines share these semantics, so the DuckDB oracle
+    * (the same loop unrolled, [[bpeMergesSql]]) hash-matches the learned
+    * table bit-for-bit.
+    *
+    * Scale shape: everything runs over the WORD-FREQUENCY table
+    * (vocabulary scale, not corpus scale) — the corpus is scanned once to
+    * build it, the classic trick that makes BPE training tractable; each
+    * round is one partial/final pair-count aggregate plus a driver-side
+    * single-row argmax (the same metadata-scale decision q112's
+    * convergence check makes). Round frames are localCheckpoint'd so the
+    * replace chain doesn't deepen the plan. */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    bpeMergesFrom(
+      Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
+      rounds)
+
+  /** The merge loop over any (word, freq) vocabulary frame. */
+  def bpeMergesFrom(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val s = wordFreq.sparkSession
+    val words = wordFreq
+      .select(concat(regexp_replace(col("word"), "(.)", "|$1|"), lit("|_|"))
+        .as("seq"), col("freq"))
+    var cur = words.localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, String)]
+    (1 to rounds).foreach { r =>
+      val top = cur
+        .select(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("t"),
+          col("freq"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS lhs, element_at(t, i+1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      learned += ((r.toLong, l, rr, c, l + rr))
+      val prev = cur
+      cur = cur.select(
+        expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')").as("seq"),
+        col("freq")).localCheckpoint(true)
+      prev.unpersist()
+    }
+    import s.implicits._
+    learned.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count", "token")
+      .orderBy(col("merge_round"))
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — the identical loop unrolled (the
+    * q112 convention for data-dependent iteration). */
+  def bpeMergesSql(rounds: Int = 8): String = {
+    // every chained CTE is MATERIALIZED: w{r-1} is referenced twice (pair
+    // counting and the rewrite) and DuckDB inlines CTEs by default, which
+    // re-evaluates the whole chain per reference — 2^rounds blowup
+    // (measured: 5 min inlined vs seconds materialized at sf0.01)
+    val header =
+      """WITH words AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '|\1|', 'g')
+        |    || '|_|' AS seq, freq FROM (
+        |  SELECT tok AS word, COUNT(*) AS freq
+        |  FROM documents, UNNEST(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS u(tok)
+        |  WHERE lang = 'en' AND regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY 1)),
+        |w0 AS MATERIALIZED (SELECT seq, freq FROM words)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT p.l, p.r, SUM(freq) AS c FROM (
+         |    SELECT unnest([struct_pack(l := t[i], r := t[i+1])
+         |      for i in generate_series(1, len(t)-1)]) AS p, freq
+         |    FROM (SELECT string_split(trim(seq, '|'), '||') AS t, freq
+         |          FROM w${r - 1})) GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(seq,
+         |    (SELECT '|' || l || '||' || r || '|' FROM m$r),
+         |    (SELECT '|' || l || r || '|' FROM m$r)) AS seq, freq
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val out = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+         |  CAST(c AS BIGINT) AS pair_count, l || r AS token FROM m$r"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    (header +: roundCtes).mkString(",\n") +
+      s"\n$out\nORDER BY merge_round"
+  }
 }
