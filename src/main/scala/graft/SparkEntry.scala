@@ -160,6 +160,7 @@ object SparkEntry {
     "q131_ppjoin"         -> ((s, d) => Dedup.ppjoinPairs(s, d)),
     "q132_hll_uv"         -> (graft.operators.Hll.distinctUsers _),
     "q133_bpe_merges"     -> ((s, d) => TextQueries.bpeMerges(s, d)),
+    "q134_chi_square"     -> (graft.operators.Stats.chiSquare _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1887,5 +1888,7 @@ object SparkEntry {
     "q132_hll_uv" -> graft.operators.Hll.distinctUsersSql,
     // q133: BPE merge-table learning, loop unrolled the q112 way
     "q133_bpe_merges" -> TextQueries.bpeMergesSql(),
+    // q134: exact-integer chi-square independence screen
+    "q134_chi_square" -> graft.operators.Stats.chiSquareSql,
   )
 }

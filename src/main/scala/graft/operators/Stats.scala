@@ -494,4 +494,59 @@ object Stats {
       |SELECT p_size, best_cents, n_at_best, best_partkey FROM f
       |WHERE ml IS NULL OR best_cents < ml
       |ORDER BY p_size""".stripMargin
+
+  /** q134: chi-square independence screen between order status and order
+    * priority — the categorical-association forensic test completing the
+    * audit family (q104 moments, q110 Benford, q106 fan-out): a
+    * training-data pipeline runs exactly this to detect label/slice
+    * coupling before a split ships. Per-cell contributions to the χ²
+    * statistic, cross-multiplied to EXACT integers (the q104 convention):
+    * (O·N − R·C)²·10⁶ div (N·R·C) in ppm, with the expected count in
+    * milli-units — no float mean, no float expected value, so the flag
+    * set is partitioning-invariant and hash-gated.
+    *
+    * Scale shape: ONE corpus-scale aggregate reduces orders to the
+    * contingency cells; row totals, column totals, and N are re-aggregated
+    * from the CELL frame (metadata scale) and broadcast back — the fact
+    * table is scanned once. Long-overflow boundary: O·N stays below 2⁶³
+    * up to ~3·10⁹ orders; past that both engines widen the products
+    * through DECIMAL(38,0)/HUGEINT the q104 way (the square already
+    * does). */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      .groupBy(col("status"), col("prio"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("status")).agg(sum(col("obs")).as("r_tot"))
+    val colT = cells.groupBy(col("prio")).agg(sum(col("obs")).as("c_tot"))
+    val nT = cells.agg(sum(col("obs")).as("n_tot"))
+    cells
+      .join(broadcast(rowT), "status")
+      .join(broadcast(colT), "prio")
+      .crossJoin(broadcast(nT))
+      .select(col("status"), col("prio"), col("obs"),
+        expr("r_tot * c_tot * 1000 div n_tot").as("exp_milli"),
+        expr("CAST(obs * n_tot - r_tot * c_tot AS DECIMAL(38,0)) * " +
+          "(obs * n_tot - r_tot * c_tot) * 1000000 " +
+          "div (n_tot * r_tot * c_tot)").as("contrib_ppm"))
+      .orderBy(col("status"), col("prio"))
+  }
+
+  /** DuckDB oracle for [[chiSquare]]. */
+  val chiSquareSql: String =
+    """WITH cells AS (SELECT o_orderstatus AS status,
+      |    o_orderpriority AS prio, COUNT(*) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT status, SUM(obs) AS r_tot FROM cells GROUP BY 1),
+      |ct AS (SELECT prio, SUM(obs) AS c_tot FROM cells GROUP BY 1),
+      |nt AS (SELECT SUM(obs) AS n_tot FROM cells)
+      |SELECT status, prio, CAST(obs AS BIGINT) AS obs,
+      |  CAST(r_tot * c_tot * 1000 // n_tot AS BIGINT) AS exp_milli,
+      |  CAST(CAST(obs * n_tot - r_tot * c_tot AS HUGEINT) *
+      |    (obs * n_tot - r_tot * c_tot) * 1000000
+      |    // (n_tot * r_tot * c_tot) AS BIGINT) AS contrib_ppm
+      |FROM cells JOIN rt USING (status) JOIN ct USING (prio)
+      |CROSS JOIN nt
+      |ORDER BY status, prio""".stripMargin
 }

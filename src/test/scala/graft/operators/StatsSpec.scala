@@ -189,4 +189,24 @@ class StatsSpec extends SparkSpec {
     val b = graft.operators.Series.gapFillFrom(obs).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("q134 chi-square: every cell matches a BigInt recompute; totals foot") {
+    val rows = Stats.chiSquare(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val obs = rows.view.mapValues(_._1).toMap
+    val n = BigInt(obs.values.sum)
+    val rT = obs.groupBy(_._1._1).view.mapValues(v => BigInt(v.values.sum))
+    val cT = obs.groupBy(_._1._2).view.mapValues(v => BigInt(v.values.sum))
+    rows.foreach { case ((st, pr), (o, expMilli, contribPpm)) =>
+      val (r, c) = (rT(st), cT(pr))
+      assert(BigInt(expMilli) == r * c * 1000 / n)
+      val d = BigInt(o) * n - r * c
+      assert(BigInt(contribPpm) == d * d * 1000000 / (n * r * c),
+        s"cell ($st,$pr)")
+    }
+    // every order lands in exactly one cell
+    assert(n.toLong == graft.Tables.load(spark, sf, "orders").count())
+  }
 }
