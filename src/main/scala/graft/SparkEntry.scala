@@ -161,6 +161,7 @@ object SparkEntry {
     "q132_hll_uv"         -> (graft.operators.Hll.distinctUsers _),
     "q133_bpe_merges"     -> ((s, d) => TextQueries.bpeMerges(s, d)),
     "q134_chi_square"     -> (graft.operators.Stats.chiSquare _),
+    "q135_bloom_join"     -> (graft.operators.Bloom.bloomJoinAudit _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1890,5 +1891,7 @@ object SparkEntry {
     "q133_bpe_merges" -> TextQueries.bpeMergesSql(),
     // q134: exact-integer chi-square independence screen
     "q134_chi_square" -> graft.operators.Stats.chiSquareSql,
+    // q135: bloom semi-join reduction audit (operators/Bloom.scala)
+    "q135_bloom_join" -> graft.operators.Bloom.bloomJoinAuditSql,
   )
 }
