@@ -162,6 +162,7 @@ object SparkEntry {
     "q133_bpe_merges"     -> ((s, d) => TextQueries.bpeMerges(s, d)),
     "q134_chi_square"     -> (graft.operators.Stats.chiSquare _),
     "q135_bloom_join"     -> (graft.operators.Bloom.bloomJoinAudit _),
+    "q136_cms_freq"       -> ((s, d) => graft.operators.CountMin.tokenFreqAudit(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1893,5 +1894,7 @@ object SparkEntry {
     "q134_chi_square" -> graft.operators.Stats.chiSquareSql,
     // q135: bloom semi-join reduction audit (operators/Bloom.scala)
     "q135_bloom_join" -> graft.operators.Bloom.bloomJoinAuditSql,
+    // q136: count-min frequency sketch audit (operators/CountMin.scala)
+    "q136_cms_freq" -> graft.operators.CountMin.tokenFreqAuditSql(),
   )
 }

@@ -52,6 +52,45 @@ object Hll {
   val LcThreshold: Long = 5L * M / 2
 
   /** Per-(group, bucket) registers for a (grp, id) frame. */
+  def registersFrom(rows: DataFrame): DataFrame = registers(rows)
+
+  /** Max-merge two register frames — the sketch's union. Idempotent and
+    * order-free (max is a semilattice), so at-least-once re-delivery of a
+    * batch's registers cannot move the estimate: the streaming twin folds
+    * per-batch registers through this with no dedup bookkeeping. */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+
+  /** (grp, est_uv) estimates from a register frame — the report stage,
+    * SHARED by the batch query and the streaming fold so their equality
+    * is structural. */
+  def estimatesFrom(regs: DataFrame): DataFrame = {
+    val s = regs.sparkSession
+    val groups = regs.select(col("grp")).distinct()
+    val spine = groups.crossJoin(
+      s.range(M).select(col("id").cast("long").as("bucket")))
+    val full = spine.join(regs, Seq("grp", "bucket"), "left")
+      .na.fill(0L, Seq("reg"))
+    val rmax = full.groupBy(col("grp")).agg(max(col("reg")).as("r_max"))
+    val lcCase = (1 to M).map(v => s"WHEN n_zero = $v THEN ${LcEst(v - 1)}")
+      .mkString("CASE ", " ", " END")
+    full.join(rmax, "grp")
+      .groupBy(col("grp"), col("r_max"))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - reg AS INT))"))
+          .as("s_sum"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("raw_est", expr(
+        s"CAST($AlphaPpm AS DECIMAL(38,0)) * ${M.toLong * M} * " +
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DECIMAL(38,0)) " +
+        "div (CAST(s_sum AS DECIMAL(38,0)) * 1000000)"))
+      .select(col("grp"),
+        when(col("n_zero") > 0 && col("raw_est") <= LcThreshold, expr(lcCase))
+          .otherwise(col("raw_est")).cast("long").as("est_uv"))
+  }
+
   private def registers(rows: DataFrame): DataFrame = {
     val h = PortableHash.h60(col("id").cast("string"))
     // h is non-negative, M = 2^5: h % M == h & 31 and h >> 5 == h div M,
@@ -80,28 +119,7 @@ object Hll {
       .withColumn("grp", lit("__all"))
     val regs = perGroup.select(col("grp"), col("bucket"), col("reg"))
       .unionByName(merged.select(col("grp"), col("bucket"), col("reg")))
-    // dense 0..m-1 register spine per group (absent bucket = register 0)
-    val groups = regs.select(col("grp")).distinct()
-    val spine = groups.crossJoin(
-      s.range(M).select(col("id").cast("long").as("bucket")))
-    val full = spine.join(regs, Seq("grp", "bucket"), "left")
-      .na.fill(0L, Seq("reg"))
-    val rmax = full.groupBy(col("grp")).agg(max(col("reg")).as("r_max"))
-    val lcCase = (1 to M).map(v => s"WHEN n_zero = $v THEN ${LcEst(v - 1)}")
-      .mkString("CASE ", " ", " END")
-    val est = full.join(rmax, "grp")
-      .groupBy(col("grp"), col("r_max"))
-      .agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - reg AS INT))"))
-          .as("s_sum"),
-        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("n_zero"))
-      .withColumn("raw_est", expr(
-        s"CAST($AlphaPpm AS DECIMAL(38,0)) * ${M.toLong * M} * " +
-        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DECIMAL(38,0)) " +
-        "div (CAST(s_sum AS DECIMAL(38,0)) * 1000000)"))
-      .select(col("grp"),
-        when(col("n_zero") > 0 && col("raw_est") <= LcThreshold, expr(lcCase))
-          .otherwise(col("raw_est")).cast("long").as("est_uv"))
+    val est = estimatesFrom(regs)
     val exact = base.groupBy(col("grp"))
       .agg(countDistinct(col("id")).as("exact_uv"))
       .unionByName(base.agg(countDistinct(col("id")).as("exact_uv"))

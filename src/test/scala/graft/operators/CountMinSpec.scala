@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** q136 count-min sketch: the never-underestimates guarantee, additive
+  * mergeability (the per-segment/per-batch artifact property), and a
+  * driver-side recompute of the probed cells. */
+class CountMinSpec extends SparkSpec {
+
+  private def grams = Tables.load(spark, sf, "documents")
+    .select(Text.tokens(col("text")).as("toks"))
+    .select(explode(Text.shinglesPositional(col("toks"), 3)).as("t"))
+
+  test("estimates never undercount and equal a driver-side recompute") {
+    val out = CountMin.tokenFreqAudit(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}")
+      assert(r.getLong(3) == (r.getLong(2) - r.getLong(1)) * 1000000L / r.getLong(1))
+    }
+    // independent recompute of one probed gram's estimate from raw grams
+    import graft.functions.PortableHash.{P, slotA, slotB}
+    val all = grams.collect().map(_.getString(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sv: String): Long = java.lang.Long.parseLong(
+      md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def pos(i: Int, sv: String): Long =
+      ((slotA(i) * (h60(sv) % P) + slotB(i)) % P) % CountMin.W
+    val probe = out.head.getString(0)
+    val est = (1 to CountMin.D).map { i =>
+      val p = pos(i, probe)
+      all.count(g => pos(i, g) == p).toLong
+    }.min
+    assert(est == out.head.getLong(2),
+      s"driver recompute $est != sketch ${out.head.getLong(2)}")
+  }
+
+  test("sketches merge by addition: sketch(A ⊎ B) == sketch(A) + sketch(B)") {
+    val a = grams.filter(length(col("t")) % 2 === 0)
+    val b = grams.filter(length(col("t")) % 2 === 1)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("CAST(i AS BIGINT) AS i", "CAST(pos AS BIGINT) AS pos",
+        "CAST(c AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = toMap(CountMin.sketch(a)
+      .unionByName(CountMin.sketch(b))
+      .groupBy(col("i"), col("pos")).agg(sum(col("c")).as("c")))
+    val whole = toMap(CountMin.sketch(grams))
+    assert(merged == whole)
+  }
+}

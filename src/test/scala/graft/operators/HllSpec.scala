@@ -56,4 +56,28 @@ class HllSpec extends SparkSpec {
     // that indicates a broken register, not sketch variance
     assert(errs.forall(_ < 550000), s"error out of envelope: ${errs.max}")
   }
+
+  test("incremental register merge equals batch, re-delivery is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    val base = Tables.load(spark, sf, "events")
+      .select(date_format(timestamp_seconds(expr("ts div 1000000000")),
+        "yyyy-MM-dd").as("grp"), col("user_id").as("id"))
+      .withColumn("bucket3", col("id") % 3)
+    def slice(b: Long): DataFrame =
+      base.filter(col("bucket3") === b).select(col("grp"), col("id"))
+    // fold three uneven micro-batches through max-merge, replaying the
+    // middle batch's registers twice (at-least-once delivery)
+    var st = Hll.registersFrom(slice(0)).localCheckpoint(true)
+    val b1 = Hll.registersFrom(slice(1)).localCheckpoint(true)
+    st = Hll.mergeRegisters(st, b1).localCheckpoint(true)
+    st = Hll.mergeRegisters(st, b1).localCheckpoint(true) // replay
+    st = Hll.mergeRegisters(st, Hll.registersFrom(slice(2)))
+      .localCheckpoint(true)
+    val streamed = Hll.estimatesFrom(st).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Hll.estimatesFrom(
+      Hll.registersFrom(base.select(col("grp"), col("id")))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
