@@ -163,6 +163,7 @@ object SparkEntry {
     "q134_chi_square"     -> (graft.operators.Stats.chiSquare _),
     "q135_bloom_join"     -> (graft.operators.Bloom.bloomJoinAudit _),
     "q136_cms_freq"       -> ((s, d) => graft.operators.CountMin.tokenFreqAudit(s, d)),
+    "q137_hilbert_runs"   -> (graft.functions.Hilbert.curveRunsAudit _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1896,5 +1897,7 @@ object SparkEntry {
     "q135_bloom_join" -> graft.operators.Bloom.bloomJoinAuditSql,
     // q136: count-min frequency sketch audit (operators/CountMin.scala)
     "q136_cms_freq" -> graft.operators.CountMin.tokenFreqAuditSql(),
+    // q137: hilbert-vs-morton scan-range fragmentation (functions/Hilbert.scala)
+    "q137_hilbert_runs" -> graft.functions.Hilbert.curveRunsAuditSql,
   )
 }

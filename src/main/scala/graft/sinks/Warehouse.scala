@@ -69,6 +69,30 @@ object Warehouse {
       .parquet(path)
   }
 
+  /** [[writeZOrdered]] with the Hilbert index as the clustering key —
+    * same per-file min/max tightening, plus the q137-measured property
+    * that a 2-D box predicate maps to ~2× fewer contiguous curve ranges
+    * (fewer file fragments to stitch on a range-pruned scan). The
+    * 8-bit Hilbert grid is coarser than z-order's 16-bit one: 65 536
+    * curve positions over `files` ≤ a few hundred output files is
+    * already far below one position per file. */
+  def writeHilbertOrdered(df: DataFrame, path: String, dimA: String,
+                          dimB: String, files: Int = 64): Unit = {
+    val n = graft.functions.Hilbert.N
+    val stats = df.agg(max(col(dimA)).as("ha_max"), max(col(dimB)).as("hb_max"))
+    val keyed = graft.functions.Hilbert.withHilbert(
+      df.crossJoin(broadcast(stats))
+        .withColumn("hcx", (col(dimA) * n / (col("ha_max") + 1)).cast("long"))
+        .withColumn("hcy", (col(dimB) * n / (col("hb_max") + 1)).cast("long")),
+      "hcx", "hcy", "hv")
+    keyed
+      .repartitionByRange(files, col("hv"))
+      .sortWithinPartitions(col("hv"))
+      .drop("hv", "hcx", "hcy", "ha_max", "hb_max")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Small-file compaction — the maintenance job every streaming sink
     * needs: foreachBatch appends leave one-file-per-trigger debris, and
     * at 100 TB a million 100 KB files costs more in scan planning +
