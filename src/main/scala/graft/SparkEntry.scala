@@ -164,6 +164,7 @@ object SparkEntry {
     "q135_bloom_join"     -> (graft.operators.Bloom.bloomJoinAudit _),
     "q136_cms_freq"       -> ((s, d) => graft.operators.CountMin.tokenFreqAudit(s, d)),
     "q137_hilbert_runs"   -> (graft.functions.Hilbert.curveRunsAudit _),
+    "q138_digest_diff"    -> ((s, d) => graft.operators.Curation.digestDiff(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1899,5 +1900,7 @@ object SparkEntry {
     "q136_cms_freq" -> graft.operators.CountMin.tokenFreqAuditSql(),
     // q137: hilbert-vs-morton scan-range fragmentation (functions/Hilbert.scala)
     "q137_hilbert_runs" -> graft.functions.Hilbert.curveRunsAuditSql,
+    // q138: merkle bucket-digest anti-entropy diff (operators/Curation.scala)
+    "q138_digest_diff" -> graft.operators.Curation.digestDiffSql(),
   )
 }

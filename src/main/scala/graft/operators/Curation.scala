@@ -121,6 +121,93 @@ object Curation {
     diffClasses(prev, next)
   }
 
+  /** q138: anti-entropy bucket-digest diff — the MERKLE-STYLE scale path
+    * q90's full-corpus diff lacks. Comparing two 100 TB snapshots key by
+    * key shuffles both corpora; the Dynamo/Cassandra repair trick
+    * compares B per-bucket DIGESTS first (metadata scale) and re-reads
+    * only the buckets whose digests disagree. Digest = (count,
+    * bit_xor(row-hash)) per bucket — both order-free, partial-agg
+    * friendly, engine-portable (the Dedup convergence-signature
+    * convention); a digest collision needs a bit_xor coincidence AND an
+    * equal count, and the row-hash is 60 bits. The drill stage joins
+    * ONLY the dirty buckets' keys (a broadcast semi-join on bucket id),
+    * then classifies exactly like q90 — DigestDiffSpec proves the
+    * drilled classification equals the full diff while touching a
+    * fraction of the keys.
+    *
+    * The change profile is deliberately SPARSE (1% changed, 1% added,
+    * 1% removed) — the regime where anti-entropy pays: dirty buckets ≪
+    * B, so the drill reads a few percent of the corpus. */
+  def digestDiff(s: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), expr("doc_id % 100").as("m"))
+    val prev = d.filter(col("m") =!= 99)
+      .select(col("doc_id"), PortableHash.h60(col("text")).as("h"))
+    val next = d.filter(col("m") =!= 0)
+      .select(col("doc_id"), PortableHash.h60(
+        when(col("m") === 42, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h"))
+    def withBucket(df: DataFrame): DataFrame = df.withColumn("bucket",
+      PortableHash.h60(col("doc_id").cast("string")) % buckets)
+    def digest(df: DataFrame): DataFrame = withBucket(df)
+      .withColumn("rowh",
+        PortableHash.h60(concat(col("doc_id").cast("string"), lit(":"),
+          col("h").cast("string"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rowh)").as("x"))
+    val dirty = digest(prev).withColumnRenamed("n", "na")
+      .withColumnRenamed("x", "xa")
+      .join(digest(next).withColumnRenamed("n", "nb")
+        .withColumnRenamed("x", "xb"), Seq("bucket"), "full_outer")
+      .filter(col("na").isNull || col("nb").isNull ||
+        col("na") =!= col("nb") || col("xa") =!= col("xb"))
+      .select(col("bucket"))
+    val pd = withBucket(prev).join(broadcast(dirty), Seq("bucket"), "left_semi")
+    val nd = withBucket(next).join(broadcast(dirty), Seq("bucket"), "left_semi")
+    pd.withColumnRenamed("h", "h_old")
+      .join(nd.withColumnRenamed("h", "h_new"), Seq("bucket", "doc_id"),
+        "full_outer")
+      .select(col("doc_id"), col("bucket"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change_class"))
+      .filter(col("change_class") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[digestDiff]]. */
+  def digestDiffSql(buckets: Int = 1024): String = {
+    val hDoc = PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")
+    val rowH = PortableHash.h60Sql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(h AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, text, doc_id % 100 AS m FROM documents),
+       |prev AS MATERIALIZED (SELECT doc_id,
+       |    ${PortableHash.h60Sql("text")} AS h,
+       |    ($hDoc) % $buckets AS bucket
+       |  FROM d WHERE m <> 99),
+       |next AS MATERIALIZED (SELECT doc_id,
+       |    ${PortableHash.h60Sql(
+             "CASE WHEN m = 42 THEN text || ' rev2' ELSE text END")} AS h,
+       |    ($hDoc) % $buckets AS bucket
+       |  FROM d WHERE m <> 0),
+       |da AS (SELECT bucket, COUNT(*) AS na, bit_xor($rowH) AS xa
+       |  FROM prev GROUP BY 1),
+       |db AS (SELECT bucket, COUNT(*) AS nb, bit_xor($rowH) AS xb
+       |  FROM next GROUP BY 1),
+       |dirty AS (SELECT bucket FROM da FULL OUTER JOIN db USING (bucket)
+       |  WHERE na IS NULL OR nb IS NULL OR na <> nb OR xa <> xb),
+       |pd AS (SELECT p.* FROM prev p SEMI JOIN dirty USING (bucket)),
+       |nd AS (SELECT n.* FROM next n SEMI JOIN dirty USING (bucket))
+       |SELECT doc_id, bucket,
+       |  CASE WHEN pd.h IS NULL THEN 'added'
+       |       WHEN nd.h IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS change_class
+       |FROM pd FULL OUTER JOIN nd USING (bucket, doc_id)
+       |WHERE pd.h IS NULL OR nd.h IS NULL OR pd.h <> nd.h
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared diff stage: classify `(doc_id, h_old)` vs `(doc_id, h_new)`
     * snapshots into the 4-class summary. Batch q90 and the streaming twin
     * ([[graft.streaming.DiffStream]]) both end in THIS stage, so streamed
