@@ -165,6 +165,8 @@ object SparkEntry {
     "q136_cms_freq"       -> ((s, d) => graft.operators.CountMin.tokenFreqAudit(s, d)),
     "q137_hilbert_runs"   -> (graft.functions.Hilbert.curveRunsAudit _),
     "q138_digest_diff"    -> ((s, d) => graft.operators.Curation.digestDiff(s, d)),
+    "q139_ks_drift"       -> (graft.operators.Stats.ksDrift _),
+    "q140_dedup_quality"  -> ((s, d) => Dedup.dedupQualityAudit(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -269,7 +271,44 @@ object SparkEntry {
     * FloatVecLshBucket basis, so DuckDB recomputes identical signatures,
     * bands, and buckets. */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q130_ann_recall" -> annRecallSql(oracleSqlBase))
+    oracleSqlBase +
+      ("q130_ann_recall" -> annRecallSql(oracleSqlBase)) +
+      ("q140_dedup_quality" -> dedupQualitySql(oracleSqlBase))
+
+  /** q140 oracle: the dedup methods' own proven SQL protocols composed
+    * into a recall/precision audit against the exact-Jaccard truth —
+    * the q130 composition pattern applied to the dedup family. */
+  private def dedupQualitySql(base: Map[String, String]): String = {
+    val methods = Seq(
+      "fuzzy_heads" -> "q101_fuzzy_dups",
+      "minhash_lsh" -> "q17_minhash_pairs",
+      "ppjoin_t05" -> "q131_ppjoin",
+      "simhash" -> "q19_simhash_pairs")
+    val ctes = methods
+      .map { case (nm, k) => s"m_$nm AS MATERIALIZED (\n${base(k)}\n)" }
+      .mkString(",\n")
+    val rows = methods.map { case (nm, _) =>
+      s"""SELECT '$nm' AS method,
+         |  (SELECT COUNT(*) FROM m_$nm) AS n_pairs,
+         |  (SELECT COUNT(*) FROM (SELECT id_a, id_b FROM m_$nm
+         |    INTERSECT SELECT id_a, id_b FROM ex)) AS n_hits"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS MATERIALIZED (
+       |${base("q16_ngram_jaccard")}
+       |),
+       |$ctes,
+       |nx AS (SELECT COUNT(*) AS n_exact FROM ex),
+       |h AS ($rows)
+       |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN n_pairs = 0 THEN 0
+       |    ELSE n_hits * 1000000 // n_pairs END AS BIGINT)
+       |    AS precision_ppm
+       |FROM h CROSS JOIN nx ORDER BY method""".stripMargin
+  }
 
   /** q130 oracle: the ANN methods' own proven SQL protocols composed
     * into a recall audit against the exact top-k — both engines grade
@@ -1902,5 +1941,8 @@ object SparkEntry {
     "q137_hilbert_runs" -> graft.functions.Hilbert.curveRunsAuditSql,
     // q138: merkle bucket-digest anti-entropy diff (operators/Curation.scala)
     "q138_digest_diff" -> graft.operators.Curation.digestDiffSql(),
+    // q139: exact-integer two-sample KS drift test (operators/Stats.scala)
+    "q139_ks_drift" -> graft.operators.Stats.ksDriftSql,
+    // q140 lives in oracleSql (composes base protocols, the q130 way)
   )
 }

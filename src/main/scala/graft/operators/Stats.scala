@@ -533,6 +533,70 @@ object Stats {
       .orderBy(col("status"), col("prio"))
   }
 
+  /** q139: two-sample Kolmogorov-Smirnov drift test — the DISTRIBUTION
+    * companion to q134's categorical screen: the largest gap between two
+    * samples' empirical CDFs, the statistic a training pipeline runs to
+    * detect numeric drift between corpus snapshots or data slices. Here:
+    * urgent vs low-priority order values.
+    *
+    * Exactness: D = max_v |F1(v) − F2(v)| cross-multiplied to integers —
+    * max |cum1(v)·n2 − cum2(v)·n1| over the distinct-value frame; no
+    * float CDFs, so the statistic (and its ppm form d/(n1·n2)) is
+    * partitioning-invariant. The argmax value is tie-broken to the
+    * smallest v.
+    *
+    * Scale shape: one corpus aggregate to the distinct-value frame, then
+    * BOTH cumulative distributions ride [[Ranks.globalRunningSum]] — the
+    * range-partitioned prefix scan (p-way parallel), never an
+    * unpartitioned window over the value domain (the q89-documented
+    * single-reducer trap). Long-overflow boundary: cum·n stays below
+    * 2⁶³ up to ~3·10⁹ rows per side; past that widen through
+    * DECIMAL(38,0)/HUGEINT the q104 way. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+    val vals = o.groupBy(col("v"))
+      .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+    val cum = Ranks.globalRunningSum(
+      Ranks.globalRunningSum(vals, Seq(), Seq("v"), "c1", "cum1"),
+      Seq(), Seq("v"), "c2", "cum2")
+    val n = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val d = cum.crossJoin(broadcast(n))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dabs"))
+      .localCheckpoint(false) // consumed by the max aggregate AND the
+                              // argmax join-back (multi-consumer pin)
+    val dmax = d.agg(max(col("dabs")).as("d_scaled"))
+    d.join(broadcast(dmax), col("dabs") === col("d_scaled"))
+      .groupBy(col("n1"), col("n2"), col("d_scaled"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n1"), col("n2"), col("d_scaled"),
+        expr("d_scaled * 1000000 div (n1 * n2)").as("ks_ppm"),
+        col("at_value"))
+  }
+
+  /** DuckDB oracle for [[ksDrift]]. */
+  val ksDriftSql: String =
+    """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |vals AS (SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM o
+      |  GROUP BY 1),
+      |cum AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM vals),
+      |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals),
+      |d AS (SELECT v, n1, n2, abs(cum1 * n2 - cum2 * n1) AS dabs
+      |  FROM cum CROSS JOIN n),
+      |dm AS (SELECT MAX(dabs) AS d_scaled FROM d)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(d_scaled AS BIGINT) AS d_scaled,
+      |  CAST(d_scaled * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm,
+      |  MIN(v) AS at_value
+      |FROM d JOIN dm ON dabs = d_scaled
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** DuckDB oracle for [[chiSquare]]. */
   val chiSquareSql: String =
     """WITH cells AS (SELECT o_orderstatus AS status,

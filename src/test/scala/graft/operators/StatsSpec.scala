@@ -209,4 +209,44 @@ class StatsSpec extends SparkSpec {
     // every order lands in exactly one cell
     assert(n.toLong == graft.Tables.load(spark, sf, "orders").count())
   }
+
+  test("q139 KS statistic matches a driver-side BigInt recompute") {
+    val r = Stats.ksDrift(spark, sf).collect()(0)
+    val (n1, n2, d, ppm, atV) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        col("o_orderpriority"))
+      .collect().map(x => (x.getLong(0), x.getString(1) == "1-URGENT"))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    assert(a.length.toLong == n1 && b.length.toLong == n2)
+    val values = (a ++ b).distinct.sorted
+    var best = BigInt(0); var bestV = Long.MaxValue
+    values.foreach { v =>
+      val c1 = BigInt(a.count(_ <= v)); val c2 = BigInt(b.count(_ <= v))
+      val dd = (c1 * b.length - c2 * a.length).abs
+      if (dd > best) { best = dd; bestV = v }
+    }
+    assert(BigInt(d) == best)
+    assert(atV == bestV)
+    assert(BigInt(ppm) == best * 1000000 / (BigInt(n1) * n2))
+  }
+
+  test("q140 audit invariants: verified methods are exact-precision subsets") {
+    val rows = Dedup.dedupQualityAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // minhash verifies candidates with exact jaccard at the SAME
+    // threshold -> every pair is a true pair (precision exactly 10^6)
+    val (nEx, nLsh, hitsLsh, _, precLsh) = rows("minhash_lsh")
+    assert(nLsh == hitsLsh && (nLsh == 0 || precLsh == 1000000L))
+    // ppjoin runs a STRICTLY tighter threshold -> also a subset
+    val (_, nPp, hitsPp, _, _) = rows("ppjoin_t05")
+    assert(nPp == hitsPp)
+    // every method reports against the same truth size
+    assert(rows.values.map(_._1).toSet == Set(nEx))
+  }
 }
