@@ -167,6 +167,7 @@ object SparkEntry {
     "q138_digest_diff"    -> ((s, d) => graft.operators.Curation.digestDiff(s, d)),
     "q139_ks_drift"       -> (graft.operators.Stats.ksDrift _),
     "q140_dedup_quality"  -> ((s, d) => Dedup.dedupQualityAudit(s, d)),
+    "q141_boilerplate_strip" -> ((s, d) => TextQueries.boilerplateStrip(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1944,5 +1945,7 @@ object SparkEntry {
     // q139: exact-integer two-sample KS drift test (operators/Stats.scala)
     "q139_ks_drift" -> graft.operators.Stats.ksDriftSql,
     // q140 lives in oracleSql (composes base protocols, the q130 way)
+    // q141: boilerplate strip + reconstruction (operators/TextQueries.scala)
+    "q141_boilerplate_strip" -> TextQueries.boilerplateStripSql(),
   )
 }

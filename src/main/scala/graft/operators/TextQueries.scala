@@ -600,4 +600,94 @@ object TextQueries {
     (header +: roundCtes).mkString(",\n") +
       s"\n$out\nORDER BY merge_round"
   }
+
+  /** q141: boilerplate REMOVAL with document reconstruction — the C4/
+    * RefinedWeb repeated-span rule's APPLY pass, completing q91's
+    * discovery pass: every token covered by ANY occurrence of a mined
+    * boilerplate 3-gram is stripped, and the document is rebuilt from the
+    * surviving tokens in original order (overlapping occurrences merge
+    * through the covered-position union, so "a b c d" with both "a b c"
+    * and "b c d" boilerplate removes all four tokens once).
+    *
+    * Scale design: the mining pass is q91's bounded-artifact frame (one
+    * shingle-keyed count, deterministic (df DESC, shingle) top-k); the
+    * k ≤ `topK` surviving shingles are METADATA, collected once and
+    * inlined as an array literal — the plan itself ships the set to every
+    * executor, so the removal pass is pure per-row higher-order-function
+    * work at scan speed: zero joins, zero shuffles over the corpus (the
+    * only exchange left is the declared output ORDER BY). At 100 TB the
+    * mining artifact would persist next to the feature store
+    * (Curation.refreshFeatureStore's contract) and amortize over every
+    * downstream strip run. */
+  def boilerplateStrip(s: SparkSession, dir: String, minDf: Long = 5,
+                       topK: Int = 100): DataFrame =
+    boilerplateStripDf(s, Tables.load(s, dir, "documents"), minDf, topK)
+
+  /** DataFrame-parameterized form (fixture specs / streaming reuse). */
+  def boilerplateStripDf(s: SparkSession, docs: DataFrame, minDf: Long = 5,
+                         topK: Int = 100): DataFrame = {
+    import s.implicits._
+    val mined: Array[String] = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.shingles(col("toks"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(topK)
+      .select(col("shingle")).as[String].collect()
+    // Empty-set sentinel: a single-space-joined 3-gram is never "", so the
+    // empty-string literal keeps the array typed while matching nothing.
+    val bp = if (mined.isEmpty) array(lit("")) else array(mined.map(lit(_)): _*)
+    docs
+      // project tokens BEFORE the HOFs touch them — the generator-inlining
+      // trap (Curation's 14x measurement) applies to any repeated use
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("hits",
+        when(size(col("toks")) < 3, expr("array()").cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("toks")) - 2), i =>
+            array_contains(bp, concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))))
+      .withColumn("covered",
+        array_distinct(flatten(transform(col("hits"), i =>
+          sequence(i, i + 2)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        // filter's lambda index is 0-based; covered positions are 1-based
+        array_join(filter(col("toks"), (t, i) =>
+          not(array_contains(col("covered"), i + 1))), " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[boilerplateStrip]] — the same mine → cover →
+    * rebuild protocol in list comprehensions. */
+  def boilerplateStripSql(minDf: Long = 5, topK: Int = 100): String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS t
+       |  FROM documents),
+       |bp AS MATERIALIZED (SELECT shingle FROM (
+       |    SELECT shingle, COUNT(*) AS df FROM (
+       |      SELECT DISTINCT doc_id, shingle FROM (
+       |        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |          for i in generate_series(1, len(t)-2)]) AS shingle
+       |        FROM toks WHERE len(t) >= 3))
+       |    GROUP BY 1) WHERE df >= $minDf
+       |  ORDER BY df DESC, shingle LIMIT $topK),
+       |bpl AS (SELECT list(shingle) AS bps FROM bp),
+       |hits AS (SELECT doc_id, t,
+       |    [i for i in generate_series(1, len(t)-2)
+       |     if list_contains(bps, t[i] || ' ' || t[i+1] || ' ' || t[i+2])]
+       |      AS hs
+       |  FROM toks, bpl),
+       |cov AS (SELECT doc_id, t,
+       |    list_distinct(flatten([[i, i+1, i+2] for i in hs])) AS covered
+       |  FROM hits)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(covered) AS BIGINT) AS n_removed,
+       |  array_to_string([t[i] for i in generate_series(1, len(t))
+       |    if NOT list_contains(covered, i)], ' ') AS cleaned
+       |FROM cov ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q141: boilerplate removal + document reconstruction semantics on a
+  * hand-computed fixture, plus corpus-level invariants. */
+class BoilerplateStripSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], minDf: Long, topK: Int = 100) = {
+    import spark.implicits._
+    val docs = rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars")
+    TextQueries.boilerplateStripDf(spark, docs, minDf, topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+  }
+
+  test("planted template is mined and stripped; unique text survives") {
+    // "click here now" appears in 3 docs -> df=3 >= minDf=3; everything
+    // else is unique (df=1) and must survive.
+    val out = run(Seq(
+      1L -> "alpha click here now beta",
+      2L -> "click here now gamma delta",
+      3L -> "epsilon zeta click here now"), minDf = 3)
+    assert(out === Seq(
+      (1L, 5L, 3L, "alpha beta"),
+      (2L, 5L, 3L, "gamma delta"),
+      (3L, 5L, 3L, "epsilon zeta")))
+  }
+
+  test("overlapping boilerplate occurrences merge through the cover union") {
+    // both "a b c" and "b c d" are boilerplate (df=2 each); doc 1 contains
+    // "a b c d" -> covered positions {1,2,3} U {2,3,4} = all four tokens,
+    // each removed exactly ONCE (n_removed=4, not 6)
+    val out = run(Seq(
+      1L -> "x a b c d y",
+      2L -> "a b c q q q q b c d"), minDf = 2)
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1 === ((1L, 6L, 4L, "x y")))
+  }
+
+  test("docs shorter than the shingle width pass through untouched") {
+    val out = run(Seq(
+      1L -> "tiny doc",
+      2L -> "one",
+      3L -> "a b c", 4L -> "a b c", 5L -> "a b c", 6L -> "a b c",
+      7L -> "a b c"), minDf = 5)
+    assert(out.find(_._1 == 1L).get === ((1L, 2L, 0L, "tiny doc")))
+    assert(out.find(_._1 == 2L).get === ((2L, 1L, 0L, "one")))
+    // while the 5x-repeated full-doc template is fully erased
+    assert(out.find(_._1 == 3L).get === ((3L, 3L, 3L, "")))
+  }
+
+  test("df counts DOCUMENTS, not occurrences") {
+    // "p q r" occurs 3x inside one doc: df=1 < minDf=2 -> kept
+    val out = run(Seq(
+      1L -> "p q r p q r p q r",
+      2L -> "unrelated filler words here"), minDf = 2)
+    assert(out.find(_._1 == 1L).get._4 === "p q r p q r p q r")
+  }
+
+  test("corpus invariants at sf0.001: token conservation and monotone df") {
+    import org.apache.spark.sql.functions._
+    val out = TextQueries.boilerplateStrip(spark, sf)
+    // kept + removed == total tokens, and cleaned re-tokenizes to kept
+    val bad = out.withColumn("n_kept",
+        size(filter(split(col("cleaned"), " "), t => length(t) > 0)))
+      .filter(col("n_kept") + col("n_removed") =!= col("n_tokens"))
+    assert(bad.count() === 0)
+    // a stricter threshold can only remove fewer tokens
+    val strict = TextQueries.boilerplateStrip(spark, sf, minDf = 50)
+    val loose = out.agg(sum("n_removed")).head.getLong(0)
+    val tight = strict.agg(sum("n_removed")).head.getLong(0)
+    assert(tight <= loose)
+  }
+}
