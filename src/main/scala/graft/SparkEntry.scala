@@ -168,6 +168,7 @@ object SparkEntry {
     "q139_ks_drift"       -> (graft.operators.Stats.ksDrift _),
     "q140_dedup_quality"  -> ((s, d) => Dedup.dedupQualityAudit(s, d)),
     "q141_boilerplate_strip" -> ((s, d) => TextQueries.boilerplateStrip(s, d)),
+    "q142_freq_triples"   -> ((s, d) => graft.operators.Graph.frequentTriples(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1947,5 +1948,7 @@ object SparkEntry {
     // q140 lives in oracleSql (composes base protocols, the q130 way)
     // q141: boilerplate strip + reconstruction (operators/TextQueries.scala)
     "q141_boilerplate_strip" -> TextQueries.boilerplateStripSql(),
+    // q142: Apriori frequent triples; oracle is the brute-force enumeration
+    "q142_freq_triples" -> graft.operators.Graph.frequentTriplesSql,
   )
 }

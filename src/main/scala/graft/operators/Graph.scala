@@ -331,6 +331,64 @@ object Graph {
       |FROM nodes n LEFT JOIN md ON md.v = n.v
       |ORDER BY 1""".stripMargin
 
+  /** q142: frequent itemset triples (Apriori, Agrawal & Srikant VLDB'94)
+    * on order baskets — every part triple bought together in ≥
+    * `minSupport` orders, with support in integer ppm of all orders. q98
+    * stops at pairs; this is the k=3 level with the candidate-generation
+    * prune that makes level-wise mining tractable at scale.
+    *
+    * Scale design (downward closure does all the work): raw triple
+    * enumeration is C(basket, 3) per order — 157 k candidate rows at
+    * sf0.01. Instead, occurrences are first restricted to FREQUENT-pair
+    * occurrences (a broadcast semi-join against the q98 L2 frame —
+    * vocabulary-scale, 3.4 k pairs), the (ok, anchor) self-join then
+    * builds only triples whose (a,b) and (a,c) sub-pairs are frequent,
+    * and the third sub-pair (b,c) prunes by one more broadcast semi-join
+    * BEFORE the counting shuffle. By the Apriori theorem every frequent
+    * triple survives all three prunes, so the result is EXACT — the
+    * brute-force enumeration is the oracle, and GraphSpec measures the
+    * candidate cut (157 344 → 3 585 counted rows at sf0.01). */
+  def frequentTriples(s: SparkSession, dir: String,
+                      minSupport: Long = 2L): DataFrame = {
+    val dl = incidence(s, dir)
+    val l2 = pairFrame(s, dir, minSupport).select(col("p1"), col("p2"))
+    val occ = dl.as("a").join(dl.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.ok").as("ok"), col("a.pk").as("p1"),
+        col("b.pk").as("p2"))
+      .join(broadcast(l2), Seq("p1", "p2"), "left_semi")
+    val nOrders = dl.agg(countDistinct(col("ok")).as("n_orders"))
+    occ.as("x").join(occ.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p1") === col("y.p1") &&
+          col("x.p2") < col("y.p2"))
+      .select(col("x.p1").as("p1"), col("x.p2").as("p2"),
+        col("y.p2").as("p3"))
+      .join(broadcast(l2.toDF("p2", "p3")), Seq("p2", "p3"), "left_semi")
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("p3"), col("support"),
+        expr("support * 1000000 div n_orders").as("support_ppm"))
+      .orderBy(col("p1"), col("p2"), col("p3"))
+  }
+
+  /** DuckDB oracle for [[frequentTriples]] — the BRUTE-FORCE triple
+    * enumeration (correct by definition; Apriori must match it exactly). */
+  val frequentTriplesSql: String =
+    """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |tri AS (SELECT x.pk AS p1, y.pk AS p2, z.pk AS p3,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM dl x
+      |  JOIN dl y ON x.ok = y.ok AND x.pk < y.pk
+      |  JOIN dl z ON y.ok = z.ok AND y.pk < z.pk
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM dl)
+      |SELECT p1, p2, p3, support,
+      |  support * 1000000 // n_orders AS support_ppm
+      |FROM tri CROSS JOIN n ORDER BY p1, p2, p3""".stripMargin
+
   /** DuckDB oracle for [[triangleCounts]]. */
   val triangleCountsSql: String =
     """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

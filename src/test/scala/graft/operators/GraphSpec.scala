@@ -21,6 +21,61 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q142 frequent triples equal brute force; Apriori prune measured") {
+    import spark.implicits._
+    // Apriori result vs the brute-force triple enumeration on real data
+    val apriori = Graph.frequentTriples(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dl = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val brute = dl.as("x")
+      .join(dl.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .join(dl.as("z"), $"y.ok" === $"z.ok" && $"y.pk" < $"z.pk")
+      .groupBy($"x.pk".as("p1"), $"y.pk".as("p2"), $"z.pk".as("p3"))
+      .agg(count(lit(1)).as("s")).filter($"s" >= 2)
+    val bruteRows = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(apriori.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      bruteRows.toSet)
+    // the prune is the point: candidate rows reaching the counting
+    // aggregate must be far below the raw triple enumeration
+    val rawTriples = dl.as("x")
+      .join(dl.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .join(dl.as("z"), $"y.ok" === $"z.ok" && $"y.pk" < $"z.pk")
+      .count()
+    val l2 = Graph.pairFrame(spark, sf).select($"p1", $"p2")
+    val occ = dl.as("a")
+      .join(dl.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.ok".as("ok"), $"a.pk".as("p1"), $"b.pk".as("p2"))
+      .join(broadcast(l2), Seq("p1", "p2"), "left_semi")
+    val candidates = occ.as("x").join(occ.as("y"),
+        $"x.ok" === $"y.ok" && $"x.p1" === $"y.p1" && $"x.p2" < $"y.p2")
+      .select($"x.p2".as("p2"), $"y.p2".as("p3"))
+      .join(broadcast(l2.toDF("p2", "p3")), Seq("p2", "p3"), "left_semi")
+      .count()
+    assert(candidates < rawTriples / 4,
+      s"prune too weak: $candidates of $rawTriples raw triples")
+  }
+
+  test("q142 planted triple fixture: support counted per order, prune exact") {
+    import spark.implicits._
+    // orders 1..3 all contain {10,20,30}; order 4 contains {10,20,40}
+    // (pair (10,20) has support 4; triple {10,20,40} support 1 -> out)
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 30L), // dup line: count once
+      (4L, 10L), (4L, 20L), (4L, 40L))
+    val dir = java.nio.file.Files.createTempDirectory("q142fix").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.frequentTriples(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Array((10L, 20L, 30L, 3L, 3L * 1000000L / 4L)))
+  }
+
   test("q99 triangles: per-node counts from a planted-clique fixture") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus pendant edge (4,5): C(4,3)=4 triangles,
