@@ -169,6 +169,7 @@ object SparkEntry {
     "q140_dedup_quality"  -> ((s, d) => Dedup.dedupQualityAudit(s, d)),
     "q141_boilerplate_strip" -> ((s, d) => TextQueries.boilerplateStrip(s, d)),
     "q142_freq_triples"   -> ((s, d) => graft.operators.Graph.frequentTriples(s, d)),
+    "q143_join_size_est"  -> (graft.operators.CountMin.joinSizeEstimate _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1950,5 +1951,7 @@ object SparkEntry {
     "q141_boilerplate_strip" -> TextQueries.boilerplateStripSql(),
     // q142: Apriori frequent triples; oracle is the brute-force enumeration
     "q142_freq_triples" -> graft.operators.Graph.frequentTriplesSql,
+    // q143: count-min inner-product join-size estimate (operators/CountMin.scala)
+    "q143_join_size_est" -> graft.operators.CountMin.joinSizeEstimateSql,
   )
 }

@@ -51,4 +51,25 @@ class CountMinSpec extends SparkSpec {
     val whole = toMap(CountMin.sketch(grams))
     assert(merged == whole)
   }
+
+  test("q143 join-size estimate: never under, exact under no collisions") {
+    // real data: est >= exact (collisions only add), and the reported
+    // min-over-depths really is the min of the three inner products
+    val r = CountMin.joinSizeEstimate(spark, sf).head()
+    val (exact, d1, d2, d3, est) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(est >= exact, s"CM inner product undercounted: $est < $exact")
+    assert(est === Seq(d1, d2, d3).min)
+    assert(r.getLong(7) === (est - exact) * 1000000L / exact)
+    // driver-side exact recompute of the join size
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val ca = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.length)
+    val cb = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.length)
+    val lit = ca.toSeq.map { case (u, c) => c.toLong * cb.getOrElse(u, 0) }
+      .sum
+    assert(exact === lit)
+  }
 }
