@@ -170,6 +170,7 @@ object SparkEntry {
     "q141_boilerplate_strip" -> ((s, d) => TextQueries.boilerplateStrip(s, d)),
     "q142_freq_triples"   -> ((s, d) => graft.operators.Graph.frequentTriples(s, d)),
     "q143_join_size_est"  -> (graft.operators.CountMin.joinSizeEstimate _),
+    "q144_multi_touch"    -> (RefQueries.multiTouchAttribution _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1953,5 +1954,40 @@ object SparkEntry {
     "q142_freq_triples" -> graft.operators.Graph.frequentTriplesSql,
     // q143: count-min inner-product join-size estimate (operators/CountMin.scala)
     "q143_join_size_est" -> graft.operators.CountMin.joinSizeEstimateSql,
+    // q144: U-shaped multi-touch attribution — integer-ppm credit split,
+    // remainder to earliest middles; exact decimal micro-value
+    "q144_multi_touch" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |    value FROM events),
+        |p AS (SELECT event_id AS pid, user_id, us AS pus, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS tid, user_id, us AS tus,
+        |    event_type AS touch_type FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.pid, p.value, t.tid, t.tus, t.touch_type
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.tus <= p.pus AND t.tus > p.pus - 259200000000),
+        |w AS (SELECT pid, value, tid, touch_type,
+        |    CASE WHEN tid IS NOT NULL THEN CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY pid ORDER BY tus, tid) AS BIGINT) END AS pos,
+        |    COUNT(tid) OVER (PARTITION BY pid) AS m
+        |  FROM j),
+        |c AS (SELECT pid, value, touch_type, pos, m,
+        |    CASE WHEN m <= 1 THEN 1000000
+        |         WHEN m = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = m THEN 400000
+        |         ELSE 200000 // (m - 2) +
+        |           (CASE WHEN pos - 1 <= 200000 % (m - 2) THEN 1 ELSE 0 END)
+        |    END AS credit_ppm,
+        |    CASE WHEN m = 0 THEN 'organic' WHEN m = 1 THEN 'only'
+        |         WHEN pos = 1 THEN 'first' WHEN pos = m THEN 'last'
+        |         ELSE 'middle' END AS position_class
+        |  FROM w)
+        |SELECT position_class, COALESCE(touch_type, 'none') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * credit_ppm) AS DOUBLE)
+        |    AS attributed_micro
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

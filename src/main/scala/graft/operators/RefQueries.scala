@@ -1254,6 +1254,62 @@ object RefQueries {
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
         col("event_type"), col("value")))
 
+  /** q144: position-based (U-shaped) MULTI-touch attribution — q93 credits
+    * the last touch only; this splits every purchase's 1 000 000 ppm of
+    * credit across ALL its view/click touches in the 72 h lookback:
+    * 40%/40% to first and last, 20% spread over the middles (integer
+    * base + remainder-to-earliest so per-purchase credit sums to exactly
+    * 1 000 000 — spec-asserted), touchless purchases land in an
+    * 'organic' bucket. Attributed value is the exact decimal product
+    * value·credit_ppm (micro-value units; the Exact money convention), so
+    * the report is partitioning-invariant.
+    *
+    * Scale: one user-keyed interval join (per-user blowup bounded by the
+    * lookback window), then per-purchase windows whose partitions are
+    * purchase-sized — fine-grained keys, no skew funnel; the report
+    * aggregate collapses to ≤ |classes|·|types| rows. */
+  def multiTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    multiTouchAttributionFrom(events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value")))
+
+  def multiTouchAttributionFrom(e: DataFrame,
+                                lookbackUs: Long = 72L * 3600 * 1000000L)
+  : DataFrame = {
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"),
+        col("us").as("pus"), col("value"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id").as("tuser"),
+        col("us").as("tus"), col("event_type").as("touch_type"))
+    val j = p.join(t,
+      col("tuser") === col("puser") && col("tus") <= col("pus") &&
+        col("tus") > col("pus") - lookbackUs, "left")
+    val wOrd = Window.partitionBy(col("pid")).orderBy(col("tus"), col("tid"))
+    val wAll = Window.partitionBy(col("pid"))
+    j.withColumn("pos",
+        when(col("tid").isNotNull, row_number().over(wOrd).cast("long")))
+      .withColumn("m", count(col("tid")).over(wAll))
+      .withColumn("credit_ppm", expr(
+        """CASE WHEN m <= 1 THEN 1000000
+          |     WHEN m = 2 THEN 500000
+          |     WHEN pos = 1 OR pos = m THEN 400000
+          |     ELSE 200000 div (m - 2) +
+          |          (CASE WHEN pos - 1 <= 200000 % (m - 2) THEN 1 ELSE 0 END)
+          |END""".stripMargin))
+      .withColumn("position_class", expr(
+        """CASE WHEN m = 0 THEN 'organic' WHEN m = 1 THEN 'only'
+          |     WHEN pos = 1 THEN 'first' WHEN pos = m THEN 'last'
+          |     ELSE 'middle' END""".stripMargin))
+      .groupBy(col("position_class"),
+        coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_ppm")).as("credit_ppm"),
+        sum(graft.functions.Exact.money(col("value")) * col("credit_ppm"))
+          .cast("double").as("attributed_micro"))
+      .orderBy(col("position_class"), col("touch_type"))
+  }
+
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue
     * within each brand. Deterministic tie-break on p_partkey. */

@@ -51,4 +51,53 @@ class AttributionSpec extends SparkSpec {
     // and credits some touches of both kinds
     assert(channels.contains("organic") && (channels - "organic").nonEmpty)
   }
+
+  test("q144 U-shaped credits on a hand-computed fixture") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: 5 touches -> first/last 400000; 3 middles: 200000 div 3 =
+      // 66666 r 2 -> middles at pos 2,3 get 66667, pos 4 gets 66666
+      (1L, 1L, 100L, "view", 0.0), (2L, 1L, 200L, "click", 0.0),
+      (3L, 1L, 300L, "view", 0.0), (4L, 1L, 400L, "click", 0.0),
+      (5L, 1L, 500L, "view", 0.0), (6L, 1L, 600L, "purchase", 10.0),
+      // u2: single touch -> 'only' gets the full million
+      (7L, 2L, 100L, "click", 0.0), (8L, 2L, 200L, "purchase", 3.0),
+      // u3: two touches -> 500000 each, classed first/last
+      (9L, 3L, 100L, "view", 0.0), (10L, 3L, 150L, "click", 0.0),
+      (11L, 3L, 300L, "purchase", 2.0),
+      // u4: organic (touch outside the lookback)
+      (12L, 4L, 100L, "view", 0.0), (13L, 4L, 5000L, "purchase", 7.0))
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+    val out = RefQueries.multiTouchAttributionFrom(e, lookbackUs = 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out === Seq(
+      ("first", "view", 2L, 900000L),    // u1 400000 + u3 500000
+      ("last", "click", 1L, 500000L),    // u3 (m=2 -> 500000, classed last)
+      ("last", "view", 1L, 400000L),     // u1 pos 5
+      ("middle", "click", 2L, 133333L),  // u1: 66667 (pos2) + 66666 (pos4)
+      ("middle", "view", 1L, 66667L),    // u1 pos 3
+      ("only", "click", 1L, 1000000L),   // u2
+      ("organic", "none", 1L, 1000000L)))// u4
+  }
+
+  test("q144 per-purchase credit sums to exactly one million on real data") {
+    val e = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+    // rebuild the per-credit frame (pre-report) and check the invariant
+    val rep = RefQueries.multiTouchAttributionFrom(e).collect()
+    val totalCredit = rep.map(_.getLong(3)).sum
+    val nPurchases = e.filter(col("event_type") === "purchase").count()
+    assert(totalCredit === nPurchases * 1000000L,
+      s"credit leaked: $totalCredit vs ${nPurchases * 1000000L}")
+    // micro-value cross-foot: total attributed micro == 1e6 x purchase value
+    val totalMicro = rep.map(_.getDouble(4)).sum
+    val purchaseValue = e.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(totalMicro - purchaseValue * 1e6) / (purchaseValue * 1e6)
+      < 1e-9)
+  }
 }
