@@ -171,6 +171,7 @@ object SparkEntry {
     "q142_freq_triples"   -> ((s, d) => graft.operators.Graph.frequentTriples(s, d)),
     "q143_join_size_est"  -> (graft.operators.CountMin.joinSizeEstimate _),
     "q144_multi_touch"    -> (RefQueries.multiTouchAttribution _),
+    "q145_semdedup"       -> ((s, d) => Similarity.semDedup(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1954,6 +1955,39 @@ object SparkEntry {
     "q142_freq_triples" -> graft.operators.Graph.frequentTriplesSql,
     // q143: count-min inner-product join-size estimate (operators/CountMin.scala)
     "q143_join_size_est" -> graft.operators.CountMin.joinSizeEstimateSql,
+    // q145: SemDeDup — q31's unrolled deterministic Lloyd, then the
+    // within-cell cosine-threshold pair pass with keep-lowest keepers
+    "q145_semdedup" -> {
+      val dims = 64
+      def assignCte(out: String, cin: String): String =
+        s"""$out AS (SELECT vec_id, embedding, cid FROM (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+           |  FROM embeddings e, $cin c) WHERE rn = 1)""".stripMargin
+      def lloydCte(r: Int, ain: String, cout: String): String =
+        s"""m$r AS (SELECT cid, t.generate_series AS pos,
+           |    CAST(CAST(SUM(CAST(embedding[t.generate_series] AS DECIMAL(27,7))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS comp
+           |  FROM $ain, generate_series(1, $dims) t GROUP BY 1, 2),
+           |$cout AS (SELECT cid, list(comp ORDER BY pos) AS ce FROM m$r GROUP BY cid)""".stripMargin
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |${assignCte("a1", "c0")},
+         |${lloydCte(1, "a1", "c1")},
+         |${assignCte("a2", "c1")},
+         |${lloydCte(2, "a2", "c2")},
+         |${assignCte("asg", "c2")},
+         |p AS MATERIALIZED (SELECT keep_id, vec_id, cid, sim FROM (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS vec_id, a.cid,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.45),
+         |r AS (SELECT vec_id, cid, MIN(keep_id) AS dup_of FROM p
+         |  GROUP BY 1, 2)
+         |SELECT r.vec_id, r.cid, r.dup_of, p.sim
+         |FROM r JOIN p ON p.keep_id = r.dup_of AND p.vec_id = r.vec_id
+         |ORDER BY r.vec_id""".stripMargin
+    },
     // q144: U-shaped multi-touch attribution — integer-ppm credit split,
     // remainder to earliest middles; exact decimal micro-value
     "q144_multi_touch" ->

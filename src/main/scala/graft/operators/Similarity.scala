@@ -450,8 +450,52 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** q145: SemDeDup (Abbas et al. 2023) — semantic deduplication via
+    * cluster-then-intra-cluster cosine: corpus vectors are k-means
+    * clustered (the q31 deterministic-Lloyd inverted file), and within
+    * each cell every pair at cosine ≥ `threshold` marks the HIGHER vec_id
+    * a semantic duplicate of the lowest matching lower-id partner (the
+    * q49 keep-lowest convention — deterministic, no float-argmax ties).
+    * Output: one row per removed vector with its cell, keeper, and
+    * rounded similarity.
+    *
+    * Scale design — the paper's own: the quadratic verify runs WITHIN
+    * cells only, and nCells grows with the corpus so cell membership
+    * stays bounded (~N/k constant) and total work is O(N · cellSize),
+    * never corpus-quadratic; the clustering pass is the q31 broadcast-
+    * assignment shape (shuffle carries (vec_id, enc) longs, embeddings
+    * never move). Cross-cell near-dups are the method's declared recall
+    * trade (measured for this corpus family by q140's ladder; the LSH
+    * family q27 is the recall-bounded alternative). */
+  def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
+               lloydRounds: Int = 2, threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(assignCells(s, emb, cents))
+    val assigned = assignCells(s, emb, cents)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(graft.plans.FloatVecCosine(s,
+        col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("vec_id"),
+        col("a.cid").as("cid"), col("sim"))
+    val removed = pairs.groupBy(col("vec_id"), col("cid"))
+      .agg(min(col("keep_id")).as("dup_of"))
+    removed
+      .join(pairs.select(col("keep_id").as("dup_of"), col("vec_id"),
+        col("sim")), Seq("dup_of", "vec_id"))
+      .select(col("vec_id"), col("cid"), col("dup_of"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q130: ANN recall audit — the evaluation harness as a first-class
-    * query: every approximate index in the library (banded LSH, IVF,
+    * query: every approximate index in the library (LSH single/banded,
     * int8, PQ, IVF-PQ) retrieves its top-k, and the report counts how
     * many of the EXACT top-k pairs (q20 brute force) each one recovered,
     * as integer-ppm recall. The completeness critic for the retrieval

@@ -327,4 +327,26 @@ class DedupSimSpec extends SparkSpec {
     // vector-compression (PQ) at these parameters
     assert(byM("int8") > byM("pq"), "int8 should out-recall PQ")
   }
+
+  test("q145 SemDeDup: removals are true near-dups with lowest-id keepers") {
+    val exact = Dedup.embeddingDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (vid, _, dupOf, sim) =>
+      // keeper precedes the removed vector, and the pair is genuine: it
+      // appears in the exact cartesian ground truth at the same rounded
+      // similarity (precision 1.0 by construction — exact verify)
+      assert(dupOf < vid, s"keeper $dupOf not before $vid")
+      assert(sim >= 0.45)
+      assert(exact.get((dupOf, vid)).contains(sim),
+        s"($dupOf,$vid,$sim) not in exact truth")
+    }
+    // each removed vector appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // determinism across runs (Lloyd + assignment are deterministic)
+    val again = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }
