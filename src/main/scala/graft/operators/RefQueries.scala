@@ -1282,9 +1282,22 @@ object RefQueries {
     val t = e.filter(col("event_type").isin("view", "click"))
       .select(col("event_id").as("tid"), col("user_id").as("tuser"),
         col("us").as("tus"), col("event_type").as("touch_type"))
-    val j = p.join(t,
+    multiTouchReport(multiTouchCredits(
+      multiTouchJoin(p, t, lookbackUs)))
+  }
+
+  /** Purchase × in-window touch interval join (left: touchless purchases
+    * survive with null touch). Shared by batch q144 and the streaming
+    * twin so equality is structural. */
+  def multiTouchJoin(p: DataFrame, t: DataFrame, lookbackUs: Long)
+  : DataFrame =
+    p.join(t,
       col("tuser") === col("puser") && col("tus") <= col("pus") &&
         col("tus") > col("pus") - lookbackUs, "left")
+
+  /** Per-credit rows from the joined frame: U-shaped integer-ppm split
+    * (remainder to earliest middles; per-purchase total exactly 1e6). */
+  def multiTouchCredits(j: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("pid")).orderBy(col("tus"), col("tid"))
     val wAll = Window.partitionBy(col("pid"))
     j.withColumn("pos",
@@ -1301,14 +1314,20 @@ object RefQueries {
         """CASE WHEN m = 0 THEN 'organic' WHEN m = 1 THEN 'only'
           |     WHEN pos = 1 THEN 'first' WHEN pos = m THEN 'last'
           |     ELSE 'middle' END""".stripMargin))
-      .groupBy(col("position_class"),
-        coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .select(col("pid"), col("value"), col("tid"),
+        coalesce(col("touch_type"), lit("none")).as("touch_type"),
+        col("position_class"), col("credit_ppm"))
+  }
+
+  /** The classes × touch-types report over per-credit rows. */
+  def multiTouchReport(credits: DataFrame): DataFrame =
+    credits
+      .groupBy(col("position_class"), col("touch_type"))
       .agg(count(lit(1)).as("n_credits"),
         sum(col("credit_ppm")).as("credit_ppm"),
         sum(graft.functions.Exact.money(col("value")) * col("credit_ppm"))
           .cast("double").as("attributed_micro"))
       .orderBy(col("position_class"), col("touch_type"))
-  }
 
   /** Ranking/top-k (beyond the reference — SURVEY.md §2.12 notes the
     * reference has none; a serving-layer staple): top-3 parts by revenue

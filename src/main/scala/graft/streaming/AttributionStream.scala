@@ -75,3 +75,53 @@ object AttributionStream {
         StructField("t_eid", LongType), StructField("t_type", StringType))))
   }
 }
+
+/** Incremental MULTI-touch attribution — the deployment shape of q144:
+  * per-user in-window touch state maintained across micro-batches; each
+  * batch's purchases receive their full U-shaped credit split on arrival.
+  *
+  * State holds every touch newer than (frontier − lookback) — bounded by
+  * lookback × touch rate per user, pruned each trigger. Under the same
+  * ordered-ingest / µs-atomic-boundary contract as [[AttributionStream]],
+  * a purchase's touch window is complete when it arrives, so its credits
+  * (position classes included) are FINAL on emission — no retraction
+  * channel. Credit arithmetic is the exact stage SHARED with batch q144
+  * ([[graft.operators.RefQueries.multiTouchCredits]]), so streamed ==
+  * batch is structural (MultiTouchStreamSpec folds the real stream in
+  * uneven splits and matches the batch report bit-for-bit). */
+object MultiTouchStream {
+  import graft.operators.RefQueries
+
+  /** Merge a micro-batch of (event_id, user_id, us, event_type, value).
+    * Returns (new touch state, this batch's per-credit rows). */
+  def mergeBatch(state: DataFrame, batch: DataFrame,
+                 lookbackUs: Long = 72L * 3600 * 1000000L)
+      : (DataFrame, DataFrame) = {
+    val batchTouches = batch
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuser"), col("us").as("tus"),
+        col("event_id").as("tid"), col("event_type").as("touch_type"))
+    val allTouches = state.unionByName(batchTouches)
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"),
+        col("us").as("pus"), col("value"))
+    val credits = RefQueries.multiTouchCredits(
+      RefQueries.multiTouchJoin(purchases, allTouches, lookbackUs))
+    // prune: a touch at or before (frontier − lookback) can never fall in
+    // a future purchase's window (future pus > frontier under the
+    // boundary contract), so state stays lookback-bounded
+    val frontier = batch.agg(max(col("us")).as("frontier"))
+    val newState = allTouches.crossJoin(broadcast(frontier))
+      .filter(col("tus") > col("frontier") - lookbackUs)
+      .select(col("tuser"), col("tus"), col("tid"), col("touch_type"))
+    (newState, credits)
+  }
+
+  def emptyState(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("tuser", LongType), StructField("tus", LongType),
+        StructField("tid", LongType), StructField("touch_type", StringType))))
+  }
+}
