@@ -172,6 +172,7 @@ object SparkEntry {
     "q143_join_size_est"  -> (graft.operators.CountMin.joinSizeEstimate _),
     "q144_multi_touch"    -> (RefQueries.multiTouchAttribution _),
     "q145_semdedup"       -> ((s, d) => Similarity.semDedup(s, d)),
+    "q146_ann_rp"         -> ((s, d) => Similarity.rpRecall(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1955,6 +1956,8 @@ object SparkEntry {
     "q142_freq_triples" -> graft.operators.Graph.frequentTriplesSql,
     // q143: count-min inner-product join-size estimate (operators/CountMin.scala)
     "q143_join_size_est" -> graft.operators.CountMin.joinSizeEstimateSql,
+    // q146: random-projection retrieval recall (operators/Similarity.scala)
+    "q146_ann_rp" -> Similarity.rpRecallSql(),
     // q145: SemDeDup — q31's unrolled deterministic Lloyd, then the
     // within-cell cosine-threshold pair pass with keep-lowest keepers
     "q145_semdedup" -> {

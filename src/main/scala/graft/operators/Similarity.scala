@@ -494,6 +494,117 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic ±1 sign for random-projection cell (j, i) — derived
+    * from the PortableHash mixer so BOTH the Column tree and the DuckDB
+    * oracle embed the identical literals. */
+  private def rpSign(j: Int, i: Int): Double =
+    if ((graft.functions.PortableHash.slotA(j * 64 + i + 1) & 1L) == 1L) 1.0
+    else -1.0
+
+  /** Reduced coordinate j of a 64-dim float vector column: a fixed-order
+    * 64-term ±embedding[i] chain — left-associated double adds, the same
+    * order DuckDB folds `a + b + ...`, so projections are bit-identical
+    * across engines. */
+  private def rpCoord(vec: Column, j: Int, dims: Int): Column =
+    (0 until dims).map(i =>
+      element_at(vec, i + 1).cast("double") * lit(rpSign(j, i)))
+      .reduce(_ + _)
+
+  /** q146: random-projection (Johnson–Lindenstrauss) retrieval — corpus
+    * vectors are projected 64 → `outDims` dims through a fixed ±1 sign
+    * matrix (Achlioptas 2001: database-friendly random projections), and
+    * top-k runs entirely in the reduced space; the report grades each
+    * query's reduced-space top-k against the exact 64-dim top-k (q130's
+    * recall-ppm convention), so the distortion the JL lemma bounds is
+    * MEASURED and hash-gated, not assumed.
+    *
+    * Scale path: the projection is a per-row scan-speed map (64·k
+    * multiply-adds, no shuffle); downstream scoring touches 4× fewer
+    * floats, the reduced index is 4× smaller in memory/disk, and the
+    * same machinery composes with the IVF/LSH families (cluster or
+    * bucket in reduced space, verify in full space). The sign matrix
+    * derives from the PortableHash mixer, so the DuckDB oracle rebuilds
+    * identical projections term-for-term. */
+  def rpRecall(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+               outDims: Int = 32): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    val reduced = emb.select(col("vec_id"),
+      array((0 until outDims).map(j =>
+        rpCoord(col("embedding"), j, 64)): _*).as("y"))
+    val q = reduced.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("y").as("qy"))
+    def dot(a: Column, b: Column) = (1 to outDims).map(j =>
+      element_at(a, j) * element_at(b, j)).reduce(_ + _)
+    val scored = reduced.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(nanvl(dot(col("y"), col("qy")) /
+          (sqrt(dot(col("y"), col("y"))) * sqrt(dot(col("qy"), col("qy")))),
+          lit(-2d)), 6).as("rsim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rsim").desc,
+      col("nid"))
+    val rpTop = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("qid"), col("nid"))
+    val exact = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("qid"), col("nid"))
+    rpTop.join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      .join(exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact")),
+        Seq("qid"), "right")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0) * 1000000 div $k").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB oracle for [[rpRecall]] — identical sign literals, identical
+    * left-associated double chains. */
+  def rpRecallSql(nQueries: Int = 5, k: Int = 10, outDims: Int = 32)
+  : String = {
+    def coordSql(vec: String, j: Int): String =
+      (0 until 64).map(i =>
+        s"CAST($vec[${i + 1}] AS DOUBLE) * (${rpSign(j, i)})")
+        .mkString(" + ")
+    val yList = (0 until outDims).map(j => coordSql("embedding", j))
+      .mkString("[", ",\n      ", "]")
+    def dotSql(a: String, b: String) = (1 to outDims).map(j =>
+      s"$a[$j] * $b[$j]").mkString(" + ")
+    s"""WITH red AS MATERIALIZED (SELECT vec_id, $yList AS y
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, y AS qy FROM red WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, r.vec_id AS nid,
+       |    round((${dotSql("r.y", "q.qy")}) /
+       |      (sqrt(${dotSql("r.y", "r.y")}) * sqrt(${dotSql("q.qy", "q.qy")})),
+       |      6) AS rsim
+       |  FROM red r, q WHERE r.vec_id <> q.qid),
+       |rp AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, nid) AS rn
+       |  FROM sc) WHERE rn <= $k),
+       |ex AS (SELECT qid, nid FROM (SELECT q.qid, e.vec_id AS nid,
+       |    ${cosSqlDuck("q.qe", "e.embedding")} AS sim,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSqlDuck("q.qe", "e.embedding")} DESC, e.vec_id)
+       |      AS rn
+       |  FROM embeddings e, (SELECT vec_id AS qid, embedding AS qe
+       |    FROM embeddings WHERE vec_id < $nQueries) q
+       |  WHERE e.vec_id <> q.qid) WHERE rn <= $k),
+       |h AS (SELECT rp.qid, COUNT(*) AS n_hits FROM rp
+       |  JOIN ex ON ex.qid = rp.qid AND ex.nid = rp.nid GROUP BY 1)
+       |SELECT ex.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) * 1000000 // $k AS BIGINT) AS recall_ppm
+       |FROM (SELECT DISTINCT qid FROM ex) ex LEFT JOIN h ON h.qid = ex.qid
+       |ORDER BY ex.qid""".stripMargin
+  }
+
+  /** The shared rounded-cosine SQL (duplicated from SparkEntry's private
+    * helper so operator-level oracles can embed it). */
+  private def cosSqlDuck(a: String, b: String): String =
+    s"round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) for z in list_zip($a, $b)]) / " +
+      s"(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a])) * " +
+      s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $b]))), 6)"
+
   /** q130: ANN recall audit — the evaluation harness as a first-class
     * query: every approximate index in the library (LSH single/banded,
     * int8, PQ, IVF-PQ) retrieves its top-k, and the report counts how

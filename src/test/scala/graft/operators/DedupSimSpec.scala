@@ -328,6 +328,25 @@ class DedupSimSpec extends SparkSpec {
     assert(byM("int8") > byM("pq"), "int8 should out-recall PQ")
   }
 
+  test("q146 RP recall: bounded, deterministic, and above random chance") {
+    val rows = Similarity.rpRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (0L until 5L))
+    rows.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= 10)
+      assert(ppm === hits * 1000000L / 10L)
+    }
+    // random top-10 of ~n corpus would average ~10/n hits (<<1 total);
+    // the projection must preserve enough geometry to beat that
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    val expectedRandom = 5.0 * 10.0 * 10.0 / n
+    assert(rows.map(_._2).sum > expectedRandom,
+      s"RP no better than chance: ${rows.map(_._2).sum} hits")
+    val again = Similarity.rpRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q145 SemDeDup: removals are true near-dups with lowest-id keepers") {
     val exact = Dedup.embeddingDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
