@@ -173,6 +173,8 @@ object SparkEntry {
     "q144_multi_touch"    -> (RefQueries.multiTouchAttribution _),
     "q145_semdedup"       -> ((s, d) => Similarity.semDedup(s, d)),
     "q146_ann_rp"         -> ((s, d) => Similarity.rpRecall(s, d)),
+    "q147_hybrid_rrf"     -> ((s, d) => TextQueries.hybridRrf(s, d)),
+    "q148_bpe_encode"     -> ((s, d) => TextQueries.bpeEncode(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1958,6 +1960,55 @@ object SparkEntry {
     "q143_join_size_est" -> graft.operators.CountMin.joinSizeEstimateSql,
     // q146: random-projection retrieval recall (operators/Similarity.scala)
     "q146_ann_rp" -> Similarity.rpRecallSql(),
+    // q148: BPE encode — q133's learned merges applied to the vocabulary
+    "q148_bpe_encode" -> TextQueries.bpeEncodeSql(),
+    // q147: RRF hybrid retrieval — q46 top-terms + q64 scoring + q20
+    // cosine ranks, fused with exact integer 1e9 div (60 + rank) credits
+    "q147_hybrid_rrf" ->
+      s"""WITH $toksCte,
+         |tt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+         |  FROM tt GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+         |  FROM toks),
+         |sc AS (SELECT doc_id, term, round(
+         |    (tf * (1.2 + 1.0) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_len))) *
+         |    ((n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+         |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+         |qterms AS (SELECT doc_id AS qid, term FROM (
+         |  SELECT doc_id, term,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |  FROM sc WHERE doc_id < 5) WHERE rk <= 5),
+         |th AS (SELECT q.qid, s.doc_id,
+         |    round(CAST(SUM(CAST(s.score AS DECIMAL(18,6))) AS DOUBLE), 6) AS tscore
+         |  FROM sc s JOIN qterms q USING (term) WHERE s.doc_id <> q.qid
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT qid, doc_id, text_rk FROM (SELECT qid, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY tscore DESC, doc_id) AS BIGINT) AS text_rk
+         |  FROM th) WHERE text_rk <= 20),
+         |vs AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+         |    ${cosSql("q.embedding", "e.embedding")} AS sim
+         |  FROM embeddings e, embeddings q
+         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+         |vr AS (SELECT qid, doc_id, vec_rk FROM (SELECT qid, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk
+         |  FROM vs) WHERE vec_rk <= 20),
+         |f AS (SELECT qid, doc_id,
+         |    CAST(COALESCE(1000000000 // (60 + text_rk), 0) +
+         |         COALESCE(1000000000 // (60 + vec_rk), 0) AS BIGINT)
+         |      AS rrf_nano,
+         |    text_rk, vec_rk
+         |  FROM tr FULL JOIN vr USING (qid, doc_id))
+         |SELECT qid, rrf_rk, doc_id, rrf_nano, text_rk, vec_rk FROM (
+         |  SELECT qid, doc_id, rrf_nano, text_rk, vec_rk,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rrf_rk
+         |  FROM f) WHERE rrf_rk <= 10 ORDER BY qid, rrf_rk""".stripMargin,
     // q145: SemDeDup — q31's unrolled deterministic Lloyd, then the
     // within-cell cosine-threshold pair pass with keep-lowest keepers
     "q145_semdedup" -> {

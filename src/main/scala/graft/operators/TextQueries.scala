@@ -601,6 +601,132 @@ object TextQueries {
       s"\n$out\nORDER BY merge_round"
   }
 
+  /** q148: BPE ENCODING — the apply pass completing q133's learning pass
+    * (the library's discovery/apply pairing: q91→q141, q133→q148): the
+    * learned merge table, applied in merge-priority order to the
+    * vocabulary, yields each word's subword segmentation and symbol
+    * count — the artifact a tokenizer service serves. Application is the
+    * same `|`-wrapped leftmost-nonoverlapping replace chain the learner
+    * used, so learn-then-apply is exact by construction and the oracle
+    * is the q133 CTE chain with the word column threaded through.
+    *
+    * Scale: learning runs at vocabulary scale (q133); encoding here is a
+    * per-word map over the (word, freq) table — at 100 TB the corpus is
+    * scanned ONCE into word frequencies and every downstream pass works
+    * on the vocabulary frame (the Sennrich formulation's whole point). */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val wf = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // feeds the learning loop AND the encode pass
+    val merges = bpeMergesFrom(wf, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val start = wf.select(col("word"), col("freq"),
+      concat(regexp_replace(col("word"), "(.)", "|$1|"), lit("|_|"))
+        .as("seq"))
+    val encoded = merges.foldLeft(start) { case (df, (l, r)) =>
+      df.withColumn("seq", expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+    }
+    encoded
+      .withColumn("syms", expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"))
+      .select(col("word"), col("freq"),
+        array_join(col("syms"), " ").as("encoded"),
+        size(col("syms")).cast("long").as("n_symbols"))
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — the q133 materialized-CTE chain
+    * with `word` threaded to the final segmentation. */
+  def bpeEncodeSql(rounds: Int = 8): String = {
+    val header =
+      """WITH words AS MATERIALIZED (SELECT word,
+        |    regexp_replace(word, '(.)', '|\1|', 'g') || '|_|' AS seq, freq
+        |  FROM (
+        |  SELECT tok AS word, COUNT(*) AS freq
+        |  FROM documents, UNNEST(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS u(tok)
+        |  WHERE lang = 'en' AND regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY 1)),
+        |w0 AS MATERIALIZED (SELECT word, seq, freq FROM words)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT p.l, p.r, SUM(freq) AS c FROM (
+         |    SELECT unnest([struct_pack(l := t[i], r := t[i+1])
+         |      for i in generate_series(1, len(t)-1)]) AS p, freq
+         |    FROM (SELECT string_split(trim(seq, '|'), '||') AS t, freq
+         |          FROM w${r - 1})) GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, replace(seq,
+         |    (SELECT '|' || l || '||' || r || '|' FROM m$r),
+         |    (SELECT '|' || l || r || '|' FROM m$r)) AS seq, freq
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val fin =
+      s"""SELECT word, CAST(freq AS BIGINT) AS freq,
+         |  array_to_string(string_split(trim(seq, '|'), '||'), ' ')
+         |    AS encoded,
+         |  CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+         |    AS n_symbols
+         |FROM w$rounds ORDER BY word""".stripMargin
+    (header +: roundCtes).mkString(",\n") + "\n" + fin
+  }
+
+  /** q147: reciprocal-rank-fusion hybrid retrieval (Cormack et al.
+    * SIGIR'09) — the production RAG pattern: a lexical ranking and a
+    * vector ranking fused into one list. For each query doc (ids <
+    * `nQueries`, the q20 query set): the TEXT leg is more-like-this BM25
+    * (the query doc's top-5 q46 terms scored corpus-wide via the q64
+    * broadcast semi-join); the VECTOR leg is exact cosine over the
+    * aligned embedding ids (q20). Each leg keeps `candK` candidates;
+    * fusion credit is the exact integer 10⁹ div (60 + rank) per leg
+    * (ranks are small, so integer division loses nothing that changes
+    * order), summed where a doc appears in both — no float score mixing,
+    * the reason RRF beats score normalization across incomparable
+    * scales.
+    *
+    * Scale: both legs are already-proven bounded shapes (broadcast term
+    * semi-join; broadcast query set); fusion joins two (nQueries ×
+    * candK)-sized rank lists — metadata. */
+  def hybridRrf(s: SparkSession, dir: String, nQueries: Int = 5,
+                candK: Int = 20, topK: Int = 10, rrfK: Int = 60)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val qterms = bm25TopTermsDf(docs).filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("term"))
+    val scores = bm25Scores(docs)
+    val textHits = scores.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("score").cast("decimal(18,6)")).cast("double"), 6)
+        .as("tscore"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("tscore").desc, col("doc_id"))
+    val textRank = textHits
+      .withColumn("text_rk", row_number().over(wT).cast("long"))
+      .filter(col("text_rk") <= candK)
+      .select(col("qid"), col("doc_id"), col("text_rk"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vecRank = Similarity.bruteForceTopK(s, dir, nQueries, candK)
+      .select(col("qid"), col("nid").as("doc_id"), col("sim"))
+      .withColumn("vec_rk", row_number().over(wV).cast("long"))
+      .select(col("qid"), col("doc_id"), col("vec_rk"))
+    val fused = textRank.join(vecRank, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"1000000000 div ($rrfK + text_rk)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + vec_rk)"), lit(0L)))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused.withColumn("rrf_rk", row_number().over(wF).cast("long"))
+      .filter(col("rrf_rk") <= topK)
+      .select(col("qid"), col("rrf_rk"), col("doc_id"), col("rrf_nano"),
+        col("text_rk"), col("vec_rk"))
+      .orderBy(col("qid"), col("rrf_rk"))
+  }
+
   /** q141: boilerplate REMOVAL with document reconstruction — the C4/
     * RefinedWeb repeated-span rule's APPLY pass, completing q91's
     * discovery pass: every token covered by ANY occurrence of a mined

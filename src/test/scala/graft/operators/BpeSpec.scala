@@ -61,4 +61,28 @@ class BpeSpec extends SparkSpec {
     val counts = a.map(_.getLong(3))
     assert(counts.zip(counts.tail).forall { case (x, y) => y <= x })
   }
+
+  test("q148 encode: round-trips, respects merges, and compresses") {
+    val rows = TextQueries.bpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (word, _, encoded, n) =>
+      val syms = encoded.split(" ")
+      assert(syms.length.toLong === n)
+      // concatenating the symbols reconstructs word + end marker
+      assert(syms.mkString === word + "_", s"round-trip broke for $word")
+      assert(syms.forall(_.nonEmpty))
+    }
+    // the learned merges genuinely fire: total encoded symbols must be
+    // strictly below the character-level baseline (len + end marker)
+    val base = rows.map { case (w, f, _, _) => f * (w.length + 1) }.sum
+    val enc = rows.map { case (_, f, _, n) => f * n }.sum
+    assert(enc < base, s"no compression: $enc vs $base")
+    // the FINAL round's merge token (never consumed by a later merge)
+    // must be visible in some encoding
+    val lastTok = TextQueries.bpeMerges(spark, sf).collect()
+      .maxBy(_.getLong(0)).getString(4)
+    val symsSeen = rows.flatMap(_._3.split(" ")).toSet
+    assert(symsSeen.contains(lastTok), s"final merge $lastTok unused")
+  }
 }
