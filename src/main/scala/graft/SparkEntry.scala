@@ -175,6 +175,7 @@ object SparkEntry {
     "q146_ann_rp"         -> ((s, d) => Similarity.rpRecall(s, d)),
     "q147_hybrid_rrf"     -> ((s, d) => TextQueries.hybridRrf(s, d)),
     "q148_bpe_encode"     -> ((s, d) => TextQueries.bpeEncode(s, d)),
+    "q149_k_anonymity"    -> ((s, d) => graft.operators.Stats.kAnonymityAudit(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1962,6 +1963,8 @@ object SparkEntry {
     "q146_ann_rp" -> Similarity.rpRecallSql(),
     // q148: BPE encode — q133's learned merges applied to the vocabulary
     "q148_bpe_encode" -> TextQueries.bpeEncodeSql(),
+    // q149: k-anonymity generalization ladder (operators/Stats.scala)
+    "q149_k_anonymity" -> graft.operators.Stats.kAnonymityAuditSql(),
     // q147: RRF hybrid retrieval — q46 top-terms + q64 scoring + q20
     // cosine ranks, fused with exact integer 1e9 div (60 + rank) credits
     "q147_hybrid_rrf" ->

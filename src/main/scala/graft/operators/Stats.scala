@@ -613,4 +613,61 @@ object Stats {
       |FROM cells JOIN rt USING (status) JOIN ct USING (prio)
       |CROSS JOIN nt
       |ORDER BY status, prio""".stripMargin
+
+  /** q149: k-anonymity generalization ladder — the privacy release gate
+    * companion to q44's PII scan (Sweeney 2002): documents grouped by the
+    * quasi-identifier tuple (lang, source, length bucket), then by each
+    * coarser generalization, reporting per level how many groups fall
+    * below k=`k` members and how many rows sit in those re-identifiable
+    * groups. The release decision reads off the first level whose
+    * rows_at_risk hits zero.
+    *
+    * One pass: the corpus reduces to the finest-combo counts first (a
+    * plain two-phase aggregate), then `rollup` over the PARTIAL frame
+    * walks the ladder (the q85 two-level trick — counts re-sum exactly;
+    * Expand touches the combo frame, never scan rows); the per-level
+    * report aggregates the rollup output, which is metadata-sized. */
+  def kAnonymityAudit(s: SparkSession, dir: String, k: Long = 5L)
+  : DataFrame = {
+    val fine = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("c"))
+    fine.rollup(col("lang"), col("source"), col("len_bucket"))
+      .agg(grouping_id().as("gid"), sum(col("c")).as("gsize"))
+      .groupBy(col("gid"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("gsize") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        coalesce(sum(when(col("gsize") < k, col("gsize"))), lit(0L))
+          .as("rows_at_risk"))
+      .select(col("gid"),
+        expr("""CASE gid WHEN 0 THEN 'lang,source,len_bucket'
+                |  WHEN 1 THEN 'lang,source' WHEN 3 THEN 'lang'
+                |  ELSE '*' END""".stripMargin).as("quasi_ids"),
+        col("n_groups"), col("n_small_groups"), col("rows_at_risk"))
+      .orderBy(col("gid"))
+  }
+
+  /** DuckDB oracle for [[kAnonymityAudit]] (GROUPING bit convention as
+    * q85/q95). */
+  def kAnonymityAuditSql(k: Long = 5L): String =
+    s"""WITH fine AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+       |    COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2, 3),
+       |lad AS (SELECT
+       |    GROUPING(lang) * 4 + GROUPING(source) * 2 +
+       |      GROUPING(len_bucket) AS gid_raw,
+       |    SUM(c) AS gsize
+       |  FROM fine GROUP BY ROLLUP (lang, source, len_bucket))
+       |SELECT CAST(gid_raw AS BIGINT) AS gid,
+       |  CASE gid_raw WHEN 0 THEN 'lang,source,len_bucket'
+       |    WHEN 1 THEN 'lang,source' WHEN 3 THEN 'lang'
+       |    ELSE '*' END AS quasi_ids,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN gsize < $k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_small_groups,
+       |  CAST(COALESCE(SUM(CASE WHEN gsize < $k THEN gsize END), 0)
+       |    AS BIGINT) AS rows_at_risk
+       |FROM lad GROUP BY 1, 2 ORDER BY gid""".stripMargin
 }

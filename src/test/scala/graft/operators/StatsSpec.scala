@@ -249,4 +249,30 @@ class StatsSpec extends SparkSpec {
     // every method reports against the same truth size
     assert(rows.values.map(_._1).toSet == Set(nEx))
   }
+
+  test("q149 k-anonymity ladder: monotone risk, literal level-0 recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Stats.kAnonymityAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 3L, 7L))
+    // generalizing only merges groups: group count and rows-at-risk are
+    // weakly decreasing up the ladder
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3, "n_groups grew while generalizing")
+        assert(b._5 <= a._5, "rows_at_risk grew while generalizing")
+      case _ => ()
+    }
+    // the grand-total level can never be at risk on a >= k corpus
+    assert(rows.last._4 === 0L && rows.last._5 === 0L)
+    // level 0 recomputed literally
+    val fine = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("lang"), col("source"), expr("n_chars div 100"))
+      .count().collect().map(_.getLong(3))
+    val l0 = rows.head
+    assert(l0._3 === fine.length)
+    assert(l0._4 === fine.count(_ < 5))
+    assert(l0._5 === fine.filter(_ < 5).sum)
+  }
 }
