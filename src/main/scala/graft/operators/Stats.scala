@@ -614,6 +614,95 @@ object Stats {
       |CROSS JOIN nt
       |ORDER BY status, prio""".stripMargin
 
+  /** q150: split-balance audit — the release gate for the q47
+    * deterministic train/val/test assignment: chi-square independence of
+    * split × {lang, source, length-bucket} in ONE corpus pass, proving
+    * the content-hash split did not correlate with any stratum (the iid
+    * property every eval benchmark silently assumes). Per dimension:
+    * exact-integer chi² (q134's HUGEINT/DECIMAL(38,0) cell convention,
+    * summed), degrees of freedom, and row count — a skewed split shows
+    * up as a chi2_ppm far above the dof·10⁶ expectation.
+    *
+    * Scale shape: the corpus melts to (split, dim, value) rows — ×3 the
+    * scan, emitted BEFORE the aggregate so the shuffle carries cell
+    * counts only; every total/denominator frame is dimension-sized and
+    * broadcast. */
+  def splitBalanceAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val h = PortableHash.h60(col("text")) % 100
+    splitBalanceFrom(Tables.load(s, dir, "documents")
+      .select(
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"),
+        col("lang"), col("source"),
+        expr("CAST(n_chars div 100 AS STRING)").as("len_bucket")))
+  }
+
+  /** The melt → chi² core over any (split, lang, source, len_bucket)
+    * frame (fixture specs inject skewed splits here). */
+  def splitBalanceFrom(docs: DataFrame): DataFrame = {
+    val melted = docs.select(col("split"), explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("dv")),
+        struct(lit("len_bucket").as("dim"), col("len_bucket").as("dv")),
+        struct(lit("source").as("dim"), col("source").as("dv")))).as("e"))
+      .select(col("split"), col("e.dim").as("dim"), col("e.dv").as("dv"))
+    val cells = melted.groupBy(col("dim"), col("split"), col("dv"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("dim"), col("split"))
+      .agg(sum(col("obs")).as("r_tot"))
+    val colT = cells.groupBy(col("dim"), col("dv"))
+      .agg(sum(col("obs")).as("c_tot"))
+    val nT = cells.groupBy(col("dim")).agg(sum(col("obs")).as("n_tot"))
+    val contrib = cells
+      .join(broadcast(rowT), Seq("dim", "split"))
+      .join(broadcast(colT), Seq("dim", "dv"))
+      .join(broadcast(nT), Seq("dim"))
+      .select(col("dim"),
+        expr("CAST(obs * n_tot - r_tot * c_tot AS DECIMAL(38,0)) * " +
+          "(obs * n_tot - r_tot * c_tot) * 1000000 " +
+          "div (n_tot * r_tot * c_tot)").as("cp"))
+    val dof = cells.groupBy(col("dim"))
+      .agg(((countDistinct(col("split")) - 1) *
+        (countDistinct(col("dv")) - 1)).as("dof"))
+    contrib.groupBy(col("dim")).agg(sum(col("cp")).as("chi2_ppm"))
+      .join(dof, Seq("dim")).join(nT, Seq("dim"))
+      .select(col("dim").as("dimension"), col("chi2_ppm"), col("dof"),
+        col("n_tot").as("n_rows"))
+      .orderBy(col("dimension"))
+  }
+
+  /** DuckDB oracle for [[splitBalanceAudit]]. */
+  def splitBalanceAuditSql: String = {
+    val h = s"(${graft.functions.PortableHash.h60Sql("text")} % 100)"
+    s"""WITH d AS (SELECT
+       |    CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val'
+       |      ELSE 'test' END AS split,
+       |    lang, source, CAST(n_chars // 100 AS VARCHAR) AS len_bucket
+       |  FROM documents),
+       |m AS (SELECT split, 'lang' AS dim, lang AS dv FROM d
+       |  UNION ALL SELECT split, 'len_bucket', len_bucket FROM d
+       |  UNION ALL SELECT split, 'source', source FROM d),
+       |cells AS (SELECT dim, split, dv, COUNT(*) AS obs FROM m
+       |  GROUP BY 1, 2, 3),
+       |rt AS (SELECT dim, split, SUM(obs) AS r_tot FROM cells GROUP BY 1, 2),
+       |ct AS (SELECT dim, dv, SUM(obs) AS c_tot FROM cells GROUP BY 1, 2),
+       |nt AS (SELECT dim, SUM(obs) AS n_tot FROM cells GROUP BY 1),
+       |contrib AS (SELECT c.dim,
+       |    CAST(CAST(obs * n_tot - r_tot * c_tot AS HUGEINT) *
+       |      (obs * n_tot - r_tot * c_tot) * 1000000
+       |      // (n_tot * r_tot * c_tot) AS BIGINT) AS cp
+       |  FROM cells c JOIN rt USING (dim, split) JOIN ct USING (dim, dv)
+       |  JOIN nt USING (dim)),
+       |dof AS (SELECT dim,
+       |    (COUNT(DISTINCT split) - 1) * (COUNT(DISTINCT dv) - 1) AS dof
+       |  FROM cells GROUP BY 1)
+       |SELECT contrib.dim AS dimension, CAST(SUM(cp) AS BIGINT) AS chi2_ppm,
+       |  CAST(MIN(dof.dof) AS BIGINT) AS dof,
+       |  CAST(MIN(nt.n_tot) AS BIGINT) AS n_rows
+       |FROM contrib JOIN dof USING (dim) JOIN nt USING (dim)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q149: k-anonymity generalization ladder — the privacy release gate
     * companion to q44's PII scan (Sweeney 2002): documents grouped by the
     * quasi-identifier tuple (lang, source, length bucket), then by each

@@ -250,6 +250,35 @@ class StatsSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet == Set(nEx))
   }
 
+  test("q150 split balance: hash split passes, planted skew detected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the real content-hash split must sit near the chi2 expectation
+    // (mean = dof) on every dimension — an order of magnitude above it
+    // would mean the split correlates with a stratum
+    val rows = Stats.splitBalanceAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("lang", "len_bucket", "source"))
+    rows.foreach { case (dim, chi2, dof, n) =>
+      assert(dof >= 1 && n > 0)
+      assert(chi2 < 5L * dof * 1000000L,
+        s"$dim: chi2_ppm $chi2 implausibly high for dof $dof")
+    }
+    // detector: a split that routes one lang entirely to train must blow
+    // past the same gate on the lang dimension
+    val skewed = (1 to 400).map { i =>
+      val lang = if (i % 4 == 0) "de" else "en"
+      val split = if (lang == "de") "train"
+        else Seq("train", "val", "test")(i % 3)
+      (split, lang, s"src${i % 5}", (i % 7).toString)
+    }.toDF("split", "lang", "source", "len_bucket")
+    val sk = Stats.splitBalanceFrom(skewed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (chi2Lang, dofLang) = sk("lang")
+    assert(chi2Lang > 10L * dofLang * 1000000L,
+      s"planted lang skew not detected: $chi2Lang")
+  }
+
   test("q149 k-anonymity ladder: monotone risk, literal level-0 recompute") {
     import org.apache.spark.sql.functions._
     val rows = Stats.kAnonymityAudit(spark, sf).collect()
