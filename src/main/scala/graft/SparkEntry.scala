@@ -177,6 +177,7 @@ object SparkEntry {
     "q148_bpe_encode"     -> ((s, d) => TextQueries.bpeEncode(s, d)),
     "q149_k_anonymity"    -> ((s, d) => graft.operators.Stats.kAnonymityAudit(s, d)),
     "q150_split_balance"  -> (graft.operators.Stats.splitBalanceAudit _),
+    "q151_gram_novelty"   -> (TextQueries.gramNovelty _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1968,6 +1969,8 @@ object SparkEntry {
     "q149_k_anonymity" -> graft.operators.Stats.kAnonymityAuditSql(),
     // q150: split-balance chi-square audit over the q47 hash split
     "q150_split_balance" -> graft.operators.Stats.splitBalanceAuditSql,
+    // q151: first-seen n-gram novelty (operators/TextQueries.scala)
+    "q151_gram_novelty" -> TextQueries.gramNoveltySql,
     // q147: RRF hybrid retrieval — q46 top-terms + q64 scoring + q20
     // cosine ranks, fused with exact integer 1e9 div (60 + rank) credits
     "q147_hybrid_rrf" ->

@@ -601,6 +601,59 @@ object TextQueries {
       s"\n$out\nORDER BY merge_round"
   }
 
+  /** q151: n-gram novelty scoring — per document, the fraction of its
+    * distinct 3-grams whose FIRST corpus occurrence (in doc_id order) is
+    * this document, in integer ppm. The recombination/memorization
+    * screen: a doc scoring near zero is assembled almost entirely from
+    * spans already seen earlier in the corpus — invisible to whole-doc
+    * and near-dup detectors (its gram SET is new, the grams are not),
+    * which is exactly the failure mode eval-set contamination audits
+    * miss. Sub-width docs report zero grams with a NULL score.
+    *
+    * Scale: the q108/q111 first-seen identity — ONE gram-keyed min pass
+    * (the only corpus-scale shuffle; the join-back reuses the same
+    * exchange), never a per-doc scan of earlier documents. */
+  def gramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"))).as("g"))
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val per = sh.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          expr("n_novel * 1000000 div n_grams")).as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[gramNovelty]]. */
+  val gramNoveltySql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+      |     if len(t) > 0] AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |    for i in generate_series(1, len(t)-2)]) AS g
+      |  FROM toks WHERE len(t) >= 3)),
+      |fs AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+      |per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_novel
+      |  FROM sh JOIN fs USING (g) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_novel, 0) AS n_novel,
+      |  CASE WHEN n_grams > 0 THEN n_novel * 1000000 // n_grams END
+      |    AS novelty_ppm
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q148: BPE ENCODING — the apply pass completing q133's learning pass
     * (the library's discovery/apply pairing: q91→q141, q133→q148): the
     * learned merge table, applied in merge-priority order to the

@@ -60,6 +60,27 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(out.find(_._1 == 1L).get._4 === "p q r p q r p q r")
   }
 
+  test("q151 novelty: doc 0 fully novel, every gram novel exactly once") {
+    val rows = TextQueries.gramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // the first doc's grams can have no earlier occurrence
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._2 > 0 && d0._3 === d0._2 && d0._4 === 1000000L)
+    rows.foreach { case (_, ng, nn, ppm) =>
+      assert(nn <= ng)
+      if (ng > 0) assert(ppm === nn * 1000000L / ng) else assert(ppm === -1L)
+    }
+    // every gram is novel somewhere exactly once: sum of novel counts ==
+    // number of distinct grams in the corpus
+    val distinctGrams = graft.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.shingles(graft.functions.Text.tokens(
+          org.apache.spark.sql.functions.col("text")))).as("g"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === distinctGrams)
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
