@@ -178,6 +178,7 @@ object SparkEntry {
     "q149_k_anonymity"    -> ((s, d) => graft.operators.Stats.kAnonymityAudit(s, d)),
     "q150_split_balance"  -> (graft.operators.Stats.splitBalanceAudit _),
     "q151_gram_novelty"   -> (TextQueries.gramNovelty _),
+    "q152_effective_size" -> (TextQueries.effectiveSize _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1971,6 +1972,34 @@ object SparkEntry {
     "q150_split_balance" -> graft.operators.Stats.splitBalanceAuditSql,
     // q151: first-seen n-gram novelty (operators/TextQueries.scala)
     "q151_gram_novelty" -> TextQueries.gramNoveltySql,
+    // q152: dedup-weighted effective size over the q48 cluster protocol
+    "q152_effective_size" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach
+         |  GROUP BY id),
+         |tk AS (SELECT doc_id,
+         |    CAST(len([t for t in string_split_regex(lower(text),
+         |      '[^a-z0-9]+') if len(t) > 0]) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |wc AS (SELECT n_tokens,
+         |    COALESCE(cl.cluster, tk.doc_id) AS cluster
+         |  FROM tk LEFT JOIN cl USING (doc_id)),
+         |pc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize,
+         |    SUM(n_tokens) AS c_tokens
+         |  FROM wc GROUP BY 1)
+         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(c_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(c_tokens * 1000000 // csize) AS BIGINT)
+         |    AS effective_micro
+         |FROM pc GROUP BY 1 ORDER BY csize""".stripMargin,
     // q147: RRF hybrid retrieval — q46 top-terms + q64 scoring + q20
     // cosine ranks, fused with exact integer 1e9 div (60 + rank) credits
     "q147_hybrid_rrf" ->

@@ -654,6 +654,37 @@ object TextQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q152: dedup-weighted EFFECTIVE dataset size — the "how much data do
+    * I actually have" metric: every document weighted 1/|its near-dup
+    * cluster| (q48's shared clustering; unclustered docs are singletons),
+    * reported per cluster size as raw vs effective micro-tokens. A
+    * corpus of 1 B tokens that is 40% near-duplicate trains like ~0.7 B;
+    * this query is that number, exactly. Division happens once per
+    * CLUSTER on the cluster's token total (integer micro-tokens), so the
+    * result is partitioning-invariant and the per-size report cross-
+    * foots: effective ≈ raw/size within one micro-token per cluster.
+    *
+    * Scale: token counting is scan-speed; clustering is q48's memoized
+    * frame (one clustering per run — the sharedClusters contract); the
+    * weighting is one cluster-keyed aggregate. */
+  def effectiveSize(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val withC = toks.join(Dedup.sharedClusters(s, dir), Seq("doc_id"), "left")
+      .select(col("n_tokens"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val perCluster = withC.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"), sum(col("n_tokens")).as("c_tokens"))
+      .select(col("csize"), col("c_tokens"),
+        expr("c_tokens * 1000000 div csize").as("eff_micro"))
+    perCluster.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("c_tokens")).as("raw_tokens"),
+        sum(col("eff_micro")).as("effective_micro"))
+      .orderBy(col("csize"))
+  }
+
   /** q148: BPE ENCODING — the apply pass completing q133's learning pass
     * (the library's discovery/apply pairing: q91→q141, q133→q148): the
     * learned merge table, applied in merge-priority order to the

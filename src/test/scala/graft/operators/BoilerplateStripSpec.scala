@@ -81,6 +81,28 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(rows.map(_._3).sum === distinctGrams)
   }
 
+  test("q152 effective size: cross-foots docs, tokens, and exact weights") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.effectiveSize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(rows.map(r => r._1 * r._2).sum === docs.count())
+    val totalToks = docs
+      .select(size(graft.functions.Text.tokens(col("text"))).cast("long")
+        .as("nt"))
+      .agg(sum(col("nt"))).head.getLong(0)
+    assert(rows.map(_._3).sum === totalToks)
+    // singletons keep full weight; larger sizes divide within one
+    // micro-token per cluster
+    rows.foreach { case (sz, nc, raw, eff) =>
+      if (sz == 1) assert(eff === raw * 1000000L)
+      else {
+        assert(eff <= raw * 1000000L / sz + nc) // flooring slack per cluster
+        assert(eff > (raw * 1000000L / sz) - 1000000L * nc)
+      }
+    }
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
