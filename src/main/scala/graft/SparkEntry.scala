@@ -179,6 +179,7 @@ object SparkEntry {
     "q150_split_balance"  -> (graft.operators.Stats.splitBalanceAudit _),
     "q151_gram_novelty"   -> (TextQueries.gramNovelty _),
     "q152_effective_size" -> (TextQueries.effectiveSize _),
+    "q153_ppr"            -> ((s, d) => graft.operators.Graph.personalizedPagerank(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1972,6 +1973,8 @@ object SparkEntry {
     "q150_split_balance" -> graft.operators.Stats.splitBalanceAuditSql,
     // q151: first-seen n-gram novelty (operators/TextQueries.scala)
     "q151_gram_novelty" -> TextQueries.gramNoveltySql,
+    // q153: personalized PageRank, rounds unrolled (operators/Graph.scala)
+    "q153_ppr" -> graft.operators.Graph.personalizedPagerankSql(),
     // q152: dedup-weighted effective size over the q48 cluster protocol
     "q152_effective_size" ->
       s"""WITH RECURSIVE $minhashPairCtes,

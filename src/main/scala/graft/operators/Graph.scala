@@ -162,6 +162,83 @@ object Graph {
     mass.orderBy(col("pk"))
   }
 
+  /** q153: personalized PageRank (random walk with restart) — q112's
+    * bulk-synchronous integer recurrence with the teleport vector
+    * concentrated on ONE seed node (the minimum part id of the
+    * thresholded graph — data-determined, deterministic): mass(v) =
+    * restart·[v = seed] + 0.85·inflow(v). The recommendation staple —
+    * "parts related to THIS part" — where global PageRank answers
+    * "globally popular parts". Masses decay geometrically with hop
+    * distance from the seed; unreachable components drain to zero
+    * (spec-asserted against q122's BFS levels).
+    *
+    * Same scale shape as q112: per round one edge join + aggregate with
+    * localCheckpoint lineage truncation; exact integer masses so the
+    * unrolled DuckDB oracle hash-matches bit-for-bit. */
+  def personalizedPagerank(s: SparkSession, dir: String,
+                           iters: Int = 5): DataFrame = {
+    val e = pairFrame(s, dir).select(col("p1"), col("p2"))
+    val edges = e.unionByName(
+        e.select(col("p2").as("p1"), col("p1").as("p2")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("p1")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("p1", "pk")
+      .localCheckpoint(true)
+    val seed = deg.agg(min(col("pk")).as("spk"))
+    var mass = deg.crossJoin(broadcast(seed))
+      .select(col("pk"),
+        when(col("pk") === col("spk"), 1000000000000L).otherwise(0L)
+          .as("mass"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(mass.withColumnRenamed("pk", "p1"), Seq("p1"))
+        .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
+        .select(col("p2").as("pk"), expr("mass div deg").as("c"))
+        .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
+      mass = deg.select(col("pk"))
+        .crossJoin(broadcast(seed))
+        .join(inflow, Seq("pk"), "left")
+        .select(col("pk"),
+          (when(col("pk") === col("spk"), 150000000000L).otherwise(0L) +
+            expr("(85 * coalesce(inf, 0)) div 100")).as("mass"))
+        .localCheckpoint(true)
+    }
+    mass.orderBy(col("pk"))
+  }
+
+  /** DuckDB oracle for [[personalizedPagerank]] — rounds unrolled, seed
+    * pinned to MIN(pk). */
+  def personalizedPagerankSql(iters: Int = 5): String = {
+    val header =
+      """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2
+        |  FROM dl a JOIN dl b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ed AS (SELECT p1, p2 FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT p1 AS pk, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY 1),
+        |sd AS (SELECT MIN(pk) AS spk FROM deg),
+        |m0 AS (SELECT pk, CAST(CASE WHEN pk = (SELECT spk FROM sd)
+        |    THEN 1000000000000 ELSE 0 END AS BIGINT) AS mass
+        |  FROM deg)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT d.pk,
+         |  CAST(CASE WHEN d.pk = (SELECT spk FROM sd)
+         |    THEN 150000000000 ELSE 0 END
+         |    + (85 * COALESCE(i$i.inf, 0)) // 100 AS BIGINT) AS mass
+         |  FROM deg d LEFT JOIN (
+         |    SELECT ed.p2 AS pk, CAST(SUM(m.mass // g.deg) AS BIGINT) AS inf
+         |    FROM ed
+         |    JOIN m${i - 1} m ON m.pk = ed.p1
+         |    JOIN deg g ON g.pk = ed.p1
+         |    GROUP BY 1) i$i ON i$i.pk = d.pk)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n") +
+      s"\nSELECT pk, CAST(mass AS BIGINT) AS mass FROM m$iters ORDER BY pk"
+  }
+
   /** DuckDB oracle for [[pagerank]] — the five rounds unrolled. */
   def pagerankSql(iters: Int = 5): String = {
     val header =

@@ -94,6 +94,29 @@ class GraphSpec extends SparkSpec {
     assert(perNode === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("q153 PPR: mass concentrates at the seed and decays with distance") {
+    import spark.implicits._
+    val rows = Graph.personalizedPagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val seed = rows.keys.min
+    // the seed holds the restart mass and must dominate every other node
+    assert(rows(seed) >= 150000000000L)
+    assert(rows(seed) === rows.values.max)
+    // nodes unreachable from the seed drain to zero within the rounds;
+    // reachable non-seed nodes hold positive walked mass. Use q122's BFS
+    // levels (same seed: min node) as the reachability oracle.
+    val dist = Graph.bfsDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (pk, m) =>
+      if (pk != seed) {
+        val d = dist.getOrElse(pk, -1L)
+        if (d < 0 || d > 5) assert(m === 0L, s"unreachable $pk holds mass $m")
+        else if (d <= 2) assert(m > 0L, s"near node $pk (d=$d) drained")
+      }
+    }
+  }
+
   test("q112 pagerank: star-fixture masses match a literal integer recompute") {
     import spark.implicits._
     // hub 1 connected to 2,3,4,5 (star): hub must dominate, and every
