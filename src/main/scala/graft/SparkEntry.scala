@@ -180,6 +180,7 @@ object SparkEntry {
     "q151_gram_novelty"   -> (TextQueries.gramNovelty _),
     "q152_effective_size" -> (TextQueries.effectiveSize _),
     "q153_ppr"            -> ((s, d) => graft.operators.Graph.personalizedPagerank(s, d)),
+    "q154_cooccurrence"   -> ((s, d) => TextQueries.cooccurrence(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1975,6 +1976,8 @@ object SparkEntry {
     "q151_gram_novelty" -> TextQueries.gramNoveltySql,
     // q153: personalized PageRank, rounds unrolled (operators/Graph.scala)
     "q153_ppr" -> graft.operators.Graph.personalizedPagerankSql(),
+    // q154: windowed co-occurrence counts (operators/TextQueries.scala)
+    "q154_cooccurrence" -> TextQueries.cooccurrenceSql(),
     // q152: dedup-weighted effective size over the q48 cluster protocol
     "q152_effective_size" ->
       s"""WITH RECURSIVE $minhashPairCtes,

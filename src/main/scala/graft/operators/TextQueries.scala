@@ -654,6 +654,57 @@ object TextQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q154: windowed co-occurrence counts — the GloVe/word2vec training
+    * input: for every ordered token pair within a `window`-token context,
+    * the raw co-occurrence count and the distance-weighted count
+    * (weight = window − distance + 1, integer — GloVe's 1/d harmonic
+    * weighting made exact). q66's bigram lift sees only adjacent pairs;
+    * this is the full context matrix distributional semantics needs.
+    * Top `topK` pairs by weighted count (ties: pair lexicographic).
+    *
+    * Scale: pairs are emitted per ROW from the token array via a
+    * positional transform (one (pos, offset) flatten — never a token
+    * self-join), then one (w1, w2) count aggregate with map-side
+    * combine; the shuffle carries pair keys and two longs. The top-k is
+    * TakeOrderedAndProject. */
+  def cooccurrence(s: SparkSession, dir: String, window: Int = 5,
+                   topK: Int = 50): DataFrame = {
+    val pairs = Tables.load(s, dir, "documents")
+      .select(Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(t) - 1), i ->
+           |  transform(sequence(1, least($window, size(t) - i)), d ->
+           |    struct(element_at(t, i) AS w1,
+           |           element_at(t, i + d) AS w2,
+           |           ($window - d + 1) AS wt))))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"), col("p.wt"))
+    pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_cooc"),
+        sum(col("wt")).cast("long").as("weighted"))
+      .orderBy(col("weighted").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[cooccurrence]] — the same per-row positional
+    * flatten (nested single-`for` comprehensions; DuckDB rejects a
+    * doubled `for`). */
+  def cooccurrenceSql(window: Int = 5, topK: Int = 50): String =
+    s"""WITH toks AS (SELECT [t for t in string_split_regex(lower(text),
+       |    '[^a-z0-9]+') if len(t) > 0] AS t
+       |  FROM documents),
+       |p AS (SELECT unnest(flatten(
+       |    [[struct_pack(w1 := t[i], w2 := t[i + d],
+       |        wt := $window - d + 1)
+       |      for d in generate_series(1, least($window, len(t) - i))]
+       |     for i in generate_series(1, len(t) - 1)])) AS s
+       |  FROM toks WHERE len(t) >= 2)
+       |SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_cooc,
+       |  CAST(SUM(s.wt) AS BIGINT) AS weighted
+       |FROM p GROUP BY 1, 2
+       |ORDER BY weighted DESC, w1, w2 LIMIT $topK""".stripMargin
+
   /** q152: dedup-weighted EFFECTIVE dataset size — the "how much data do
     * I actually have" metric: every document weighted 1/|its near-dup
     * cluster| (q48's shared clustering; unclustered docs are singletons),

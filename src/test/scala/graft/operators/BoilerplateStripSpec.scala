@@ -103,6 +103,30 @@ class BoilerplateStripSpec extends SparkSpec {
     }
   }
 
+  test("q154 co-occurrence: hand-computed window pairs and weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "a b c": window 5 covers all pairs: (a,b,d1,w5) (a,c,d2,w4) (b,c,d1,w5)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'w' AS source",
+        "length(text) AS n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q154fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.cooccurrence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(("a", "b", 1L, 5L), ("a", "c", 1L, 4L),
+      ("b", "c", 1L, 5L)))
+    // real corpus: weighted >= n_cooc (min weight 1), pairs are ordered
+    // by position not alphabet, and the cut is the declared total order
+    val real = TextQueries.cooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(real.length === 50)
+    real.foreach { case (_, _, n, w) => assert(w >= n && w <= 5 * n) }
+    val sorted = real.sortBy(t => (-t._4, t._1, t._2))
+    assert(real.toSeq === sorted.toSeq)
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
