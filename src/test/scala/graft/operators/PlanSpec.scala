@@ -211,6 +211,44 @@ class PlanSpec extends SparkSpec {
       s"orders scanned more than expected:\n$plan")
   }
 
+  test("q141 strip pass is shuffle-free: the mined set ships in the plan") {
+    val plan = planOf(TextQueries.boilerplateStrip(spark, sf))
+    // the removal stage is per-row HOF work over an inlined literal set;
+    // the ONLY exchange allowed is the declared output ordering
+    assert(!plan.contains("Join"), s"strip pass joins:\n$plan")
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 1, s"strip pass shuffles beyond the sort:\n$plan")
+  }
+
+  test("q142 Apriori prunes via broadcast semi-joins before counting") {
+    val plan = planOf(Graph.frequentTriples(spark, sf))
+    assert(plan.contains("LeftSemi"), s"L2 prune not a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pair/prune joins not broadcast:\n$plan")
+    // the only nested loop allowed is the single-row n_orders cross join
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1, s"unexpected nested loops:\n$plan")
+  }
+
+  test("q154 co-occurrence emits pairs per row — no token self-join") {
+    val plan = planOf(TextQueries.cooccurrence(spark, sf))
+    assert(!plan.contains("Join"), s"co-occurrence joins:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected partial aggregation")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered:\n$plan")
+  }
+
+  test("q151 novelty reuses the gram exchange for the join-back") {
+    val plan = planOf(TextQueries.gramNovelty(spark, sf))
+    // first-seen min and the join-back shuffle on the same gram key: the
+    // join must be a SortMergeJoin/ShuffledHashJoin on g, never a
+    // nested loop, and the corpus text never reaches an exchange
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty joins wrong:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(text"),
+      s"raw text shuffled:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
