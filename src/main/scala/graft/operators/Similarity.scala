@@ -501,14 +501,17 @@ object Similarity {
     if ((graft.functions.PortableHash.slotA(j * 64 + i + 1) & 1L) == 1L) 1.0
     else -1.0
 
-  /** Reduced coordinate j of a 64-dim float vector column: a fixed-order
-    * 64-term ±embedding[i] chain — left-associated double adds, the same
-    * order DuckDB folds `a + b + ...`, so projections are bit-identical
-    * across engines. */
-  private def rpCoord(vec: Column, j: Int, dims: Int): Column =
-    (0 until dims).map(i =>
-      element_at(vec, i + 1).cast("double") * lit(rpSign(j, i)))
-      .reduce(_ + _)
+  /** Reduced coordinate j of a 64-dim float vector column: the signed
+    * sum as an `aggregate` fold over a LITERAL sign array — O(1)
+    * expression-tree size (a 64-term unrolled chain overflowed the
+    * codegen subexpression-elimination recursion under default thread
+    * stacks), left-to-right double accumulation matching DuckDB's
+    * list_sum order. */
+  private def rpCoord(vec: Column, j: Int, dims: Int): Column = {
+    val signs = array((0 until dims).map(i => lit(rpSign(j, i))): _*)
+    aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** q146: random-projection (Johnson–Lindenstrauss) retrieval — corpus
     * vectors are projected 64 → `outDims` dims through a fixed ±1 sign
@@ -535,8 +538,9 @@ object Similarity {
         rpCoord(col("embedding"), j, 64)): _*).as("y"))
     val q = reduced.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("y").as("qy"))
-    def dot(a: Column, b: Column) = (1 to outDims).map(j =>
-      element_at(a, j) * element_at(b, j)).reduce(_ + _)
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x)
     val scored = reduced.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
