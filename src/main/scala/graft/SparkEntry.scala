@@ -181,6 +181,8 @@ object SparkEntry {
     "q152_effective_size" -> (TextQueries.effectiveSize _),
     "q153_ppr"            -> ((s, d) => graft.operators.Graph.personalizedPagerank(s, d)),
     "q154_cooccurrence"   -> ((s, d) => TextQueries.cooccurrence(s, d)),
+    "q155_dataset_card"   -> (TextQueries.datasetCard _),
+    "q156_pct_normalize"  -> (TextQueries.percentileNormalize _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1978,6 +1980,57 @@ object SparkEntry {
     "q153_ppr" -> graft.operators.Graph.personalizedPagerankSql(),
     // q154: windowed co-occurrence counts (operators/TextQueries.scala)
     "q154_cooccurrence" -> TextQueries.cooccurrenceSql(),
+    // q156: per-language percentile normalization
+    "q156_pct_normalize" -> TextQueries.percentileNormalizeSql,
+    // q155: dataset card — every number rides an already-proven protocol
+    // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
+    "q155_dataset_card" -> {
+      import graft.operators.TextQueries.{EmailRe, PhoneRe, UrlRe}
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |cl AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS clustered
+         |  FROM reach),
+         |tkn AS (SELECT CAST(SUM(len([t for t in string_split_regex(
+         |    lower(text), '[^a-z0-9]+') if len(t) > 0])) AS BIGINT) AS nt
+         |  FROM documents),
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS nch,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+         |  FROM documents),
+         |ed AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS exact_dup
+         |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text)
+         |        HAVING COUNT(*) > 1)),
+         |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS pii_docs FROM documents
+         |  WHERE len(regexp_extract_all(text, '$EmailRe'))
+         |    + len(regexp_extract_all(text, '$UrlRe'))
+         |    + len(regexp_extract_all(text, '$PhoneRe')) > 0),
+         |tl AS (SELECT CAST(MAX(c) AS BIGINT) AS top_lang FROM (
+         |  SELECT COUNT(*) AS c FROM documents GROUP BY lang))
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', nt FROM tkn
+         |  UNION ALL SELECT 'n_chars', nch FROM base
+         |  UNION ALL SELECT 'n_langs', nl FROM base
+         |  UNION ALL SELECT 'n_sources', ns FROM base
+         |  UNION ALL SELECT 'near_dup_docs', clustered FROM cl
+         |  UNION ALL SELECT 'near_dup_ppm', clustered * 1000000 // n_docs
+         |    FROM cl, base
+         |  UNION ALL SELECT 'exact_dup_docs', exact_dup FROM ed
+         |  UNION ALL SELECT 'pii_docs', pii_docs FROM pii
+         |  UNION ALL SELECT 'pii_ppm', pii_docs * 1000000 // n_docs
+         |    FROM pii, base
+         |  UNION ALL SELECT 'top_lang_ppm', top_lang * 1000000 // n_docs
+         |    FROM tl, base)
+         |ORDER BY metric""".stripMargin
+    },
     // q152: dedup-weighted effective size over the q48 cluster protocol
     "q152_effective_size" ->
       s"""WITH RECURSIVE $minhashPairCtes,

@@ -654,6 +654,98 @@ object TextQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q155: dataset card — the corpus summary panel a release review (and
+    * a model card's data section) reads, as one hash-gated (metric,
+    * value) frame: volume (docs, tokens, chars), diversity (langs,
+    * sources), duplication (docs in q48 near-dup clusters, exact-dup
+    * docs), risk (docs with PII hits), and composition (largest
+    * language's share, ppm). Every number is an exact integer riding an
+    * already-proven protocol, so a drift in ANY of them changes a hash
+    * row — the panel is a regression gate over the whole curation
+    * surface, not prose.
+    *
+    * Scale: one token/PII scan pass, one q48 clustering (memoized), one
+    * exact-dup hash aggregate; outputs are single integers. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).localCheckpoint(true)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources")).head()
+    val nDocs = base.getLong(0)
+    val clustered = Dedup.sharedClusters(s, dir).count()
+    val exactDup = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L)))
+      .head().getLong(0)
+    val pii = TextQueries.piiScanDf(docs)
+      .filter(col("has_pii") > 0).count()
+    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    Seq(
+      ("n_docs", nDocs),
+      ("n_tokens", base.getLong(1)),
+      ("n_chars", base.getLong(2)),
+      ("n_langs", base.getLong(3)),
+      ("n_sources", base.getLong(4)),
+      ("near_dup_docs", clustered),
+      ("near_dup_ppm", clustered * 1000000L / nDocs),
+      ("exact_dup_docs", exactDup),
+      ("pii_docs", pii),
+      ("pii_ppm", pii * 1000000L / nDocs),
+      ("top_lang_ppm", topLang * 1000000L / nDocs))
+      .toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  /** q156: per-language percentile normalization — each document's token
+    * count mapped to its within-language percentile rank in integer ppm
+    * ((rank−1)·10⁶ div (n−1); single-doc languages pin to 0). The
+    * cross-population score calibration step quality filtering needs
+    * before mixing languages (a raw length cut means different things in
+    * different languages; the percentile is comparable). q89 reports
+    * decile SUMMARIES; this emits the per-document normalized feature.
+    *
+    * Scale: one lang-partitioned window (vocabulary-sized partitions —
+    * the q89 partitioned-ranking discipline; doc_id tiebreak makes rank
+    * data-determined). */
+  def percentileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val n = Window.partitionBy(col("lang"))
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nl", count(lit(1)).over(n))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("nl") > 1,
+          expr("(rk - 1) * 1000000 div (nl - 1)")).otherwise(0L)
+          .as("pct_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[percentileNormalize]]. */
+  val percentileNormalizeSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CAST(len([x for x in string_split_regex(lower(text),
+      |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  CASE WHEN nl > 1 THEN (rk - 1) * 1000000 // (nl - 1)
+      |       ELSE 0 END AS pct_ppm
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q154: windowed co-occurrence counts — the GloVe/word2vec training
     * input: for every ordered token pair within a `window`-token context,
     * the raw co-occurrence count and the distance-weighted count

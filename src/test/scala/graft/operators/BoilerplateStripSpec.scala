@@ -127,6 +127,41 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(real.toSeq === sorted.toSeq)
   }
 
+  test("q155 dataset card: every number recomputes from its own protocol") {
+    import org.apache.spark.sql.functions._
+    val card = TextQueries.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(card("n_docs") === docs.count())
+    assert(card("n_langs") ===
+      docs.select(col("lang")).distinct().count())
+    assert(card("near_dup_docs") === Dedup.sharedClusters(spark, sf).count())
+    assert(card("near_dup_ppm") ===
+      card("near_dup_docs") * 1000000L / card("n_docs"))
+    assert(card("pii_ppm") === card("pii_docs") * 1000000L / card("n_docs"))
+    // largest language share is a plurality but not everything
+    assert(card("top_lang_ppm") >= 1000000L / card("n_langs"))
+    assert(card("top_lang_ppm") <= 1000000L)
+    assert(card("exact_dup_docs") >= 0 &&
+      card("exact_dup_docs") <= card("n_docs"))
+  }
+
+  test("q156 percentile normalization: bounds, endpoints, monotonicity") {
+    val rows = TextQueries.percentileNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (lang, lr) =>
+      val sorted = lr.sortBy(t => (t._3, t._1))
+      assert(sorted.head._4 === 0L, s"$lang: min doc not at percentile 0")
+      if (lr.length > 1)
+        assert(sorted.last._4 === 1000000L, s"$lang: max doc not at 1e6")
+      // percentile is monotone in the (n_tokens, doc_id) order
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4, s"$lang: percentile not monotone")
+      }
+    }
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L))
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
