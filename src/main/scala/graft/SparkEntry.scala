@@ -183,6 +183,7 @@ object SparkEntry {
     "q154_cooccurrence"   -> ((s, d) => TextQueries.cooccurrence(s, d)),
     "q155_dataset_card"   -> (TextQueries.datasetCard _),
     "q156_pct_normalize"  -> (TextQueries.percentileNormalize _),
+    "q157_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1982,6 +1983,8 @@ object SparkEntry {
     "q154_cooccurrence" -> TextQueries.cooccurrenceSql(),
     // q156: per-language percentile normalization
     "q156_pct_normalize" -> TextQueries.percentileNormalizeSql,
+    // q157: directed shingle-containment pairs (operators/Dedup.scala)
+    "q157_containment" -> Dedup.containmentPairsSql(),
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

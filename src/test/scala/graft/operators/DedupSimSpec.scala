@@ -328,6 +328,35 @@ class DedupSimSpec extends SparkSpec {
     assert(byM("int8") > byM("pq"), "int8 should out-recall PQ")
   }
 
+  test("q157 containment: planted excerpt found that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a verbatim excerpt of doc 1 (first 5 tokens of 30); its
+    // containment is 1.0 while Jaccard is ~3/28 — far below any dedup
+    // threshold in the library
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 5).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, excerpt), (3L, "entirely different words"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'w' AS source",
+        "length(text) AS n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q157fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // excerpt (3 shingles, all shared) contained in long at 1.0; the
+    // reverse direction (3/28) filtered; doc 3 pairs with nobody
+    assert(out === Array((2L, 1L, 3L, 3L, 1000000L)))
+    // and the real corpus emits directed rows with exact ppm arithmetic
+    val real = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    real.foreach { case (a, b, sh, na, ppm) =>
+      assert(a != b && sh <= na)
+      assert(ppm === sh * 1000000L / na && ppm >= 500000L)
+    }
+  }
+
   test("q146 RP recall: bounded, deterministic, and above random chance") {
     val rows = Similarity.rpRecall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
