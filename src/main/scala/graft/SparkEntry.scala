@@ -184,6 +184,7 @@ object SparkEntry {
     "q155_dataset_card"   -> (TextQueries.datasetCard _),
     "q156_pct_normalize"  -> (TextQueries.percentileNormalize _),
     "q157_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q158_distinct_n"     -> (TextQueries.distinctN _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1985,6 +1986,8 @@ object SparkEntry {
     "q156_pct_normalize" -> TextQueries.percentileNormalizeSql,
     // q157: directed shingle-containment pairs (operators/Dedup.scala)
     "q157_containment" -> Dedup.containmentPairsSql(),
+    // q158: distinct-n lexical diversity (operators/TextQueries.scala)
+    "q158_distinct_n" -> TextQueries.distinctNSql,
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

@@ -654,6 +654,57 @@ object TextQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q158: distinct-n diversity — for n = 1..4, total n-gram occurrences
+    * vs distinct n-grams across the corpus, ratio in integer ppm (the
+    * distinct-n metric of Li et al. 2016, corpus-level): the standard
+    * lexical-diversity panel for judging synthetic/generated corpora
+    * (mode-collapsed generations crater distinct-3/4 long before any
+    * per-doc repetition rule fires — q45 sees within-doc repetition,
+    * this sees cross-corpus sameness; q111 tracks unigram vocabulary
+    * growth, this fixes the gram orders the diversity literature
+    * reports).
+    *
+    * Scale: four passes over one cached token projection; each pass
+    * shuffles (gram, partial-count) pairs only — distinct counting is
+    * the standard two-phase expand. */
+  def distinctN(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(Text.tokens(col("text")).as("toks")).persist()
+    (1 to 4).map { n =>
+      toks.select(explode(Text.shinglesPositional(col("toks"), n)).as("g"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(lit(n.toLong).as("n"), col("total"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+      .select(col("n"), col("total"), col("n_distinct"),
+        expr("n_distinct * 1000000 div total").as("distinct_ppm"))
+      .orderBy(col("n"))
+  }
+
+  /** DuckDB oracle for [[distinctN]]. */
+  val distinctNSql: String = {
+    def gramCte(n: Int): String =
+      if (n == 1)
+        """SELECT unnest(t) AS g FROM toks"""
+      else {
+        val parts = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+        s"""SELECT unnest([$parts
+           |    for i in generate_series(1, len(t) - ${n - 1})]) AS g
+           |  FROM toks WHERE len(t) >= $n""".stripMargin
+      }
+    val rows = (1 to 4).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS total,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  COUNT(DISTINCT g) * 1000000 // COUNT(*) AS distinct_ppm
+         |FROM (${gramCte(n)})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS MATERIALIZED (SELECT [t for t in string_split_regex(
+       |    lower(text), '[^a-z0-9]+') if len(t) > 0] AS t
+       |  FROM documents)
+       |$rows
+       |ORDER BY n""".stripMargin
+  }
+
   /** q155: dataset card — the corpus summary panel a release review (and
     * a model card's data section) reads, as one hash-gated (metric,
     * value) frame: volume (docs, tokens, chars), diversity (langs,

@@ -162,6 +162,29 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L))
   }
 
+  test("q158 distinct-n: totals step down by corpus docs, diversity rises") {
+    val rows = TextQueries.distinctN(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // total n-grams drop by (n-1) per doc long enough: total(n) >=
+    // total(n+1), and distinct counts grow with n while bounded by total
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._2 >= b._2, "gram totals must shrink with n")
+      assert(a._3 <= b._3, "distinct grams must grow with n")
+    }
+    rows.foreach { case (_, total, nd, ppm) =>
+      assert(nd <= total)
+      assert(ppm === nd * 1000000L / total)
+    }
+    // unigram distinct == corpus vocabulary
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.head._3 === vocab)
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
