@@ -185,6 +185,7 @@ object SparkEntry {
     "q156_pct_normalize"  -> (TextQueries.percentileNormalize _),
     "q157_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q158_distinct_n"     -> (TextQueries.distinctN _),
+    "q159_epoch_shuffle"  -> ((s, d) => TextQueries.epochShuffle(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1988,6 +1989,8 @@ object SparkEntry {
     "q157_containment" -> Dedup.containmentPairsSql(),
     // q158: distinct-n lexical diversity (operators/TextQueries.scala)
     "q158_distinct_n" -> TextQueries.distinctNSql,
+    // q159: deterministic epoch shuffle (operators/TextQueries.scala)
+    "q159_epoch_shuffle" -> TextQueries.epochShuffleSql(),
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

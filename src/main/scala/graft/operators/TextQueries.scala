@@ -654,6 +654,55 @@ object TextQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q159: deterministic epoch shuffling — the training-order
+    * permutation: per epoch, every document's position in a
+    * pseudo-random but fully reproducible order (epoch-salted
+    * [[PortableHash]] rehash of the content-stable doc hash, rank via
+    * [[Ranks.globalRowNumber]]). Data loaders need (a) a different order
+    * every epoch, (b) the SAME order on re-run/resume — random() gives
+    * (a) but not (b); this gives both, and the hash-gated oracle proves
+    * byte-identical orders across engines (the resume guarantee as a
+    * test, not a promise).
+    *
+    * Scale: ranking rides the range-partitioned distributed row-number
+    * primitive — never an unpartitioned ORDER BY window (the q89
+    * single-reducer trap); epochs shuffle independently (epoch is a
+    * group key). */
+  def epochShuffle(s: SparkSession, dir: String,
+                   epochs: Int = 2): DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (PortableHash.h60(col("doc_id").cast("string")) % PortableHash.P)
+          .as("h"))
+    val perEpoch = (1 to epochs).map { e =>
+      docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+        PortableHash.slotHash(e, col("h")).as("k"))
+    }.reduce(_ unionByName _)
+    Ranks.globalRowNumber(perEpoch, Seq("epoch"), Seq("k", "doc_id"),
+        out = "position")
+      .select(col("epoch"), col("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  /** DuckDB oracle for [[epochShuffle]]. */
+  def epochShuffleSql(epochs: Int = 2): String = {
+    import graft.functions.PortableHash
+    val h = s"((${PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")}) % " +
+      s"${PortableHash.P})"
+    val rows = (1 to epochs).map { e =>
+      s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id,
+         |  ${PortableHash.slotHashSql(e, h)} AS k FROM documents"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS ($rows)
+       |SELECT epoch,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+       |    AS BIGINT) AS position,
+       |  doc_id
+       |FROM p ORDER BY epoch, position""".stripMargin
+  }
+
   /** q158: distinct-n diversity — for n = 1..4, total n-gram occurrences
     * vs distinct n-grams across the corpus, ratio in integer ppm (the
     * distinct-n metric of Li et al. 2016, corpus-level): the standard

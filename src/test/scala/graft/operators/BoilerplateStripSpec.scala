@@ -185,6 +185,29 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(rows.head._3 === vocab)
   }
 
+  test("q159 epoch shuffle: true permutations, distinct orders, reproducible") {
+    val rows = TextQueries.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1L, 2L))
+    byEpoch.foreach { case (e, er) =>
+      // a permutation: positions are exactly 1..n, each doc exactly once
+      assert(er.map(_._2).sorted.toSeq === (1L to nDocs), s"epoch $e broken")
+      assert(er.map(_._3).distinct.length === nDocs.toInt)
+    }
+    // the two epochs order the corpus DIFFERENTLY...
+    val o1 = byEpoch(1L).sortBy(_._2).map(_._3).toSeq
+    val o2 = byEpoch(2L).sortBy(_._2).map(_._3).toSeq
+    assert(o1 !== o2)
+    // ...and differently from doc_id order (it genuinely shuffles)
+    assert(o1 !== o1.sorted)
+    // resume guarantee: a re-run reproduces the identical order
+    val again = TextQueries.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
