@@ -186,6 +186,7 @@ object SparkEntry {
     "q157_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q158_distinct_n"     -> (TextQueries.distinctN _),
     "q159_epoch_shuffle"  -> ((s, d) => TextQueries.epochShuffle(s, d)),
+    "q160_curriculum"     -> ((s, d) => TextQueries.curriculumOrder(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -1991,6 +1992,8 @@ object SparkEntry {
     "q158_distinct_n" -> TextQueries.distinctNSql,
     // q159: deterministic epoch shuffle (operators/TextQueries.scala)
     "q159_epoch_shuffle" -> TextQueries.epochShuffleSql(),
+    // q160: curriculum ordering — q156 levels x q159 in-level shuffle
+    "q160_curriculum" -> TextQueries.curriculumOrderSql(),
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

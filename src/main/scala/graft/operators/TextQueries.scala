@@ -703,6 +703,61 @@ object TextQueries {
        |FROM p ORDER BY epoch, position""".stripMargin
   }
 
+  /** q160: curriculum ordering — the easy-to-hard training schedule
+    * (Bengio et al. 2009) as a data-order artifact: documents bucketed
+    * into difficulty levels by within-language length percentile (the
+    * q156 normalization — longer ⇒ harder, comparable across languages),
+    * then ordered level-by-level with DETERMINISTIC shuffling inside
+    * each level (the q159 hash-permutation — no sorted-by-difficulty
+    * pathology inside a level, full re-run reproducibility). Output:
+    * each doc's level and global training position.
+    *
+    * Scale: q156's lang-partitioned window + ONE global rank via the
+    * range-partitioned distributed row-number primitive. */
+  def curriculumOrder(s: SparkSession, dir: String,
+                      levels: Int = 4): DataFrame = {
+    import graft.functions.PortableHash
+    val pct = percentileNormalize(s, dir)
+      .select(col("doc_id"), col("lang"), col("pct_ppm"))
+    val leveled = pct.select(col("doc_id"),
+      least(expr(s"pct_ppm * $levels div 1000000"), lit(levels - 1).cast("long"))
+        .as("level"),
+      PortableHash.slotHash(1,
+        PortableHash.h60(col("doc_id").cast("string")) % PortableHash.P)
+        .as("k"))
+    Ranks.globalRowNumber(leveled, Seq.empty, Seq("level", "k", "doc_id"),
+        out = "position")
+      .select(col("position"), col("level"), col("doc_id"))
+      .orderBy(col("position"))
+  }
+
+  /** DuckDB oracle for [[curriculumOrder]]. */
+  def curriculumOrderSql(levels: Int = 4): String = {
+    import graft.functions.PortableHash
+    val h = s"((${PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")}) % " +
+      s"${PortableHash.P})"
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len([x for x in string_split_regex(lower(text),
+       |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+       |  FROM t),
+       |p AS (SELECT doc_id,
+       |    CASE WHEN nl > 1 THEN (rk - 1) * 1000000 // (nl - 1)
+       |         ELSE 0 END AS pct_ppm FROM r),
+       |l AS (SELECT doc_id,
+       |    LEAST(pct_ppm * $levels // 1000000, ${levels - 1}) AS level,
+       |    ${PortableHash.slotHashSql(1, h)} AS k
+       |  FROM p)
+       |SELECT CAST(row_number() OVER (ORDER BY level, k, doc_id)
+       |    AS BIGINT) AS position,
+       |  level, doc_id
+       |FROM l ORDER BY position""".stripMargin
+  }
+
   /** q158: distinct-n diversity — for n = 1..4, total n-gram occurrences
     * vs distinct n-grams across the corpus, ratio in integer ppm (the
     * distinct-n metric of Li et al. 2016, corpus-level): the standard

@@ -208,6 +208,23 @@ class BoilerplateStripSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("q160 curriculum: levels ascend, in-level order shuffled, complete") {
+    val rows = TextQueries.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._1).sorted.toSeq === (1L to nDocs))
+    assert(rows.map(_._3).distinct.length === nDocs.toInt)
+    // difficulty levels are non-decreasing along the training order
+    val byPos = rows.sortBy(_._1)
+    byPos.zip(byPos.tail).foreach { case (a, b) =>
+      assert(a._2 <= b._2, s"level dropped at position ${b._1}")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "degenerate single level")
+    // within a level the order is hash-shuffled, not doc_id-sorted
+    val lvl0 = byPos.filter(_._2 == byPos.head._2).map(_._3).toSeq
+    assert(lvl0 !== lvl0.sorted, "level 0 not shuffled")
+  }
+
   test("corpus invariants at sf0.001: token conservation and monotone df") {
     import org.apache.spark.sql.functions._
     val out = TextQueries.boilerplateStrip(spark, sf)
