@@ -52,6 +52,45 @@ class CountMinSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("q143 incremental: per-segment sketches folded by addition equal batch") {
+    import spark.implicits._
+    // the doc's incremental claim as a proof: split the event stream in
+    // three uneven segments, sketch each side per segment, fold cells by
+    // SUM — the estimate from folded cells must equal the batch estimate
+    // bit-for-bit (cells are additive; no approximation in the fold)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val ids = ev.select(col("event_id")).orderBy(col("event_id")).collect()
+      .map(_.getLong(0))
+    val cuts = Seq(ids.length / 5, ids.length / 2)
+    val segs = Seq(
+      ev.filter(col("event_id") <= ids(cuts(0))),
+      ev.filter(col("event_id") > ids(cuts(0)) &&
+        col("event_id") <= ids(cuts(1))),
+      ev.filter(col("event_id") > ids(cuts(1))))
+    def cells(df: org.apache.spark.sql.DataFrame, t: String) = {
+      val keyed = df.filter(col("event_type") === t)
+        .select((graft.functions.PortableHash.h60(col("user_id")
+          .cast("string")) % graft.functions.PortableHash.P).as("h"))
+      val rows = (1 to CountMin.D).map(i =>
+        struct(lit(i).as("i"),
+          (graft.functions.PortableHash.slotHash(i, col("h")) % CountMin.JW)
+            .as("pos")))
+      keyed.select(explode(array(rows: _*)).as("r"))
+        .groupBy(col("r.i").as("i"), col("r.pos").as("pos"))
+        .agg(count(lit(1)).as("c"))
+    }
+    def fold(t: String) = segs.map(cells(_, t)).reduce(_ unionByName _)
+      .groupBy(col("i"), col("pos")).agg(sum(col("c")).as("c"))
+    val est = fold("view").as("a")
+      .join(fold("purchase").as("b"),
+        col("a.i") === col("b.i") && col("a.pos") === col("b.pos"))
+      .groupBy(col("a.i")).agg(sum(col("a.c") * col("b.c")).as("ip"))
+      .agg(min(col("ip"))).head.getLong(0)
+    val batch = CountMin.joinSizeEstimate(spark, sf).head.getLong(6)
+    assert(est === batch, s"incremental fold diverged: $est vs $batch")
+  }
+
   test("q143 join-size estimate: never under, exact under no collisions") {
     // real data: est >= exact (collisions only add), and the reported
     // min-over-depths really is the min of the three inner products
