@@ -64,7 +64,7 @@ object CountMin {
     val h = PortableHash.h60(col("t")) % PortableHash.P
     val probes = (1 to D).map(i =>
       struct(lit(i).as("i"), (PortableHash.slotHash(i, h) % W).as("pos")))
-    top
+    val out = top
       .select(col("t"), col("exact_ct"), explode(array(probes: _*)).as("r"))
       .select(col("t"), col("exact_ct"), col("r.i").as("i"),
         col("r.pos").as("pos"))
@@ -74,6 +74,13 @@ object CountMin {
       .select(col("token"), col("exact_ct"), col("est_ct"),
         expr("(est_ct - exact_ct) * 1000000 div exact_ct").as("over_ppm"))
       .orderBy(col("exact_ct").desc, col("token"))
+      // topK-row result: pin it eagerly so the shingle cache can be
+      // released NOW instead of leaking for the session (the dupClusters
+      // discipline — every audit run otherwise parks one executor-storage
+      // table per invocation)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
   }
 
   /** DuckDB oracle rebuilding the identical sketch and audit. */

@@ -578,11 +578,13 @@ object Similarity {
     s"""WITH red AS MATERIALIZED (SELECT vec_id, $yList AS y
        |  FROM embeddings),
        |q AS (SELECT vec_id AS qid, y AS qy FROM red WHERE vec_id < $nQueries),
-       |sc AS (SELECT q.qid, r.vec_id AS nid,
+       |sc AS (SELECT qid, nid,
+       |    CASE WHEN isnan(rsim0) THEN -2 ELSE rsim0 END AS rsim
+       |  FROM (SELECT q.qid, r.vec_id AS nid,
        |    round((${dotSql("r.y", "q.qy")}) /
        |      (sqrt(${dotSql("r.y", "r.y")}) * sqrt(${dotSql("q.qy", "q.qy")})),
-       |      6) AS rsim
-       |  FROM red r, q WHERE r.vec_id <> q.qid),
+       |      6) AS rsim0
+       |  FROM red r, q WHERE r.vec_id <> q.qid)),
        |rp AS (SELECT qid, nid FROM (SELECT qid, nid,
        |    row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, nid) AS rn
        |  FROM sc) WHERE rn <= $k),

@@ -774,15 +774,17 @@ object TextQueries {
   def distinctN(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(Text.tokens(col("text")).as("toks")).persist()
-    (1 to 4).map { n =>
-      toks.select(explode(Text.shinglesPositional(col("toks"), n)).as("g"))
-        .agg(count(lit(1)).as("total"),
-          countDistinct(col("g")).as("n_distinct"))
-        .select(lit(n.toLong).as("n"), col("total"), col("n_distinct"))
-    }.reduce(_ unionByName _)
-      .select(col("n"), col("total"), col("n_distinct"),
-        expr("n_distinct * 1000000 div total").as("distinct_ppm"))
-      .orderBy(col("n"))
+    graft.operators.Dedup.pinAndRelease(
+      (1 to 4).map { n =>
+        toks.select(explode(Text.shinglesPositional(col("toks"), n)).as("g"))
+          .agg(count(lit(1)).as("total"),
+            countDistinct(col("g")).as("n_distinct"))
+          .select(lit(n.toLong).as("n"), col("total"), col("n_distinct"))
+      }.reduce(_ unionByName _)
+        .select(col("n"), col("total"), col("n_distinct"),
+          expr("n_distinct * 1000000 div total").as("distinct_ppm"))
+        .orderBy(col("n")),
+      toks)
   }
 
   /** DuckDB oracle for [[distinctN]]. */
@@ -840,19 +842,22 @@ object TextQueries {
     val pii = TextQueries.piiScanDf(docs)
       .filter(col("has_pii") > 0).count()
     val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head().getLong(0)
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    // empty corpus: every ppm denominator is 0 — degrade to 0-ppm rows
+    // like the rest of the library instead of ArithmeticException
+    def ppm(x: Long): Long = if (nDocs == 0) 0L else x * 1000000L / nDocs
     Seq(
       ("n_docs", nDocs),
-      ("n_tokens", base.getLong(1)),
-      ("n_chars", base.getLong(2)),
+      ("n_tokens", if (base.isNullAt(1)) 0L else base.getLong(1)),
+      ("n_chars", if (base.isNullAt(2)) 0L else base.getLong(2)),
       ("n_langs", base.getLong(3)),
       ("n_sources", base.getLong(4)),
       ("near_dup_docs", clustered),
-      ("near_dup_ppm", clustered * 1000000L / nDocs),
+      ("near_dup_ppm", ppm(clustered)),
       ("exact_dup_docs", exactDup),
       ("pii_docs", pii),
-      ("pii_ppm", pii * 1000000L / nDocs),
-      ("top_lang_ppm", topLang * 1000000L / nDocs))
+      ("pii_ppm", ppm(pii)),
+      ("top_lang_ppm", ppm(topLang)))
       .toDF("metric", "value").orderBy(col("metric"))
   }
 

@@ -109,10 +109,14 @@ object MultiTouchStream {
       RefQueries.multiTouchJoin(purchases, allTouches, lookbackUs))
     // prune: a touch at or before (frontier − lookback) can never fall in
     // a future purchase's window (future pus > frontier under the
-    // boundary contract), so state stays lookback-bounded
+    // boundary contract), so state stays lookback-bounded. An EMPTY
+    // trigger (routine in streaming) has max(us)=NULL — the coalesce
+    // makes the cutoff -∞ so the filter keeps every state row instead
+    // of NULL-dropping all of it.
     val frontier = batch.agg(max(col("us")).as("frontier"))
     val newState = allTouches.crossJoin(broadcast(frontier))
-      .filter(col("tus") > col("frontier") - lookbackUs)
+      .filter(col("tus") >
+        coalesce(col("frontier") - lookbackUs, lit(Long.MinValue)))
       .select(col("tuser"), col("tus"), col("tid"), col("touch_type"))
     (newState, credits)
   }
