@@ -40,7 +40,7 @@ object SparkEntry {
     "q15_dedup_exact"     -> (Dedup.exactDupGroups _),
     "q16_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q17_minhash_pairs"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-    "q18_simhash"         -> (Dedup.simhashFingerprints _),
+    "q18_simhash"         -> ((s, d) => Dedup.simhashFingerprints(s, d)),
     "q19_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q20_ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q21_ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -298,14 +298,24 @@ object SparkEntry {
   /** q140 oracle: the dedup methods' own proven SQL protocols composed
     * into a recall/precision audit against the exact-Jaccard truth —
     * the q130 composition pattern applied to the dedup family. */
-  private def dedupQualitySql(base: Map[String, String]): String = {
+  private def dedupQualitySql(base: Map[String, String],
+                              sample: Int = 8): String = {
+    // the audit runs on the q103-predicate doc sample (sample/32 of the
+    // corpus) — every method's proven SQL protocol re-targeted at the
+    // sampled doc set by swapping its base-table reference for the sdocs
+    // CTE; the Spark side applies the identical integer predicate
+    val pred =
+      s"(${graft.functions.PortableHash.h60Sql("CAST(doc_id AS VARCHAR)")})" +
+        s" < ${sample.toLong << 55}"
+    def sampled(sql: String): String =
+      if (sample >= 32) sql else sql.replace("FROM documents", "FROM sdocs")
     val methods = Seq(
       "fuzzy_heads" -> "q101_fuzzy_dups",
       "minhash_lsh" -> "q17_minhash_pairs",
       "ppjoin_t05" -> "q131_ppjoin",
       "simhash" -> "q19_simhash_pairs")
     val ctes = methods
-      .map { case (nm, k) => s"m_$nm AS MATERIALIZED (\n${base(k)}\n)" }
+      .map { case (nm, k) => s"m_$nm AS MATERIALIZED (\n${sampled(base(k))}\n)" }
       .mkString(",\n")
     val rows = methods.map { case (nm, _) =>
       s"""SELECT '$nm' AS method,
@@ -314,8 +324,10 @@ object SparkEntry {
          |    INTERSECT SELECT id_a, id_b FROM ex)) AS n_hits"""
         .stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ex AS MATERIALIZED (
-       |${base("q16_ngram_jaccard")}
+    s"""WITH sdocs AS MATERIALIZED (
+       |  SELECT * FROM documents WHERE $pred),
+       |ex AS MATERIALIZED (
+       |${sampled(base("q16_ngram_jaccard"))}
        |),
        |$ctes,
        |nx AS (SELECT COUNT(*) AS n_exact FROM ex),
@@ -333,7 +345,15 @@ object SparkEntry {
   /** q130 oracle: the ANN methods' own proven SQL protocols composed
     * into a recall audit against the exact top-k — both engines grade
     * the same candidate sets against the same truth. */
-  private def annRecallSql(base: Map[String, String]): String = {
+  private def annRecallSql(base: Map[String, String],
+                           sample: Int = 8): String = {
+    // corpus slice for the audit: query vectors always kept, corpus rows
+    // by the q103 predicate — mirrored exactly by Similarity.embSample
+    val pred = "vec_id < 5 OR " +
+      s"(${graft.functions.PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")})" +
+      s" < ${sample.toLong << 55}"
+    def sampled(sql: String): String =
+      if (sample >= 32) sql else sql.replace("FROM embeddings", "FROM semb")
     val methods = Seq(
       "int8" -> "q65_ann_quantized",
       "ivf" -> "q31_ann_ivf",
@@ -341,15 +361,17 @@ object SparkEntry {
       "lsh_banded" -> "q42_ann_lsh_banded",
       "pq" -> "q128_ann_pq")
     val ctes = methods
-      .map { case (nm, key) => s"m_$nm AS (\n${base(key)}\n)" }
+      .map { case (nm, key) => s"m_$nm AS (\n${sampled(base(key))}\n)" }
       .mkString(",\n")
     val rows = methods.map { case (nm, _) =>
       s"""SELECT '$nm' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
          |  FROM (SELECT qid, nid FROM m_$nm INTERSECT
          |        SELECT qid, nid FROM ex)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ex AS (
-       |${base("q20_ann_topk")}
+    s"""WITH semb AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE $pred),
+       |ex AS (
+       |${sampled(base("q20_ann_topk"))}
        |),
        |$ctes,
        |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),

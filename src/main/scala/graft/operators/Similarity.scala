@@ -17,6 +17,16 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Deterministic corpus sample for the q130 audit (q103's pure-integer
+    * predicate on vec_id; sample = 32 keeps everything). Query vectors
+    * (vec_id < nQueries) are ALWAYS kept so the audit grades the same
+    * query set at any sample rate; only the searched corpus thins. */
+  private def embSample(df: DataFrame, sample: Int, nQueries: Int): DataFrame =
+    if (sample >= 32) df
+    else df.filter(col("vec_id") < nQueries ||
+      graft.functions.PortableHash.h60(col("vec_id").cast("string")) <
+        lit(sample.toLong << 55))
+
   /** Exact double-precision dot product of two float vectors, accumulated
     * left-to-right (mirrors the DuckDB oracle's list_sum over list_zip). */
   private def dot(a: Column, b: Column): Column =
@@ -36,8 +46,9 @@ object Similarity {
     * [[graft.plans.FloatVecCosine]] expression (bit-identical to the HOF
     * formula, ~µs -> ~ns per pair). */
   def bruteForceTopK(s: SparkSession, dir: String,
-                     nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+                     nQueries: Int = 5, k: Int = 10,
+                     sample: Int = 32): DataFrame = {
+    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < nQueries)
@@ -126,7 +137,8 @@ object Similarity {
     * distributed-k-means shape. All scoring runs through the codegen'd
     * FloatVecCosine. */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-              nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2,
+              sample: Int = 32): DataFrame = {
     // persist: the corpus feeds every Lloyd assignment pass plus the final
     // assignment/probe/scoring — without it each pass re-scans and
     // re-decodes the parquet. The cache entry lives until session end or
@@ -134,7 +146,7 @@ object Similarity {
     // should spark.sqlContext.clearCache() between corpora.
     // hash-partitioned on vec_id (not round-robin) so each assignment
     // pass's join-back of the winning cid meets the corpus exchange-free
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
@@ -175,11 +187,12 @@ object Similarity {
     * [[Dedup.embeddingDupPairsLsh]]). */
   def lshTopKMulti(s: SparkSession, dir: String,
                    nQueries: Int = 5, k: Int = 10,
-                   bands: Int = 15, bitsPerBand: Int = 4): DataFrame = {
+                   bands: Int = 15, bitsPerBand: Int = 4,
+                   sample: Int = 32): DataFrame = {
     val bits = bands * bitsPerBand
     require(bits <= 63, s"bucket bits out of long range: $bits")
     val mask = (1L << bitsPerBand) - 1
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         graft.plans.FloatVecLshBucket(s, col("embedding"), bits).as("bucket"))
@@ -267,9 +280,10 @@ object Similarity {
     * exact trade is spec-measured (SimilaritySpec quantized-recall test)
     * instead of declared. */
   def quantizedTopK(s: SparkSession, dir: String,
-                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+                    nQueries: Int = 5, k: Int = 10,
+                    sample: Int = 32): DataFrame = {
     val emb = quantized(
-      Tables.load(s, dir, "embeddings")
+      embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding")))
     val q = emb.filter(col("vec_id") < nQueries)
@@ -372,8 +386,8 @@ object Similarity {
 
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
              m: Int = 4, codebookSize: Int = 16,
-             lloydRounds: Int = 2): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+             lloydRounds: Int = 2, sample: Int = 32): DataFrame = {
+    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
@@ -407,8 +421,8 @@ object Similarity {
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 5,
                 k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
                 lloydRounds: Int = 2, m: Int = 4,
-                codebookSize: Int = 16): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+                codebookSize: Int = 16, sample: Int = 32): DataFrame = {
+    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .persist()
@@ -618,20 +632,26 @@ object Similarity {
     * as integer-ppm recall. The completeness critic for the retrieval
     * family: an index whose recall regresses shows up as a changed row
     * in the driver's hash compare, so quality is GATED, not just
-    * documented. At 100 TB this runs on a query sample against a corpus
-    * slice — the methodology every production ANN deployment ships with.
+    * documented. Runs on a deterministic corpus SLICE by default
+    * (`sample`/32 of vectors via the q103 integer predicate, queries
+    * always kept) — the shape that still runs at 100 TB, where exhaustive
+    * ground truth is unpayable; `sample = 32` restores the full-corpus
+    * audit for small scale factors (spec-pinned consistent with the
+    * sampled one). The oracle applies the identical predicate in a CTE.
     * The oracle composes the methods' own proven SQL protocols, so both
     * engines grade the same candidates against the same truth. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = bruteForceTopK(s, dir).select(col("qid"), col("nid"))
+  def annRecall(s: SparkSession, dir: String,
+                sample: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(s, dir, sample = sample)
+      .select(col("qid"), col("nid"))
       .localCheckpoint(true)
     val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
     val methods: Seq[(String, DataFrame)] = Seq(
-      "int8" -> quantizedTopK(s, dir),
-      "ivf" -> ivfTopK(s, dir),
-      "ivfpq" -> ivfPqTopK(s, dir),
-      "lsh_banded" -> lshTopKMulti(s, dir),
-      "pq" -> pqTopK(s, dir))
+      "int8" -> quantizedTopK(s, dir, sample = sample),
+      "ivf" -> ivfTopK(s, dir, sample = sample),
+      "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
+      "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
+      "pq" -> pqTopK(s, dir, sample = sample))
     methods.map { case (nm, df) =>
       exact.join(df.select(col("qid"), col("nid")), Seq("qid", "nid"),
           "left_semi")

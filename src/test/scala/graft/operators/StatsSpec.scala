@@ -250,6 +250,29 @@ class StatsSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet == Set(nEx))
   }
 
+  test("q140 sampled truth is exactly the full truth restricted to the sample") {
+    import org.apache.spark.sql.functions._
+    // the audit's sampled ground-truth leg must equal the FULL q16 pair
+    // set filtered to pairs whose BOTH endpoints pass the q103 predicate —
+    // sampling may not invent or move a single truth pair (it only
+    // restricts the graded universe)
+    val keep = graft.functions.PortableHash
+      .h60(col("doc_id").cast("string")) < lit(8L << 55)
+    val sampledIds = graft.Tables.load(spark, sf, "documents")
+      .filter(keep).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Dedup.ngramJaccardPairs(spark, sf, sample = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled ===
+      full.filter(p => sampledIds(p._1) && sampledIds(p._2)))
+    // full mode is the unsampled audit (r8 semantics), still available
+    val fullAudit = Dedup.dedupQualityAudit(spark, sf, sample = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fullAudit.values.toSet == Set(full.size.toLong))
+  }
+
   test("q150 split balance: hash split passes, planted skew detected") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
