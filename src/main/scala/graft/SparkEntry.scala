@@ -143,7 +143,7 @@ object SparkEntry {
     "q114_anomaly_days"   -> (graft.operators.Series.anomalyDays _),
     "q115_phrase_search"  -> ((s, d) => TextQueries.phraseSearch(s, d)),
     "q116_heavy_hitters"  -> ((s, d) => graft.operators.Stats.heavyHitters(s, d)),
-    "q117_components"     -> (graft.operators.Graph.connectedComponents _),
+    "q117_components"     -> (graft.operators.Graph.connectedComponentsStar _),
     "q118_equidepth"      -> ((s, d) => graft.operators.Ranks.equiDepthHistogram(s, d)),
     "q119_skyline"        -> (graft.operators.Stats.skyline _),
     "q120_robust_outliers" -> (graft.operators.Ranks.robustOutliers _),

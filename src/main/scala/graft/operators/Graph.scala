@@ -284,14 +284,21 @@ object Graph {
     * vocabulary-sized, so per-round cost after the initial pair join is
     * metadata-scale). At adversarial diameters (long chains) the
     * known upgrade is alternating large-star/small-star contraction
-    * (O(log²  n) rounds, Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") — same edge-frame API, not needed at any
-    * measured SF. `localCheckpoint` truncates lineage per round (the
+    * (O(log² n) rounds, Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — implemented as [[componentsStarFrom]],
+    * now the q117 default (measured faster on the real graph too);
+    * this propagation form stays as the simple twin the spec grades
+    * it against. `localCheckpoint` truncates lineage per round (the
     * q112 discipline); the convergence `count` is one extra metadata-
     * sized action per round.
     */
   def connectedComponents(s: SparkSession, dir: String): DataFrame =
     componentsFrom(pairFrame(s, dir).select(col("p1"), col("p2")))
+
+  /** [[connectedComponents]] via [[componentsStarFrom]] — identical
+    * output, O(log² n) rounds instead of diameter-many. */
+  def connectedComponentsStar(s: SparkSession, dir: String): DataFrame =
+    componentsStarFrom(pairFrame(s, dir).select(col("p1"), col("p2")))
 
   /** The label-propagation core over an undirected (p1 < p2) edge frame. */
   def componentsFrom(e: DataFrame): DataFrame = {
@@ -316,6 +323,65 @@ object Graph {
       labels = next.select(col("pk"), col("lbl"))
     }
     labels.select(col("pk"), col("lbl").as("component"))
+      .orderBy(col("pk"))
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR/SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-diameter upgrade the
+    * [[componentsFrom]] docstring promises: label propagation needs
+    * diameter rounds (fine on the measured small-world graphs, fatal on a
+    * long chain), star contraction provably converges in O(log² n) rounds
+    * regardless of diameter, each round two neighborhood-min aggregates
+    * and an equi-join — the same shuffle shapes, just fewer of them.
+    *
+    *  - large-star: every node points its LARGER neighbors at its
+    *    neighborhood minimum (keeps the graph connected, strictly
+    *    shrinks long tails);
+    *  - small-star: every node folds itself and its smaller neighbors
+    *    onto that minimum (contracts the hubs large-star built).
+    *
+    * Both rewrites preserve the component partition and only ever lower
+    * labels toward the component minimum, so at the star fixed point
+    * every node's neighborhood min IS the component min — identical
+    * output to [[componentsFrom]] (GraphSpec pins equality on the real
+    * graph and on a 4096-node chain, where this needs ~⌈log² n⌉ rounds
+    * and propagation would need 4096). Same edge-frame API. */
+  def componentsStarFrom(e: DataFrame,
+                         onRound: Int => Unit = _ => ()): DataFrame = {
+    def sym(ed: DataFrame): DataFrame =
+      ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    // neighborhood minimum per node (including the node itself)
+    def nbrMin(ed: DataFrame): DataFrame =
+      ed.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    var edges = sym(e.select(col("p1").as("u"), col("p2").as("v")))
+      .localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      val large = sym(edges.join(nbrMin(edges), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      val mSmall = nbrMin(large)
+      val small = sym(large.join(mSmall, "u")
+        .filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mSmall.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // fixed point: the undirected edge set stopped moving
+      changed = small.unionByName(edges).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") === 1).count()
+      edges.unpersist(false); large.unpersist(false)
+      edges = small
+      rounds += 1
+      onRound(rounds)
+    }
+    // at the star fixed point each node's neighborhood min is its root;
+    // roots label themselves
+    nbrMin(edges).select(col("u").as("pk"), col("m").as("component"))
       .orderBy(col("pk"))
   }
 

@@ -174,6 +174,35 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("q117 star contraction equals propagation on the real graph") {
+    val edges = Graph.pairFrame(spark, sf).select(col("p1"), col("p2"))
+      .localCheckpoint(true)
+    val prop = Graph.componentsFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Graph.componentsStarFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+  }
+
+  test("q117 star contraction: a 4096-node chain converges in O(log² n) rounds") {
+    import spark.implicits._
+    // diameter 4095: label propagation would need 4095 rounds; the
+    // alternating large-star/small-star bound is O(log² n) ≈ 144 with a
+    // small constant — measured single digits. Also plant a second
+    // component (an 8-cycle offset past the chain) so cross-component
+    // isolation is checked at adversarial diameter too.
+    val chain = (1L until 4096L).map(i => (i, i + 1))
+    val cycle = (0L until 8L).map(i => (5000L + i, 5000L + (i + 1) % 8))
+    var rounds = 0
+    val got = Graph.componentsStarFrom(
+        (chain ++ cycle).toDF("p1", "p2"), r => rounds = r)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 4096 + 8)
+    (1L to 4096L).foreach(i => assert(got(i) === 1L))
+    (5000L until 5008L).foreach(i => assert(got(i) === 5000L))
+    assert(rounds <= 24, s"star contraction took $rounds rounds on a chain")
+  }
+
   test("q117 on real data: edge endpoints agree, component ids are members") {
     val comp = Graph.connectedComponents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
