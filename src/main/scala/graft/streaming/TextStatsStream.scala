@@ -1,0 +1,270 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Streaming twins for the round-8 corpus-diversity/governance queries —
+  * the established twin discipline (IndexStream, CurationStreaming,
+  * IncrementalDedupStreaming): each operator maintains mergeable state
+  * per micro-batch with O(batch) new work, survives at-least-once
+  * re-delivery via a seen-doc anti-join, and its report is bit-equal to
+  * the batch query at every trigger boundary (spec-pinned across uneven
+  * splits). At 100 TB the state frames bucket by their key and persist
+  * through [[VersionedState.applyBatch]] like every other twin. */
+object TextStatsStream {
+
+  private[streaming] def emptySeen(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+
+  private[streaming] def newDocs(seen: DataFrame, batch: DataFrame): DataFrame =
+    batch.join(seen, Seq("doc_id"), "left_anti").localCheckpoint(true)
+}
+
+/** Incremental q158 (`TextQueries.distinctN`): lexical diversity
+  * (distinct-n ppm for n = 1..4) maintained as per-(n, gram) occurrence
+  * counts. Partials MERGE BY SUM — each doc's grams are a pure function
+  * of the doc, so any batch split folds to the same counts — and the
+  * report re-derives (total, n_distinct) from the count table: total =
+  * Σcount, n_distinct = row count per n. State is gram-vocabulary-sized
+  * per order; at scale it buckets by (n, gram). */
+object DistinctNStream {
+  import TextStatsStream._
+
+  /** Fold one micro-batch of (doc_id, text). Returns (state', seen'). */
+  def mergeBatch(state: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val delta = (1 to 4).map { n =>
+      fresh.select(Text.tokens(col("text")).as("toks"))
+        .select(explode(Text.shinglesPositional(col("toks"), n)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_new"))
+        .select(lit(n.toLong).as("n"), col("g"), col("c_new"))
+    }.reduce(_ unionByName _)
+    val state2 = state.join(delta, Seq("n", "g"), "full_outer")
+      .select(col("n"), col("g"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (state2, seen2)
+  }
+
+  /** The q158 report off maintained state — identical columns/order. */
+  def report(s: SparkSession, state: DataFrame): DataFrame = {
+    import s.implicits._
+    val spine = (1L to 4L).toDF("n")
+    spine.join(
+        state.groupBy(col("n")).agg(sum(col("c")).as("total"),
+          count(lit(1)).as("n_distinct")),
+        Seq("n"), "left")
+      .select(col("n"), coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .select(col("n"), col("total"), col("n_distinct"),
+        expr("n_distinct * 1000000 div total").as("distinct_ppm"))
+      .orderBy(col("n"))
+  }
+
+  def emptyState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+}
+
+/** Incremental q151 (`TextQueries.gramNovelty`): per-document novelty
+  * emitted ON ARRIVAL, against an append-only first-seen gram set (the
+  * IndexStream pattern: the state row (g, fd) never changes once
+  * written, because first-seen is first-seen).
+  *
+  * Contract: ingest ordered by doc_id with batch boundaries between ids
+  * (the AttributionStream ordered-ingest discipline) — q151 defines
+  * novelty by first occurrence in doc_id order, so a doc's score is
+  * final the moment every smaller id has arrived. Within that contract
+  * streamed rows equal batch q151 row-for-row (state merges with `least`
+  * so even a same-batch tie resolves to the true minimum). */
+object NoveltyStream {
+  import TextStatsStream._
+
+  /** Fold one micro-batch of (doc_id, text). Returns
+    * (state', seen', this batch's final (doc_id, n_grams, n_novel,
+    * novelty_ppm) rows). */
+  def mergeBatch(state: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val sh = fresh
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"))).as("g"))
+      .localCheckpoint(true)
+    val batchFirst = sh.groupBy(col("g")).agg(min(col("doc_id")).as("bfd"))
+    val state2 = state.join(batchFirst, Seq("g"), "full_outer")
+      .select(col("g"),
+        least(coalesce(col("fd"), col("bfd")),
+          coalesce(col("bfd"), col("fd"))).as("fd"))
+      .localCheckpoint(true)
+    val per = sh.join(state2, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+    val out = fresh.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          expr("n_novel * 1000000 div n_grams")).as("novelty_ppm"))
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (state2, seen2, out)
+  }
+
+  def emptyState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fd",
+          org.apache.spark.sql.types.LongType))))
+}
+
+/** Incremental q152 (`TextQueries.effectiveSize`): the dedup-weighted
+  * effective-size report maintained against INCREMENTAL near-dup
+  * clustering — the heaviest twin, because cluster membership is global
+  * state that new arrivals can MERGE (a new doc near-duplicating two
+  * old clusters unites them).
+  *
+  * Three state frames, all keyed and bucketable:
+  *  - `hashes` (doc_id, shingle-hash): the persisted fingerprint
+  *    artifact (incrementalDedup's discipline) — feeds exact Jaccard
+  *    verification of candidates;
+  *  - `bands` (doc_id, band_id, band_hash): the persisted LSH index —
+  *    new docs' band rows probe it, so candidates are new×all, never
+  *    old×old re-discovered;
+  *  - `labels` (doc_id, n_tokens, lbl): cluster assignment, lbl = the
+  *    component-minimum doc id.
+  *
+  * Per trigger: O(batch) shingling, a bucket-join of the batch's band
+  * rows against the index, exact verification of only those candidates,
+  * then a LABEL-LEVEL star contraction (metadata-sized: nodes are the
+  * touched cluster labels) to fold any merges. Arrival order is
+  * irrelevant — the discovered edge set is exactly the batch
+  * [[Dedup.minhashLshPairs]] edge set at every point (each qualifying
+  * pair shares a band bucket and is found when its later doc arrives),
+  * so streamed clusters == batch clusters == the q152 report, which the
+  * spec pins across uneven splits and a re-delivered batch. */
+object EffectiveSizeStream {
+  import TextStatsStream._
+
+  /** Fold one micro-batch of (doc_id, text).
+    * Returns (hashes', bands', labels'). */
+  def mergeBatch(hashes: DataFrame, bands: DataFrame, labels: DataFrame,
+                 batch: DataFrame, threshold: Double = 0.3,
+                 k: Int = 64, nBands: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fresh = newDocs(labels.select(col("doc_id")), batch)
+    val freshToks = fresh.select(col("doc_id"),
+      Text.tokens(col("text")).as("toks"))
+    val newHashes = Dedup.shingleHashes(freshToks).localCheckpoint(true)
+    val newBands = Dedup.lshBandRows(newHashes, k, nBands)
+      .localCheckpoint(true)
+    val hashes2 = hashes.unionByName(newHashes).localCheckpoint(true)
+    val bands2 = bands.unionByName(newBands).localCheckpoint(true)
+    // candidates: batch band rows probe the FULL index (old + new) —
+    // a pair is discovered exactly once, when its later doc arrives
+    val cand = newBands.as("a").join(bands2.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    // exact verification against the fingerprint artifact (the
+    // minhashLshPairs protocol verbatim: occurrence counts, not sets)
+    val cnt = hashes2.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val shared = cand
+      .join(hashes2.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(hashes2.select(col("doc_id").as("id_b"), col("h")),
+        Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    val edges = shared
+      .join(cnt.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .filter(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    // label-level merge: map new edges through current labels (new docs
+    // label themselves), contract the touched labels, relabel members
+    val newLabels = labels
+      .unionByName(fresh
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          col("doc_id").as("lbl")))
+      .localCheckpoint(true)
+    val lblOf = newLabels.select(col("doc_id"), col("lbl"))
+    val lblEdges = edges
+      .join(lblOf.select(col("doc_id").as("id_a"), col("lbl").as("p1")), "id_a")
+      .join(lblOf.select(col("doc_id").as("id_b"), col("lbl").as("p2")), "id_b")
+      .filter(col("p1") =!= col("p2"))
+      .select(col("p1"), col("p2")).distinct()
+    val labels2 = if (lblEdges.isEmpty) newLabels else {
+      val merged = graft.operators.Graph.componentsStarFrom(lblEdges)
+        .select(col("pk").as("lbl"), col("component"))
+      newLabels.join(merged, Seq("lbl"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("component"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    (hashes2, bands2, labels2)
+  }
+
+  /** The q152 report off maintained labels — identical columns/order. */
+  def report(labels: DataFrame): DataFrame = {
+    val perCluster = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"), sum(col("n_tokens")).as("c_tokens"))
+      .select(col("csize"), col("c_tokens"),
+        expr("c_tokens * 1000000 div csize").as("eff_micro"))
+    perCluster.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("c_tokens")).as("raw_tokens"),
+        sum(col("eff_micro")).as("effective_micro"))
+      .orderBy(col("csize"))
+  }
+
+  def emptyHashes(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))))
+
+  def emptyBands(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_hash",
+          org.apache.spark.sql.types.LongType))))
+
+  def emptyLabels(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType))))
+}
