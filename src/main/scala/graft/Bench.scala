@@ -6,6 +6,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // ship the catalog-level extension path as the default: SQL-surface
+      // users get float_vec_cosine / float_vec_lsh_bucket without Scala
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -90,7 +93,17 @@ object Bench {
         spark.sql("DROP TABLE IF EXISTS bench_b_orders")
       } catch { case _: Throwable => () }
     }
-    val qs = (results ++ bucketedResults).map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout contract line stays SHORT (VERDICT r8 #8: the driver's tail
+    // capture truncated the 162-entry map mid-line two rounds running):
+    // the line carries the total plus a fixed headline subset; the FULL
+    // per-query map lives in BENCH_LOCAL.json (one entry per line,
+    // committed, diffs cleanly).
+    val headline = Set("q01_pricing_summary", "q05_star_wide", "q17_minhash_pairs",
+      "q20_ann_topk", "q39_product_stats_full", "q101_fuzzy_dups", "q112_pagerank",
+      "q117_components", "q130_ann_recall", "q131_ppjoin", "q140_dedup_quality",
+      "q159_epoch_shuffle")
+    val qs = (results ++ bucketedResults).filter(kv => headline(kv._1))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Committed per-query artifact (VERDICT r6 "what's wrong" #1): the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, RangeJoin, RefQueries, Similarity, TextQueries}
+import graft.operators.{Dedup, Layout, RangeJoin, RefQueries, Similarity, TextQueries}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -187,6 +187,10 @@ object SparkEntry {
     "q158_distinct_n"     -> (TextQueries.distinctN _),
     "q159_epoch_shuffle"  -> ((s, d) => TextQueries.epochShuffle(s, d)),
     "q160_curriculum"     -> ((s, d) => TextQueries.curriculumOrder(s, d)),
+    // q161-q163: training-data layout family (operators/Layout.scala)
+    "q161_sequence_pack"  -> ((s, d) => Layout.sequencePack(s, d)),
+    "q162_shard_assign"   -> ((s, d) => Layout.shardAssign(s, d)),
+    "q163_batch_waste"    -> ((s, d) => Layout.lengthBatchingWaste(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2016,6 +2020,10 @@ object SparkEntry {
     "q159_epoch_shuffle" -> TextQueries.epochShuffleSql(),
     // q160: curriculum ordering — q156 levels x q159 in-level shuffle
     "q160_curriculum" -> TextQueries.curriculumOrderSql(),
+    // q161-q163: layout family — packing, HRW sharding, batching waste
+    "q161_sequence_pack" -> Layout.sequencePackSql(),
+    "q162_shard_assign" -> Layout.shardAssignSql(),
+    "q163_batch_waste" -> Layout.lengthBatchingWasteSql(),
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("q161 packing: offsets are contiguous and window spans conserve tokens") {
+    val rows = Layout.sequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // contiguity: each doc starts exactly where the previous one ended
+    rows.sliding(2).foreach {
+      case Array((_, n0, off0, _, _), (_, _, off1, _, _)) =>
+        assert(off0 + n0 === off1, "packing left a gap or overlap")
+      case _ => ()
+    }
+    rows.foreach { case (id, n, off, wf, nw) =>
+      assert(wf === off / 2048, s"doc $id window_first wrong")
+      if (n > 0) {
+        assert(nw === (off + n - 1) / 2048 - off / 2048 + 1)
+        // a doc spans at most ceil(n/ctx)+1 windows
+        assert(nw <= n / 2048 + 2)
+      } else assert(nw === 0)
+    }
+  }
+
+  test("q162 HRW sharding: growing to S+1 shards moves ≈1/(S+1) of docs") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+    val s16 = Layout.shardOf(docs, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s17 = Layout.shardOf(docs, 17).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = s16.size
+    val moved = s16.count { case (id, sh) => s17(id) != sh }
+    // minimal disruption: expected n/17 ≈ 5.9%; assert within [1%, 15%]
+    // (a modulo scheme would move ~15/17 ≈ 88%)
+    assert(moved > n / 100, s"suspiciously few moved: $moved of $n")
+    assert(moved < n * 15 / 100, s"not minimally disruptive: $moved of $n")
+    // every doc that moved, moved TO the new shard 16 (HRW property:
+    // adding a shard only ever steals, never reshuffles among old ones)
+    s16.foreach { case (id, sh) =>
+      if (s17(id) != sh) assert(s17(id) === 16L, s"doc $id reshuffled") }
+  }
+
+  test("q163 batching: length order never wastes more than arrival order") {
+    val rows = Layout.lengthBatchingWaste(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nbA, padA, realA, wasteA) = rows("by_arrival")
+    val (nbL, padL, realL, wasteL) = rows("by_length")
+    assert(nbA === nbL)
+    assert(realA === realL, "real token volume must not depend on order")
+    assert(padL <= padA, "length bucketing increased padding")
+    assert(wasteL <= wasteA)
+    assert(padA >= realA && padL >= realL)
+  }
+}
