@@ -191,6 +191,11 @@ object SparkEntry {
     "q161_sequence_pack"  -> ((s, d) => Layout.sequencePack(s, d)),
     "q162_shard_assign"   -> ((s, d) => Layout.shardAssign(s, d)),
     "q163_batch_waste"    -> ((s, d) => Layout.lengthBatchingWaste(s, d)),
+    // q164-q166: curation-policy family (coverage filter, keeper policy,
+    // filter agreement)
+    "q164_dup_coverage"   -> ((s, d) => TextQueries.dupGramCoverage(s, d)),
+    "q165_dedup_keepers"  -> ((s, d) => graft.operators.Dedup.dedupKeepers(s, d)),
+    "q166_filter_kappa"   -> ((s, d) => graft.operators.Stats.filterAgreement(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2024,6 +2029,10 @@ object SparkEntry {
     "q161_sequence_pack" -> Layout.sequencePackSql(),
     "q162_shard_assign" -> Layout.shardAssignSql(),
     "q163_batch_waste" -> Layout.lengthBatchingWasteSql(),
+    // q164: df-thresholded positional-gram coverage per doc
+    "q164_dup_coverage" -> TextQueries.dupGramCoverageSql(),
+    // q166: Cohen's kappa between two integer-exact quality rules
+    "q166_filter_kappa" -> graft.operators.Stats.filterAgreementSql,
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {
@@ -2074,6 +2083,43 @@ object SparkEntry {
          |ORDER BY metric""".stripMargin
     },
     // q152: dedup-weighted effective size over the q48 cluster protocol
+    "q165_dedup_keepers" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach
+         |  GROUP BY id),
+         |q AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len([x for x in toks if list_contains([
+         |        'the','a','of','and','to','in','is','it','for','on',
+         |        'der','die','das','und','ist','ein','zu','mit','von','nicht',
+         |        'el','la','de','que','y','en','un','es','por','con',
+         |        'le','et','est','une','dans','pour'], x)]) AS BIGINT)
+         |        * 1000000 // CAST(len(toks) AS BIGINT)
+         |      ELSE 0 END AS q_ppm
+         |  FROM (SELECT doc_id,
+         |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+         |     if len(t) > 0] AS toks FROM documents)),
+         |m AS (SELECT cl.cluster, q.doc_id, q.n_tokens, q.q_ppm,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.q_ppm DESC, q.doc_id) AS rk
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT cluster,
+         |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+         |  MIN(CASE WHEN rk = 1 THEN q_ppm END) AS keeper_q_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS dropped_docs,
+         |  CAST(SUM(n_tokens) - MIN(CASE WHEN rk = 1 THEN n_tokens END)
+         |    AS BIGINT) AS dropped_tokens
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q152_effective_size" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |jp AS (SELECT id_a, id_b FROM shr

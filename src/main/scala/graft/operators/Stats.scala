@@ -759,4 +759,78 @@ object Stats {
        |  CAST(COALESCE(SUM(CASE WHEN gsize < $k THEN gsize END), 0)
        |    AS BIGINT) AS rows_at_risk
        |FROM lad GROUP BY 1, 2 ORDER BY gid""".stripMargin
+
+  /** q166: filter-agreement audit — Cohen's kappa between two quality
+    * rules over the corpus, all-integer: rule A = stopword density ≥ 20%
+    * (5·stop_hits ≥ n_tokens), rule B = mean token length in [3, 9]
+    * (3·n ≤ Σlen ≤ 9·n) — both cross-multiplied, no float thresholds.
+    * κ = (N·po_num − pe_num)·10⁶ div (N² − pe_num) with po_num = n11+n00
+    * and pe_num the marginal-product sum — chance-corrected agreement,
+    * the number that tells a curation team whether two filters are
+    * redundant (κ→1), independent (κ→0), or conflicting (κ<0). N² ·10⁶
+    * stays far inside Long at any realistic corpus count per partition
+    * report; at 10⁹ docs widen through DECIMAL(38,0) as q134 does.
+    *
+    * Scale: one corpus scan to four cell counters — a single partial-agg
+    * pass, no shuffle beyond the 1-row final combine. */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val allStops = TextQueries.stopwords.values.flatten.toSeq.distinct
+    val flags = graft.Tables.load(s, dir, "documents")
+      .select(graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(size(col("toks")).cast("long").as("n"),
+        TextQueries.hits(col("toks"), allStops).cast("long").as("sh"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sl"))
+      .select((col("sh") * 5 >= col("n")).as("a"),
+        (col("sl") >= col("n") * 3 && col("sl") <= col("n") * 9).as("b"))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("a") && col("b")).cast("long")).as("n11"),
+        sum((col("a") && !col("b")).cast("long")).as("n10"),
+        sum((!col("a") && col("b")).cast("long")).as("n01"),
+        sum((!col("a") && !col("b")).cast("long")).as("n00"))
+      .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 div n_docs").as("po_ppm"),
+        expr("((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
+          "* 1000000 div (n_docs * n_docs)").as("pe_ppm"),
+        expr("(n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00))) * 1000000 div " +
+          "(n_docs * n_docs - ((n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00)))").as("kappa_ppm"))
+  }
+
+  /** DuckDB oracle for [[filterAgreement]]. */
+  val filterAgreementSql: String = {
+    val stops = ("'" + Seq("the","a","of","and","to","in","is","it","for",
+      "on","der","die","das","und","ist","ein","zu","mit","von","nicht",
+      "el","la","de","que","y","en","un","es","por","con","le","et","est",
+      "une","dans","pour").mkString("','") + "'")
+    s"""WITH t AS (SELECT
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS toks
+       |  FROM documents),
+       |f AS (SELECT
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(len([x for x in toks if list_contains([$stops], x)])
+       |      AS BIGINT) AS sh,
+       |    CAST(COALESCE(list_sum([len(x) for x in toks]), 0)
+       |      AS BIGINT) AS sl
+       |  FROM t),
+       |g AS (SELECT (sh * 5 >= n) AS a,
+       |    (sl >= n * 3 AND sl <= n * 9) AS b FROM f),
+       |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM g)
+       |SELECT n_docs, n11, n10, n01, n00,
+       |  (n11 + n00) * 1000000 // n_docs AS po_ppm,
+       |  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+       |    * 1000000 // (n_docs * n_docs) AS pe_ppm,
+       |  (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+       |    + (n01 + n00) * (n10 + n00))) * 1000000 //
+       |    (n_docs * n_docs - ((n11 + n10) * (n11 + n01)
+       |    + (n01 + n00) * (n10 + n00))) AS kappa_ppm
+       |FROM c""".stripMargin
+  }
 }

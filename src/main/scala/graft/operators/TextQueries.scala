@@ -12,13 +12,13 @@ import graft.functions.Text
   */
 object TextQueries {
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[operators] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
+  private[operators] def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
   /** Language ID by stopword-hit argmax with a fixed tie-break order
@@ -1203,4 +1203,69 @@ object TextQueries {
        |  array_to_string([t[i] for i in generate_series(1, len(t))
        |    if NOT list_contains(covered, i)], ' ') AS cleaned
        |FROM cov ORDER BY doc_id""".stripMargin
+
+  /** q164: duplicate-gram COVERAGE per document (the RefinedWeb-family
+    * "fraction of text inside duplicated spans" filter rule): the share
+    * of each doc's token positions covered by a positional 3-gram whose
+    * corpus document-frequency is ≥ `minDf`, in integer ppm. Distinct
+    * from q151's novelty (first-seen identity — WHO saw it first): this
+    * measures how much of the doc is built from corpus-repeated material
+    * regardless of order, the number the actual filter thresholds on.
+    *
+    * Scale: one df aggregate over per-doc-distinct grams (gram-keyed
+    * shuffle), one gram-keyed join back, and a per-doc position-union
+    * (explode + distinct confined to flagged grams). */
+  def dupGramCoverage(s: SparkSession, dir: String,
+                      minDf: Long = 2L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // feeds grams AND the final join-back
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Text.shinglesPositional(col("toks"), 3)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val dfT = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val covered = grams.join(dfT, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + 2)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_pos"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_pos"), lit(0L)).as("covered_pos"))
+      .withColumn("dup_ppm",
+        when(col("n_tokens") > 0,
+          expr("covered_pos * 1000000 div n_tokens")).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dupGramCoverage]]. */
+  def dupGramCoverageSql(minDf: Long = 2L): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS t
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, unnest(
+       |    [struct_pack(i := i, g := t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |     for i in generate_series(1, len(t) - 2)]) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |g AS (SELECT doc_id, s.i AS i, s.g AS g FROM g0),
+       |dft AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+       |  FROM g GROUP BY 1) WHERE df >= $minDf),
+       |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT)
+       |    AS covered_pos
+       |  FROM (SELECT doc_id, unnest(generate_series(i, i + 2)) AS p
+       |    FROM g WHERE g IN (SELECT g FROM dft))
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  COALESCE(cov.covered_pos, 0) AS covered_pos,
+       |  CASE WHEN len(t.t) > 0
+       |    THEN COALESCE(cov.covered_pos, 0) * 1000000 // len(t.t)
+       |    ELSE 0 END AS dup_ppm
+       |FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q164-q166: the curation-policy family's structural invariants. */
+class PolicySpec extends SparkSpec {
+
+  test("q164 coverage: bounded, and recomputes exactly from raw tokens") {
+    val cov = TextQueries.dupGramCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    cov.values.foreach { case (n, c, ppm) =>
+      assert(c <= n, "covered positions exceed token count")
+      assert(ppm <= 1000000L)
+    }
+    // independent driver-side recomputation over the whole corpus:
+    // positional 3-grams, df over per-doc-distinct grams, covered
+    // positions = union of spans of grams with df >= 2
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val gramsOf = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toVector
+    }.toMap
+    val dfMap = gramsOf.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var nonZero = 0
+    docs.foreach { case (id, toks) =>
+      val covered = collection.mutable.Set.empty[Int]
+      gramsOf(id).zipWithIndex.foreach { case (g, i) =>
+        if (dfMap(g) >= 2) covered ++= (i to i + 2)
+      }
+      val (n, c, ppm) = cov(id)
+      assert(n === toks.length.toLong, s"doc $id token count")
+      assert(c === covered.size.toLong, s"doc $id covered mismatch")
+      if (n > 0) assert(ppm === covered.size.toLong * 1000000L / n)
+      if (c > 0) nonZero += 1
+    }
+    assert(nonZero > 0, "no doc has any duplicated gram — test is vacuous")
+  }
+
+  test("q165 keepers: keeper maximizes quality within its own cluster") {
+    val clusters = Dedup.sharedClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val rows = Dedup.dedupKeepers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val qual = {
+      val stops = Seq("the","a","of","and","to","in","is","it","for","on",
+        "der","die","das","und","ist","ein","zu","mit","von","nicht",
+        "el","la","de","que","y","en","un","es","por","con",
+        "le","et","est","une","dans","pour").toSet
+      graft.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")).collect().map { r =>
+          val toks = r.getString(1).toLowerCase
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val q = if (toks.isEmpty) 0L
+            else toks.count(stops) * 1000000L / toks.length
+          r.getLong(0) -> q
+        }.toMap
+    }
+    rows.foreach { case (cl, keeper, kq, n, dropped, _) =>
+      val members = byCluster(cl)
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $cl")
+      assert(n === members.size.toLong && dropped === n - 1)
+      assert(kq === qual(keeper))
+      members.foreach { m =>
+        assert(qual(m) < kq || (qual(m) == kq && m >= keeper),
+          s"cluster $cl: member $m beats keeper $keeper") }
+    }
+  }
+
+  test("q166 kappa: cells cross-foot and the statistic recomputes exactly") {
+    val r = Stats.filterAgreement(spark, sf).collect().head
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n11 + n10 + n01 + n00 === n)
+    val po = BigInt(n11 + n00)
+    val pe = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n01 + n00) * BigInt(n10 + n00)
+    assert(BigInt(r.getLong(5)) === po * 1000000 / n)
+    assert(BigInt(r.getLong(6)) === pe * 1000000 / (BigInt(n) * n))
+    val kappa = (BigInt(n) * po - pe) * 1000000 / (BigInt(n) * n - pe)
+    assert(BigInt(r.getLong(7)) === kappa)
+    assert(r.getLong(7) >= -1000000L && r.getLong(7) <= 1000000L)
+  }
+}
