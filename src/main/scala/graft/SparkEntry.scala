@@ -196,6 +196,11 @@ object SparkEntry {
     "q164_dup_coverage"   -> ((s, d) => TextQueries.dupGramCoverage(s, d)),
     "q165_dedup_keepers"  -> ((s, d) => graft.operators.Dedup.dedupKeepers(s, d)),
     "q166_filter_kappa"   -> ((s, d) => graft.operators.Stats.filterAgreement(s, d)),
+    // q167-q169: distribution-audit family (Zipf buckets, unigram
+    // surprisal, embedding centroid drift)
+    "q167_zipf_buckets"   -> (TextQueries.zipfBuckets _),
+    "q168_surprisal"      -> (TextQueries.unigramSurprisal _),
+    "q169_centroid_drift" -> (Similarity.labelCentroidDrift _),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2033,6 +2038,9 @@ object SparkEntry {
     "q164_dup_coverage" -> TextQueries.dupGramCoverageSql(),
     // q166: Cohen's kappa between two integer-exact quality rules
     "q166_filter_kappa" -> graft.operators.Stats.filterAgreementSql,
+    "q167_zipf_buckets" -> TextQueries.zipfBucketsSql,
+    "q168_surprisal" -> TextQueries.unigramSurprisalSql,
+    "q169_centroid_drift" -> Similarity.labelCentroidDriftSql,
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

@@ -663,4 +663,67 @@ object Similarity {
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
       .orderBy(col("method"))
   }
+
+  /** q169: per-label embedding centroid drift — each label's
+    * decimal-exact mean vector scored by cosine against the corpus
+    * centroid, with member counts. The embedding-space governance check
+    * (are any label populations drifting away from the corpus center —
+    * a new crawl source, an encoder regression): run per release, the
+    * drift_cos column is the alarm line. Means use the q31 lloydStep
+    * convention — per-dimension DECIMAL(27,7) exact sums (order-free,
+    * partition-invariant), ONE double division — so both engines build
+    * bit-identical centroids; cosine is the shared rounded-6 protocol.
+    *
+    * Scale: one posexplode aggregate to (label × 64) cells; everything
+    * after is label-count-sized. */
+  def labelCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("label").cast("long").as("label"), col("embedding"))
+    val cells = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("decimal(27,7)")).as("ssum"),
+        count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds per-label AND global centroids
+    val perLabel = cells
+      .select(col("label"), col("pos"),
+        (col("ssum").cast("double") / col("c")).as("m"), col("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce"),
+        max(col("c")).as("n_vecs"))
+    val global = cells.groupBy(col("pos"))
+      .agg(sum(col("ssum")).as("gs"), sum(col("c")).as("gc"))
+      .select(col("pos"), (col("gs").cast("double") / col("gc")).as("gm"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("gm")))),
+        x => x.getField("gm")).as("ge"))
+    perLabel.crossJoin(broadcast(global))
+      .select(col("label"), col("n_vecs"),
+        round(dot(col("ce"), col("ge")) /
+          (sqrt(norm2(col("ce"))) * sqrt(norm2(col("ge")))), 6)
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB oracle for [[labelCentroidDrift]]. */
+  val labelCentroidDriftSql: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding
+      |  FROM embeddings),
+      |cells AS (SELECT label, i AS pos,
+      |    SUM(CAST(embedding[i] AS DECIMAL(27,7))) AS ssum,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2),
+      |pl AS (SELECT label,
+      |    list(CAST(ssum AS DOUBLE) / c ORDER BY pos) AS ce,
+      |    MAX(c) AS n_vecs
+      |  FROM cells GROUP BY 1),
+      |g AS (SELECT list(CAST(gs AS DOUBLE) / gc ORDER BY pos) AS ge
+      |  FROM (SELECT pos, SUM(ssum) AS gs, SUM(c) AS gc FROM cells
+      |    GROUP BY 1))
+      |SELECT label, n_vecs,
+      |  round(list_sum([z[1] * z[2] for z in list_zip(ce, ge)]) /
+      |    (sqrt(list_sum([x * x for x in ce])) *
+      |     sqrt(list_sum([x * x for x in ge]))), 6) AS drift_cos
+      |FROM pl CROSS JOIN g ORDER BY label""".stripMargin
 }

@@ -1268,4 +1268,103 @@ object TextQueries {
        |    ELSE 0 END AS dup_ppm
        |FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** q167: Zipf audit — the token-frequency distribution folded into
+    * power-of-2 RANK buckets (bucket b = ranks [2^b, 2^{b+1})): token
+    * count, total occurrences, and corpus-mass ppm per bucket. Under a
+    * Zipf law each log-bucket carries roughly equal mass; a corpus whose
+    * head bucket dominates is template/boilerplate-shaped and one whose
+    * tail dominates is ID/noise-shaped — the one-glance distribution
+    * check a corpus intake runs before any per-doc filter. Bitlength via
+    * `length(bin(rank))` (the q88/q106/q132 pure-integer convention —
+    * both engines share it), rank via the range-partitioned distributed
+    * row-number, never a single-reducer window over the vocabulary.
+    *
+    * Scale: one token-keyed count aggregate (corpus scan), everything
+    * after runs at vocabulary scale. */
+  def zipfBuckets(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .withColumn("nf", -col("freq"))
+    val total = freq.agg(sum(col("freq")).as("n_total"))
+    Ranks.globalRowNumber(freq, Seq.empty, Seq("nf", "t"))
+      .withColumn("bucket", (length(bin(col("rnk"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("bucket_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), expr("CAST(pow(2, bucket) AS BIGINT)").as("rank_lo"),
+        col("n_tokens"), col("bucket_freq"),
+        expr("bucket_freq * 1000000 div n_total").as("mass_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[zipfBuckets]]. */
+  val zipfBucketsSql: String =
+    """WITH f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |  SELECT unnest([x for x in string_split_regex(lower(text),
+      |    '[^a-z0-9]+') if len(x) > 0]) AS t FROM documents) GROUP BY 1),
+      |r AS (SELECT freq,
+      |    row_number() OVER (ORDER BY -freq, t) AS rnk FROM f),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM f),
+      |b AS (SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(freq) AS BIGINT) AS bucket_freq
+      |  FROM r GROUP BY 1)
+      |SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS rank_lo,
+      |  n_tokens, bucket_freq,
+      |  bucket_freq * 1000000 // n_total AS mass_ppm
+      |FROM b CROSS JOIN n ORDER BY bucket""".stripMargin
+
+  /** q168: unigram surprisal per document — the cheap language-model
+    * quality filter (the CCNet/KenLM idea at order 1): each doc's mean
+    * −ln p(token) under the corpus unigram model, where out-of-pattern
+    * docs (rare-token salads, IDs, foreign scripts) score HIGH and
+    * templated text scores LOW. Portability discipline: the per-token
+    * term is `round(ln(N/freq), 9)` — one division then one ln, the
+    * identical expression both engines evaluate, rounded far above the
+    * 1-ulp libm disagreement zone — then summed EXACTLY in
+    * DECIMAL(28,9) (the repo's no-float-sums rule), one double division
+    * at the end, rounded to 6.
+    *
+    * Scale: the unigram table is vocabulary-sized and broadcast; the
+    * scoring pass is scan-speed with a map-side-combined per-doc sum. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("n_total"))
+    val scored = toks
+      .join(broadcast(freq), "t")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("n_total").cast("double") / col("freq").cast("double")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("avg_surprisal"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[unigramSurprisal]]. */
+  val unigramSurprisalSql: String =
+    """WITH tk AS (SELECT doc_id, unnest([x for x in string_split_regex(
+      |    lower(text), '[^a-z0-9]+') if len(x) > 0]) AS t FROM documents),
+      |f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM f),
+      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(round(ln(CAST(n_total AS DOUBLE) / CAST(freq AS DOUBLE)),
+      |      9) AS DECIMAL(28,9))) AS s
+      |  FROM tk JOIN f USING (t) CROSS JOIN n GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+      |  round(CAST(sc.s AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+      |    AS avg_surprisal
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

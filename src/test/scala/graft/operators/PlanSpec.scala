@@ -249,6 +249,27 @@ class PlanSpec extends SparkSpec {
       s"raw text shuffled:\n$plan")
   }
 
+  test("q162 HRW sharding: one aggregation exchange, rows never shuffled") {
+    val plan = planOf(Layout.shardAssign(spark, sf))
+    // the shard is a per-row expression over the scan; the only exchanges
+    // allowed are the 16-group aggregate's partial->final hop (plus the
+    // 1-row total broadcast) — a plan that repartitions documents by
+    // doc_id or text would shuffle the corpus for nothing
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus shuffled by doc_id:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(text"),
+      s"raw text shuffled:\n$plan")
+    assert(plan.contains("HashAggregate"), s"agg not hash-based:\n$plan")
+  }
+
+  test("q164 coverage: raw text stays out of every exchange") {
+    val plan = planOf(TextQueries.dupGramCoverage(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning(text"),
+      s"raw text shuffled:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"df join degenerated:\n$plan")
+  }
+
   test("plan audit: no unplanned cartesian product in any declared query") {
     // CartesianProductExec = both sides large with no equi key and no
     // broadcast — a plan that cannot survive scale. Intentional small-side
