@@ -201,6 +201,8 @@ object SparkEntry {
     "q167_zipf_buckets"   -> (TextQueries.zipfBuckets _),
     "q168_surprisal"      -> (TextQueries.unigramSurprisal _),
     "q169_centroid_drift" -> (Similarity.labelCentroidDrift _),
+    "q170_winnow_decontam" -> ((s, d) =>
+      graft.operators.Curation.winnowDecontaminate(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2041,6 +2043,35 @@ object SparkEntry {
     "q167_zipf_buckets" -> TextQueries.zipfBucketsSql,
     "q168_surprisal" -> TextQueries.unigramSurprisalSql,
     "q169_centroid_drift" -> Similarity.labelCentroidDriftSql,
+    // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
+    "q170_winnow_decontam" -> {
+      import graft.functions.PortableHash
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS pos,
+         |    unnest([${PortableHash.h60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+         |      for i in generate_series(1, len(t) - 2)]) AS h
+         |  FROM toks WHERE len(t) >= 3),
+         |m AS (SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos + 3 <= n),
+         |b AS (SELECT doc_id,
+         |    (${PortableHash.h60Sql("text")}) % 100 AS bucket
+         |  FROM documents),
+         |f2 AS (SELECT fp.doc_id, fp.fp, b.bucket FROM fp
+         |  JOIN b ON b.doc_id = fp.doc_id),
+         |tst AS (SELECT DISTINCT fp FROM f2 WHERE bucket >= 90),
+         |p AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |    CAST(SUM(CASE WHEN fp IN (SELECT fp FROM tst)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM f2 WHERE bucket < 90 GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train' ELSE 'val' END AS split,
+         |  n_fp, n_hits, n_hits * 1000000 // n_fp AS hit_ppm
+         |FROM p WHERE n_hits >= 2 ORDER BY doc_id""".stripMargin
+    },
     // q155: dataset card — every number rides an already-proven protocol
     // (q48 clusters, q44 PII regexes, exact-dup md5 grouping)
     "q155_dataset_card" -> {

@@ -470,4 +470,43 @@ object Curation {
         4, 'train_clean', c4, t4) AS (stage_idx, stage, n_docs, n_tokens)""")
       .orderBy(col("stage_idx"))
   }
+
+  /** q170: WINNOW-fingerprint decontamination — the paraphrase-robust
+    * sibling of q56: a training document is flagged when ≥ `minHits` of
+    * its winnowing fingerprints (q43's k=3/w=4 scheme) appear in the
+    * test split's fingerprint set. q56's exact-13-gram rule breaks on a
+    * single character edit anywhere in the gram; winnowing fingerprints
+    * are window minima, so edits away from the selected minima leave
+    * them intact — the screen that still fires when eval text was
+    * lightly reworded into the crawl (Schleimer et al.'s robustness
+    * property, applied to decontamination). Reports hit density per
+    * flagged doc in integer ppm.
+    *
+    * Scale: fingerprints are 60-bit longs; the test-side set is
+    * eval-sized and broadcasts; the corpus side is the q43 winnow scan
+    * plus one doc-keyed count — the q56 shuffle shape exactly. */
+  def winnowDecontaminate(s: SparkSession, dir: String,
+                          minHits: Int = 2): DataFrame = {
+    val buckets = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (PortableHash.h60(col("text")) % 100).as("bucket"))
+    val fps = Dedup.winnowFingerprints(s, dir)
+      .join(buckets, "doc_id")
+      .persist()
+    val testFps = fps.filter(col("bucket") >= 90)
+      .select(col("fp")).distinct()
+    val probe = fps.filter(col("bucket") < 90)
+    val out = probe
+      .join(broadcast(testFps), Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .join(probe.groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_fp")), "doc_id")
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train").otherwise("val").as("split"),
+        col("n_fp"), col("n_hits"),
+        expr("n_hits * 1000000 div n_fp").as("hit_ppm"))
+      .orderBy(col("doc_id"))
+    Dedup.pinAndRelease(out, fps)
+  }
 }

@@ -91,7 +91,7 @@ object Layout {
   }
 
   /** Adds the HRW `shard` column: argmax over (h60(doc:s), s). */
-  private[operators] def shardOf(docs: DataFrame, shards: Int): DataFrame =
+  def shardOf(docs: DataFrame, shards: Int): DataFrame =
     docs.withColumn("shard",
       array_max(array((0 until shards).map { sh =>
         struct(

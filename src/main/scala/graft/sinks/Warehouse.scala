@@ -133,4 +133,19 @@ object Warehouse {
     rm(old)
     (before, parquetFiles(dir))
   }
+
+  /** HRW-sharded corpus write — q162's rendezvous assignment as an
+    * actual output layout: each document lands in `shard=<s>/` by the
+    * argmax-hash rule, so ANY writer (or a later append job) computes
+    * any doc's shard statelessly and a shard-count change moves only
+    * ≈1/(S+1) of files. Partition pruning gives shard-local readers a
+    * directory-level scan cut, and the q162 report doubles as the
+    * layout's balance audit. */
+  def writeHrwSharded(docs: DataFrame, path: String,
+                      shards: Int = 16): Unit =
+    graft.operators.Layout.shardOf(docs, shards)
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
 }
