@@ -152,8 +152,9 @@ object Layout {
           sum(col("sm")).as("real_tokens"))
         .select(lit(strategy).as("strategy"), col("n_batches"),
           col("padded_tokens"), col("real_tokens"),
-          expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens")
-            .as("waste_ppm"))
+          expr("CASE WHEN padded_tokens = 0 THEN 0 " +
+            "ELSE (padded_tokens - real_tokens) * 1000000 " +
+            "div padded_tokens END").as("waste_ppm"))
     wasteOf(Ranks.globalRowNumber(docs, Seq.empty, Seq("doc_id")),
         "by_arrival")
       .unionByName(
@@ -182,7 +183,8 @@ object Layout {
        |SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
        |  CAST(SUM(mx * bn) AS BIGINT) AS padded_tokens,
        |  CAST(SUM(sm) AS BIGINT) AS real_tokens,
-       |  CAST(SUM(mx * bn) - SUM(sm) AS BIGINT) * 1000000
-       |    // CAST(SUM(mx * bn) AS BIGINT) AS waste_ppm
+       |  CASE WHEN SUM(mx * bn) = 0 THEN 0
+       |    ELSE CAST(SUM(mx * bn) - SUM(sm) AS BIGINT) * 1000000
+       |    // CAST(SUM(mx * bn) AS BIGINT) END AS waste_ppm
        |FROM b GROUP BY strategy ORDER BY strategy""".stripMargin
 }

@@ -788,14 +788,25 @@ object Stats {
         sum((col("a") && !col("b")).cast("long")).as("n10"),
         sum((!col("a") && col("b")).cast("long")).as("n01"),
         sum((!col("a") && !col("b")).cast("long")).as("n00"))
+      // guards: an EMPTY corpus degrades to zero rows-of-zeros instead of
+      // an ANSI divide-by-zero, and a DEGENERATE table (all mass in one
+      // cell -> pe = n², chance agreement total) reports κ = 10⁶ exactly
+      // when observed agreement is also total, else 0 — the standard
+      // convention for the undefined-κ corner
       .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
-        expr("(n11 + n00) * 1000000 div n_docs").as("po_ppm"),
-        expr("((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
-          "* 1000000 div (n_docs * n_docs)").as("pe_ppm"),
-        expr("(n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) " +
+        expr("CASE WHEN n_docs = 0 THEN 0 " +
+          "ELSE (n11 + n00) * 1000000 div n_docs END").as("po_ppm"),
+        expr("CASE WHEN n_docs = 0 THEN 0 " +
+          "ELSE ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
+          "* 1000000 div (n_docs * n_docs) END").as("pe_ppm"),
+        expr("CASE WHEN n_docs = 0 THEN 0 " +
+          "WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00) THEN " +
+          "  CASE WHEN n11 + n00 = n_docs THEN 1000000 ELSE 0 END " +
+          "ELSE (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) " +
           "+ (n01 + n00) * (n10 + n00))) * 1000000 div " +
           "(n_docs * n_docs - ((n11 + n10) * (n11 + n01) " +
-          "+ (n01 + n00) * (n10 + n00)))").as("kappa_ppm"))
+          "+ (n01 + n00) * (n10 + n00))) END").as("kappa_ppm"))
   }
 
   /** DuckDB oracle for [[filterAgreement]]. */
@@ -824,13 +835,19 @@ object Stats {
        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
        |  FROM g)
        |SELECT n_docs, n11, n10, n01, n00,
-       |  (n11 + n00) * 1000000 // n_docs AS po_ppm,
-       |  ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-       |    * 1000000 // (n_docs * n_docs) AS pe_ppm,
-       |  (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+       |  CASE WHEN n_docs = 0 THEN 0
+       |    ELSE (n11 + n00) * 1000000 // n_docs END AS po_ppm,
+       |  CASE WHEN n_docs = 0 THEN 0
+       |    ELSE ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+       |    * 1000000 // (n_docs * n_docs) END AS pe_ppm,
+       |  CASE WHEN n_docs = 0 THEN 0
+       |    WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01)
+       |      + (n01 + n00) * (n10 + n00) THEN
+       |      CASE WHEN n11 + n00 = n_docs THEN 1000000 ELSE 0 END
+       |    ELSE (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01)
        |    + (n01 + n00) * (n10 + n00))) * 1000000 //
        |    (n_docs * n_docs - ((n11 + n10) * (n11 + n01)
-       |    + (n01 + n00) * (n10 + n00))) AS kappa_ppm
+       |    + (n01 + n00) * (n10 + n00))) END AS kappa_ppm
        |FROM c""".stripMargin
   }
 }
