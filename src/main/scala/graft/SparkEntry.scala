@@ -203,6 +203,8 @@ object SparkEntry {
     "q169_centroid_drift" -> (Similarity.labelCentroidDrift _),
     "q170_winnow_decontam" -> ((s, d) =>
       graft.operators.Curation.winnowDecontaminate(s, d)),
+    "q171_temperature_mix" -> ((s, d) =>
+      graft.operators.Curation.temperatureMix(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2043,6 +2045,7 @@ object SparkEntry {
     "q167_zipf_buckets" -> TextQueries.zipfBucketsSql,
     "q168_surprisal" -> TextQueries.unigramSurprisalSql,
     "q169_centroid_drift" -> Similarity.labelCentroidDriftSql,
+    "q171_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -509,4 +509,83 @@ object Curation {
       .orderBy(col("doc_id"))
     Dedup.pinAndRelease(out, fps)
   }
+
+  /** q171: TEMPERATURE-scaled language mixture (the mT5/Llama balancing
+    * rule at α = 1/2): per-language sampling weights ∝ n_tokens^α, so
+    * low-resource languages are up-weighted relative to their raw share
+    * without declared constants (q58 plans against DECLARED weights;
+    * this derives them from the data). Per language: raw vs tempered
+    * share, the per-doc inclusion rate that realizes the tempered
+    * mixture at constant total token budget (integer epochs + a
+    * fractional part realized by the q58 content-hash Bernoulli), and
+    * the REALIZED document/token counts under that rule — deterministic,
+    * so the plan and its realization are both hash-gated.
+    *
+    * Portability: n^(1/2) is floor(sqrt(double)) — IEEE sqrt is
+    * correctly rounded in both engines, so even the k²−1 boundary cases
+    * round identically; everything else is BIGINT div/mod. At corpus
+    * sizes past 2^52 tokens widen through DECIMAL as q134 documents.
+    *
+    * Scale: one scan to per-language totals (map-side combined), the
+    * 5-row rate table broadcast back onto a second scan-speed pass. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        (PortableHash.h60(col("text")) % 1000000L).as("hmod"))
+      .localCheckpoint(true) // feeds the totals AND the realization pass
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+    val sums = totals.agg(sum(col("n_toks")).as("tot"), sum(col("w")).as("sw"))
+    val rates = totals.crossJoin(broadcast(sums))
+      .select(col("lang"), col("n_docs"), col("n_toks"),
+        expr("n_toks * 1000000 div tot").as("raw_ppm"),
+        expr("w * 1000000 div sw").as("temp_ppm"),
+        expr("(w * 1000000 div sw) * tot div n_toks").as("rate_ppm"))
+    docs.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), "lang")
+      .withColumn("keep",
+        expr("rate_ppm div 1000000") +
+          when(col("hmod") < col("rate_ppm") % 1000000L, 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(sum(col("keep")).as("realized_docs"),
+        sum(col("keep") * col("n_tokens")).as("realized_tokens"))
+      .join(rates, "lang")
+      .select(col("lang"), col("n_docs"), col("n_toks"), col("raw_ppm"),
+        col("temp_ppm"), col("rate_ppm"), col("realized_docs"),
+        col("realized_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle for [[temperatureMix]]. */
+  val temperatureMixSql: String = {
+    val h = PortableHash.h60Sql("text")
+    s"""WITH d AS (SELECT lang,
+       |    CAST(len([x for x in string_split_regex(lower(text),
+       |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens,
+       |    ($h) % 1000000 AS hmod
+       |  FROM documents),
+       |t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_toks,
+       |    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM d GROUP BY 1),
+       |s AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot,
+       |    CAST(SUM(w) AS BIGINT) AS sw FROM t),
+       |r AS (SELECT lang, n_docs, n_toks,
+       |    n_toks * 1000000 // tot AS raw_ppm,
+       |    w * 1000000 // sw AS temp_ppm,
+       |    (w * 1000000 // sw) * tot // n_toks AS rate_ppm
+       |  FROM t CROSS JOIN s),
+       |k AS (SELECT d.lang,
+       |    CAST(SUM(r.rate_ppm // 1000000 +
+       |      CASE WHEN d.hmod < r.rate_ppm % 1000000 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS realized_docs,
+       |    CAST(SUM((r.rate_ppm // 1000000 +
+       |      CASE WHEN d.hmod < r.rate_ppm % 1000000 THEN 1 ELSE 0 END)
+       |      * d.n_tokens) AS BIGINT) AS realized_tokens
+       |  FROM d JOIN r USING (lang) GROUP BY 1)
+       |SELECT r.lang, r.n_docs, r.n_toks, r.raw_ppm, r.temp_ppm,
+       |  r.rate_ppm, k.realized_docs, k.realized_tokens
+       |FROM r JOIN k USING (lang) ORDER BY r.lang""".stripMargin
+  }
 }

@@ -89,4 +89,56 @@ class PolicySpec extends SparkSpec {
     assert(BigInt(r.getLong(7)) === kappa)
     assert(r.getLong(7) >= -1000000L && r.getLong(7) <= 1000000L)
   }
+
+  test("q171 temperature mix: flattens shares, realization recomputes exactly") {
+    val rows = Curation.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length > 1, "needs multiple languages")
+    // shares sum to ~1e6 (floor-division slack bounded by the group count)
+    assert(math.abs(rows.map(_._4).sum - 1000000L) <= rows.length)
+    assert(math.abs(rows.map(_._5).sum - 1000000L) <= rows.length)
+    // α = 1/2 compresses the spread: the tempered max/min ratio can not
+    // exceed the raw one (and strictly flattens when shares differ)
+    val rawR = rows.map(_._4.toDouble).max / rows.map(_._4.toDouble).min
+    val tmpR = rows.map(_._5.toDouble).max / rows.map(_._5.toDouble).min
+    assert(tmpR <= rawR + 1e-9, s"temperature sharpened the mix: $tmpR > $rawR")
+    // driver recompute of the full plan + realization
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z0-9]+")
+          .count(_.nonEmpty).toLong
+        (r.getString(0), toks, r.getString(1))
+      }
+    val hmods = {
+      val s2 = spark; import s2.implicits._
+      docs.map(_._3).toSeq.toDF("text")
+        .select(graft.functions.PortableHash.h60(col("text")) % 1000000L)
+        .collect().map(_.getLong(0))
+    }
+    val byLang = docs.zip(hmods).groupBy(_._1._1)
+    val tot = docs.map(_._2).sum
+    val sw = byLang.values.map(g =>
+      math.sqrt(g.map(_._1._2).sum.toDouble).toLong).sum
+    rows.foreach { case (lang, nDocs, nToks, rawPpm, tmpPpm, ratePpm,
+        rDocs, rToks) =>
+      val g = byLang(lang)
+      assert(nDocs === g.length.toLong && nToks === g.map(_._1._2).sum)
+      assert(rawPpm === nToks * 1000000L / tot)
+      val w = math.sqrt(nToks.toDouble).toLong
+      assert(tmpPpm === w * 1000000L / sw)
+      assert(ratePpm === (w * 1000000L / sw) * tot / nToks)
+      val keeps = g.map { case ((_, nt, _), hm) =>
+        val k = ratePpm / 1000000L + (if (hm < ratePpm % 1000000L) 1L else 0L)
+        (k, k * nt)
+      }
+      assert(rDocs === keeps.map(_._1).sum && rToks === keeps.map(_._2).sum)
+      // the realized token mass lands near the tempered target (the
+      // fractional Bernoulli's deviation is bounded by one doc per point)
+      val target = tmpPpm.toDouble / 1000000 * tot
+      assert(math.abs(rToks - target) < tot * 0.05,
+        s"$lang realized $rToks vs target $target")
+    }
+  }
 }
