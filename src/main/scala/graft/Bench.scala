@@ -120,7 +120,11 @@ object Bench {
           "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
         f"""{\n "sf": "$sfDir",\n "runs_per_query": $runs,\n "total_sec": $total%.3f,\n "queries": {\n$lines\n }\n}\n""")
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" is the contract's numeric scale factor (the driver's own
+    // artifact stores sf as a number); the directory rides separately.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }

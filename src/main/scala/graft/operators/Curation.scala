@@ -538,11 +538,21 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
     val sums = totals.agg(sum(col("n_toks")).as("tot"), sum(col("w")).as("sw"))
+    // Zero-denominator guards (ANSI mode throws DIVIDE_BY_ZERO): a
+    // language whose documents all tokenize to empty under the
+    // [^a-z0-9]+ tokenizer (any non-Latin-script language) has
+    // n_toks = 0, and an all-empty corpus has tot = sw = 0. Such a
+    // language contributes no token budget, so every ppm is 0 for it —
+    // same CASE guards as q163/q166.
     val rates = totals.crossJoin(broadcast(sums))
       .select(col("lang"), col("n_docs"), col("n_toks"),
-        expr("n_toks * 1000000 div tot").as("raw_ppm"),
-        expr("w * 1000000 div sw").as("temp_ppm"),
-        expr("(w * 1000000 div sw) * tot div n_toks").as("rate_ppm"))
+        expr("CASE WHEN tot = 0 THEN 0 ELSE n_toks * 1000000 div tot END")
+          .as("raw_ppm"),
+        expr("CASE WHEN sw = 0 THEN 0 ELSE w * 1000000 div sw END")
+          .as("temp_ppm"),
+        expr("CASE WHEN sw = 0 OR n_toks = 0 THEN 0" +
+          " ELSE (w * 1000000 div sw) * tot div n_toks END")
+          .as("rate_ppm"))
     docs.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), "lang")
       .withColumn("keep",
         expr("rate_ppm div 1000000") +
@@ -572,9 +582,12 @@ object Curation {
        |s AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot,
        |    CAST(SUM(w) AS BIGINT) AS sw FROM t),
        |r AS (SELECT lang, n_docs, n_toks,
-       |    n_toks * 1000000 // tot AS raw_ppm,
-       |    w * 1000000 // sw AS temp_ppm,
-       |    (w * 1000000 // sw) * tot // n_toks AS rate_ppm
+       |    CASE WHEN tot = 0 THEN 0
+       |      ELSE n_toks * 1000000 // tot END AS raw_ppm,
+       |    CASE WHEN sw = 0 THEN 0
+       |      ELSE w * 1000000 // sw END AS temp_ppm,
+       |    CASE WHEN sw = 0 OR n_toks = 0 THEN 0
+       |      ELSE (w * 1000000 // sw) * tot // n_toks END AS rate_ppm
        |  FROM t CROSS JOIN s),
        |k AS (SELECT d.lang,
        |    CAST(SUM(r.rate_ppm // 1000000 +

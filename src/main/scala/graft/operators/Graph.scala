@@ -380,9 +380,15 @@ object Graph {
       onRound(rounds)
     }
     // at the star fixed point each node's neighborhood min is its root;
-    // roots label themselves
-    nbrMin(edges).select(col("u").as("pk"), col("m").as("component"))
-      .orderBy(col("pk"))
+    // roots label themselves. Pin the (small) label table and release the
+    // final star edge block — without this every invocation parks a
+    // node-scale checkpointed RDD in executor storage for the session
+    // (the pinAndRelease discipline the per-round unpersists already
+    // follow).
+    Dedup.pinAndRelease(
+      nbrMin(edges).select(col("u").as("pk"), col("m").as("component"))
+        .orderBy(col("pk")),
+      edges)
   }
 
   /** DuckDB oracle for [[connectedComponents]] — recursive reachability

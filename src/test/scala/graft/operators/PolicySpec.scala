@@ -141,4 +141,30 @@ class PolicySpec extends SparkSpec {
         s"$lang realized $rToks vs target $target")
     }
   }
+
+  test("q171 temperature mix: zero-token language yields 0 ppm, no ANSI throw") {
+    // A language whose documents all tokenize to empty under the
+    // [^a-z0-9]+ tokenizer (routine for non-Latin scripts) must not
+    // DIVIDE_BY_ZERO under ANSI mode; its ppm columns are all 0.
+    val s2 = spark; import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q171").toString
+    Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"),
+      (2L, "en", "beta gamma delta"),
+      (3L, "zz", "你好世界"), // tokenizes to nothing
+      (4L, "zz", "こんにちは")
+    ).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Curation.temperatureMix(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val (zToks, zRaw, zTmp, zRate, zDocs, zRtoks) = rows("zz")
+    assert(zToks === 0L)
+    assert(zRaw === 0L && zTmp === 0L && zRate === 0L)
+    assert(zDocs === 0L && zRtoks === 0L)
+    // the token-bearing language carries the whole mixture
+    val (eToks, eRaw, eTmp, eRate, _, _) = rows("en")
+    assert(eToks === 8L && eRaw === 1000000L && eTmp === 1000000L)
+    assert(eRate === 1000000L)
+  }
 }
