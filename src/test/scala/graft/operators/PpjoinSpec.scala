@@ -46,10 +46,35 @@ class PpjoinSpec extends SparkSpec {
         .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
       assert(pruned < full,
         s"prefix join should prune candidates: $pruned vs $full")
-      // every verified pair is still among the pruned candidates (recall)
+      // the shipped pipeline adds the asymmetric index prefix and the
+      // positional filter on top — its candidate set must be a further
+      // strict cut, while still covering every verified pair
+      val ranked = sh.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .join(cnt, "doc_id")
+      val probe = ranked
+        .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"), col("rk"))
+      val index = ranked
+        .filter(col("rk") <= col("n") - expr("(2 * n + 2) div 3") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"), col("rk"))
+      val positional = probe.as("a").join(index.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+          (col("b.n") < col("a.n") ||
+            (col("b.n") === col("a.n") &&
+              col("b.doc_id") < col("a.doc_id"))) &&
+          col("b.n") * 2 >= col("a.n") &&
+          least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1 >=
+            expr("(a.n + b.n + 2) div 3"))
+        .select(least(col("a.doc_id"), col("b.doc_id")),
+          greatest(col("a.doc_id"), col("b.doc_id"))).distinct().count()
+      assert(positional < pruned,
+        s"positional+index-prefix should cut further: $positional vs $pruned")
+      // every verified pair is still among the candidates (recall)
       val nPairs = Dedup.ppjoinPairs(spark, sf).count()
-      assert(pruned >= nPairs)
-      info(s"candidates: full=$full pruned=$pruned verified pairs=$nPairs")
+      assert(positional >= nPairs)
+      info(s"candidates: full=$full prefix-only=$pruned " +
+        s"positional=$positional verified pairs=$nPairs")
     } finally { sh.unpersist(); () }
   }
 }
