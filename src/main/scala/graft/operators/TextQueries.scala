@@ -1151,13 +1151,30 @@ object TextQueries {
     // Empty-set sentinel: a single-space-joined 3-gram is never "", so the
     // empty-string literal keeps the array typed while matching nothing.
     val bp = if (mined.isEmpty) array(lit("")) else array(mined.map(lit(_)): _*)
+    // Two-level membership probe: a position can only start a boilerplate
+    // 3-gram if its token is one of the (deduped) FIRST tokens of the
+    // mined set, so probe that short-string array first — And
+    // short-circuits in codegen, and the losing positions (almost all of
+    // them) never build the 3-gram string or scan the full k-slot array.
+    val firstToks = mined.map(_.split(" ", 2)(0)).distinct
+    val ft =
+      if (firstToks.isEmpty) array(lit(""))
+      else array(firstToks.map(lit(_)): _*)
     docs
       // project tokens BEFORE the HOFs touch them — the generator-inlining
       // trap (Curation's 14x measurement) applies to any repeated use
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      // Declared ORDER BY sits HERE, below the HOF projection, not at the
+      // plan top: a top-level sort's range-partitioner sampling job
+      // re-executes its whole child — i.e. the hit/cover/rebuild pass runs
+      // TWICE (profiled +0.9 s of the 2.6 s at sf0.1). Sorting the compact
+      // (doc_id, toks) frame samples only the scan+tokenize, and the
+      // narrow per-row projection above preserves the ordering.
+      .orderBy(col("doc_id"))
       .withColumn("hits",
         when(size(col("toks")) < 3, expr("array()").cast("array<int>"))
           .otherwise(filter(sequence(lit(1), size(col("toks")) - 2), i =>
+            array_contains(ft, element_at(col("toks"), i)) &&
             array_contains(bp, concat_ws(" ",
               element_at(col("toks"), i),
               element_at(col("toks"), i + 1),
@@ -1171,7 +1188,6 @@ object TextQueries {
         // filter's lambda index is 0-based; covered positions are 1-based
         array_join(filter(col("toks"), (t, i) =>
           not(array_contains(col("covered"), i + 1))), " ").as("cleaned"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB oracle for [[boilerplateStrip]] — the same mine → cover →
