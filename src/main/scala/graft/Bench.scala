@@ -40,11 +40,28 @@ object Bench {
     // medians through GC pressure). noop write = full materialization of
     // every output column; a count() lets Catalyst prune the projection,
     // under-measuring expression-heavy queries (VERDICT r3 #3).
+    // Suite-integrity scrub (VERDICT r9 "what's wrong" #2): a 171-query
+    // suite in one JVM accumulated leaked executor storage — every
+    // localCheckpoint(true) pins an RDD until ContextCleaner reaps it
+    // AFTER a JVM GC notices the plan is unreachable — and the buildup
+    // inflated in-suite medians for storage-heavy queries 2.7-9x over
+    // standalone runs. Between runs: clear memo caches + SQL cache,
+    // force-unpersist EVERY RDD still at a storage level (nothing
+    // recomputes from them across queries once the memo caches are
+    // cleared), and report what leaked; a GC per query lets the cleaner
+    // drop orphaned shuffle files and checkpoint blocks.
+    val leakedByQuery = scala.collection.mutable.Map[String, Int]()
+    def scrubState(): Int = {
+      graft.operators.Dedup.clearClusterCache()
+      graft.operators.Curation.clearFeatureCache()
+      spark.sqlContext.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      leaked.values.foreach(_.unpersist(false))
+      leaked.size
+    }
     def timeQuery(mk: () => DataFrame): Double = {
       val times = (1 to runs).map { _ =>
-        graft.operators.Dedup.clearClusterCache()
-        graft.operators.Curation.clearFeatureCache()
-        spark.sqlContext.clearCache()
+        scrubState()
         val t0 = System.nanoTime()
         val ok = try {
           mk().write.format("noop").mode("overwrite").save(); true
@@ -56,7 +73,11 @@ object Bench {
       else times.sorted.apply(runs / 2)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(() => fn(spark, sfDir))
+      val t = timeQuery(() => fn(spark, sfDir))
+      val leaked = scrubState()
+      if (leaked > 0) leakedByQuery(name) = leaked
+      System.gc()
+      name -> t
     }
     // Bucketed-warehouse variants (VERDICT r4 #6): q05/q40 re-run with
     // lineitem/orders read from tables bucketed+sorted on the orderkey —
@@ -115,10 +136,14 @@ object Bench {
     try {
       val lines = (results ++ bucketedResults)
         .map { case (k, v) => f"""  "$k": $v%.3f""" }.mkString(",\n")
+      // per-query leaked-RDD counts (post-run storage that the scrub had
+      // to reap) — a nonzero entry names a pinAndRelease gap
+      val leakLines = leakedByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""  "$k": $v""" }.mkString(",\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
-        f"""{\n "sf": "$sfDir",\n "runs_per_query": $runs,\n "total_sec": $total%.3f,\n "queries": {\n$lines\n }\n}\n""")
+        f"""{\n "sf": "$sfDir",\n "runs_per_query": $runs,\n "total_sec": $total%.3f,\n "leaked_rdds": {\n$leakLines\n },\n "queries": {\n$lines\n }\n}\n""")
     } catch { case _: Throwable => () }
     // "sf" is the contract's numeric scale factor (the driver's own
     // artifact stores sf as a number); the directory rides separately.
