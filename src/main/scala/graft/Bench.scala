@@ -76,7 +76,11 @@ object Bench {
       val t = timeQuery(() => fn(spark, sfDir))
       val leaked = scrubState()
       if (leaked > 0) leakedByQuery(name) = leaked
-      System.gc()
+      // GC only when the scrub reaped something: the collection is what
+      // lets ContextCleaner drop the reaped blocks' shuffle files, and
+      // ~2/3 of queries leak nothing — an unconditional per-query GC
+      // costs ~25 s of suite total for no integrity gain
+      if (leaked > 0) System.gc()
       name -> t
     }
     // Bucketed-warehouse variants (VERDICT r4 #6): q05/q40 re-run with

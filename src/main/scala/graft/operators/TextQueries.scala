@@ -1148,6 +1148,15 @@ object TextQueries {
       .orderBy(col("df").desc, col("shingle"))
       .limit(topK)
       .select(col("shingle")).as[String].collect()
+    boilerplateStripWith(docs, mined)
+  }
+
+  /** The APPLY half alone: strip `docs` with an already-mined
+    * boilerplate set (the persisted-artifact path the batch docstring
+    * describes, and the report pass of the streaming twin — the mined
+    * set is corpus-level state there, maintained incrementally). */
+  def boilerplateStripWith(docs: DataFrame,
+                           mined: Array[String]): DataFrame = {
     // Empty-set sentinel: a single-space-joined 3-gram is never "", so the
     // empty-string literal keeps the array typed while matching nothing.
     val bp = if (mined.isEmpty) array(lit("")) else array(mined.map(lit(_)): _*)

@@ -268,3 +268,61 @@ object EffectiveSizeStream {
         org.apache.spark.sql.types.StructField("lbl",
           org.apache.spark.sql.types.LongType))))
 }
+
+/** Incremental q141 (`TextQueries.boilerplateStrip`): the C4 repeated-
+  * span removal with its MINING state maintained incrementally. State is
+  * the per-shingle doc-frequency table (each doc contributes its
+  * DISTINCT 3-grams once — a pure function of the doc, so any batch
+  * split folds by sum to the same counts, and the seen-doc anti-join
+  * makes at-least-once re-delivery a no-op). The mined top-k set is a
+  * deterministic (df DESC, shingle) head of that state at any trigger,
+  * and the report — the strip of the delivered corpus under the CURRENT
+  * set — is bit-equal to the batch q141 on the same docs. At 100 TB the
+  * df table buckets by shingle and persists through
+  * [[VersionedState.applyBatch]]; the strip pass itself is the batch
+  * operator's scan-speed HOF (`boilerplateStripWith`), re-runnable on
+  * any slice of the corpus with the frozen artifact. */
+object BoilerplateStripStream {
+  import TextStatsStream._
+
+  def emptyState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shingle",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, text). Returns (state', seen'). */
+  def mergeBatch(state: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val delta = fresh.select(Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.shingles(col("toks"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
+    val state2 = state.join(delta, Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (state2, seen2)
+  }
+
+  /** The deterministic mined artifact off maintained state — identical
+    * selection rule to the batch mine (df >= minDf, (df DESC, shingle)
+    * top-k). */
+  def minedSet(state: DataFrame, minDf: Long = 5,
+               topK: Int = 100): Array[String] =
+    state.filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle")).limit(topK)
+      .select(col("shingle")).collect().map(_.getString(0))
+
+  /** q141 report: strip `docs` under the current mined state — equals
+    * the batch query on the delivered corpus at every trigger. */
+  def report(docs: DataFrame, state: DataFrame, minDf: Long = 5,
+             topK: Int = 100): DataFrame =
+    graft.operators.TextQueries.boilerplateStripWith(
+      docs, minedSet(state, minDf, topK))
+}
