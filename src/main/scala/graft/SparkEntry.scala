@@ -205,6 +205,7 @@ object SparkEntry {
       graft.operators.Curation.winnowDecontaminate(s, d)),
     "q171_temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(s, d)),
+    "q172_dup_spans"      -> ((s, d) => TextQueries.dupSpans(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2046,6 +2047,8 @@ object SparkEntry {
     "q168_surprisal" -> TextQueries.unigramSurprisalSql,
     "q169_centroid_drift" -> Similarity.labelCentroidDriftSql,
     "q171_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
+    // q172: cross-doc duplicated-span run structure (Lee et al. policy input)
+    "q172_dup_spans" -> TextQueries.dupSpansSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -1294,6 +1294,92 @@ object TextQueries {
        |FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** q172: duplicated-SPAN structure — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022)
+    * exact-substring policy input that q164's coverage ppm flattens
+    * away: per doc, the maximal RUNS of token positions covered by any
+    * cross-doc-repeated L-gram (L = 8 here vs the paper's 50-BPE-token
+    * threshold, scaled to the fixture corpus), reported as span count,
+    * longest span, and covered positions. Two docs sharing one
+    * boilerplate paragraph produce ONE long span; scattered L-gram
+    * coincidences produce many short ones — the removal policy keys on
+    * exactly that difference (strip long spans, keep short accidental
+    * overlaps), so the run structure, not the ppm, is the decision
+    * input.
+    *
+    * Scale: q164's shape — positional L-gram explode, per-doc-distinct
+    * df aggregate, semi-join back — plus a gaps-and-islands window
+    * (p − row_number per doc = island id) partitioned by doc_id; every
+    * shuffle is (doc_id)- or (gram)-keyed, nothing corpus-crossing. */
+  def dupSpans(s: SparkSession, dir: String, l: Int = 8,
+               minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // feeds grams AND the final join-back
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Text.shinglesPositional(col("toks"), l)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val dfT = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val pos = grams.join(dfT, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
+      .distinct()
+    val isl = pos.withColumn("grp",
+      col("p") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    val spans = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"),
+        sum(col("span_len")).as("covered_pos"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("covered_pos"), lit(0L)).as("covered_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dupSpans]]. */
+  def dupSpansSql(l: Int = 8, minDf: Long = 2L): String = {
+    val gram = (0 until l).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS t
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, unnest(
+       |    [struct_pack(i := i, g := $gram)
+       |     for i in generate_series(1, len(t) - ${l - 1})]) AS s
+       |  FROM toks WHERE len(t) >= $l),
+       |g AS (SELECT doc_id, s.i AS i, s.g AS g FROM g0),
+       |dft AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+       |  FROM g GROUP BY 1) WHERE df >= $minDf),
+       |pos AS (SELECT DISTINCT doc_id, p FROM
+       |  (SELECT doc_id, unnest(generate_series(i, i + ${l - 1})) AS p
+       |   FROM g WHERE g IN (SELECT g FROM dft))),
+       |isl AS (SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM pos),
+       |sp AS (SELECT doc_id, grp, COUNT(*) AS span_len
+       |  FROM isl GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(MAX(span_len) AS BIGINT) AS max_span,
+       |    CAST(SUM(span_len) AS BIGINT) AS covered_pos
+       |  FROM sp GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  COALESCE(pd.n_spans, 0) AS n_spans,
+       |  COALESCE(pd.max_span, 0) AS max_span,
+       |  COALESCE(pd.covered_pos, 0) AS covered_pos
+       |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** q167: Zipf audit — the token-frequency distribution folded into
     * power-of-2 RANK buckets (bucket b = ranks [2^b, 2^{b+1})): token
     * count, total occurrences, and corpus-mass ppm per bucket. Under a

@@ -167,4 +167,39 @@ class PolicySpec extends SparkSpec {
     assert(eToks === 8L && eRaw === 1000000L && eTmp === 1000000L)
     assert(eRate === 1000000L)
   }
+
+  test("q172 dup spans: one shared paragraph = one maximal span; structure exact") {
+    val s2 = spark; import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q172").toString
+    // 12-token shared paragraph inside two otherwise-unique docs: every
+    // 8-gram window of it repeats cross-doc, and the covered positions
+    // must merge to ONE span of exactly 12 tokens per doc.
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val u1 = (1 to 10).map(i => s"unique1x$i").mkString(" ")
+    val u2 = (1 to 10).map(i => s"unique2x$i").mkString(" ")
+    val u3 = (1 to 20).map(i => s"unique3x$i").mkString(" ")
+    val u4 = (1 to 20).map(i => s"unique4x$i").mkString(" ")
+    Seq(
+      (1L, s"$u1 $para $u2"),   // span at positions 11..22
+      (2L, s"$para $u3"),       // span at positions 1..12
+      (3L, u4 + " tail")        // no repeated 8-grams
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.dupSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows(1L) === ((32L, 1L, 12L, 12L)))
+    assert(rows(2L) === ((32L, 1L, 12L, 12L)))
+    assert(rows(3L) === ((21L, 0L, 0L, 0L)))
+    // real corpus: spans are well-formed (max_span <= covered <= n_tokens,
+    // n_spans = 0 iff covered = 0) and some doc has dup structure
+    val real = TextQueries.dupSpans(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    real.foreach { case (n, ns, mx, cov) =>
+      assert(cov <= n && mx <= cov)
+      assert((ns == 0L) === (cov == 0L))
+      assert(ns == 0L || mx * ns >= cov || mx <= cov)
+    }
+    assert(real.exists(_._2 > 0L), "fixture corpus has repeated 8-grams")
+  }
 }
