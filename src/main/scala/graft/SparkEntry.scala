@@ -206,6 +206,7 @@ object SparkEntry {
     "q171_temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(s, d)),
     "q172_dup_spans"      -> ((s, d) => TextQueries.dupSpans(s, d)),
+    "q173_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2049,6 +2050,8 @@ object SparkEntry {
     "q171_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
     // q172: cross-doc duplicated-span run structure (Lee et al. policy input)
     "q172_dup_spans" -> TextQueries.dupSpansSql(),
+    // q173: embedding-space test-set leakage (semantic decontamination)
+    "q173_semantic_decontam" -> Similarity.semanticDecontamSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.PortableHash
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (Array[Float], 64 dims). Beyond-reference surface (BASELINE.json).
@@ -726,4 +727,55 @@ object Similarity {
       |    (sqrt(list_sum([x * x for x in ce])) *
       |     sqrt(list_sum([x * x for x in ge]))), 6) AS drift_cos
       |FROM pl CROSS JOIN g ORDER BY label""".stripMargin
+
+  /** q173: SEMANTIC decontamination — q56/q170's test-set-leakage check
+    * in embedding space (the eval-similarity filter modern pretraining
+    * pipelines run alongside the n-gram one): vectors split train/test
+    * by the q47 hash convention (h60 % 100; < 80 train, ≥ 90 test, the
+    * val band ignored), then every TRAIN vector whose cosine to ANY
+    * test vector reaches `threshold` is flagged as a directed
+    * (train_id, test_id, sim) leak pair. Lexical decontamination misses
+    * paraphrases the encoder maps together; this leg closes that hole.
+    *
+    * Scale: the test split is EVAL-sized by construction, so this is
+    * q56's broadcast shape in vector space — broadcast the test side,
+    * ONE scan of train, codegen'd [[graft.plans.FloatVecCosine]] per
+    * (train, test) pair. Flops = corpus × eval is the honest lower
+    * bound for EXACT decontamination (the q42 banded-LSH path is the
+    * recall<1 shortcut when the eval suite itself gets large). */
+  def semanticDecontam(s: SparkSession, dir: String,
+                       threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        (PortableHash.h60(col("vec_id").cast("string")) % 100).as("bucket"))
+    val test = emb.filter(col("bucket") >= 90)
+      .select(col("vec_id").as("test_id"), col("embedding").as("te"))
+    val train = emb.filter(col("bucket") < 80)
+      .select(col("vec_id").as("train_id"), col("embedding").as("tr"))
+    train.crossJoin(broadcast(test))
+      .withColumn("sim",
+        round(graft.plans.FloatVecCosine(s, col("tr"), col("te")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("train_id"), col("test_id"), col("sim"))
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
+  /** DuckDB oracle for [[semanticDecontam]]. */
+  def semanticDecontamSql(threshold: Double = 0.45): String = {
+    val h = PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")
+    s"""WITH e AS (SELECT vec_id, embedding, ($h) % 100 AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT tr.vec_id AS train_id, te.vec_id AS test_id,
+       |    round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |      for z in list_zip(tr.embedding, te.embedding)]) /
+       |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        for x in tr.embedding])) *
+       |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        for x in te.embedding]))), 6) AS sim
+       |  FROM e tr CROSS JOIN e te
+       |  WHERE tr.bucket < 80 AND te.bucket >= 90)
+       |SELECT train_id, test_id, sim FROM p WHERE sim >= $threshold
+       |ORDER BY train_id, test_id""".stripMargin
+  }
 }

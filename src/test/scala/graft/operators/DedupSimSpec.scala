@@ -397,4 +397,31 @@ class DedupSimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("q173 semantic decontam: planted train copy of a test vector is flagged") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // pick ids landing in the train (<80) and test (>=90) hash bands
+    val buckets = (0L until 300L).toDF("vec_id")
+      .select(col("vec_id"),
+        (graft.functions.PortableHash.h60(col("vec_id").cast("string")) % 100)
+          .as("b")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val trainId = buckets.find(_._2 < 80).get._1
+    val testId = buckets.find(_._2 >= 90).get._1
+    val fillers = buckets.filter(x => x._2 < 80 && x._1 != trainId)
+      .take(5).map(_._1)
+    val leak = (0 until 64).map(i => (i % 7 - 3).toFloat / 3f).toArray
+    def ortho(k: Int) = (0 until 64).map(i =>
+      if (i == k) 1f else 0f).toArray // unit basis vectors: cosine 0 to leak-ish
+    val rows = Seq(trainId -> leak, testId -> leak) ++
+      fillers.zipWithIndex.map { case (id, i) => id -> ortho(i) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q173").toString
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.semanticDecontam(spark, tmp, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((trainId, testId, 1.0)),
+      s"expected exactly the planted leak, got ${out.toSeq}")
+  }
 }
