@@ -207,6 +207,7 @@ object SparkEntry {
       graft.operators.Curation.temperatureMix(s, d)),
     "q172_dup_spans"      -> ((s, d) => TextQueries.dupSpans(s, d)),
     "q173_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
+    "q174_span_strip"     -> ((s, d) => TextQueries.spanStrip(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2052,6 +2053,8 @@ object SparkEntry {
     "q172_dup_spans" -> TextQueries.dupSpansSql(),
     // q173: embedding-space test-set leakage (semantic decontamination)
     "q173_semantic_decontam" -> Similarity.semanticDecontamSql(),
+    // q174: long-duplicated-span removal (the q172 APPLY pass)
+    "q174_span_strip" -> TextQueries.spanStripSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

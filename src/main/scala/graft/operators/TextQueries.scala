@@ -1346,6 +1346,93 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q174: duplicated-span REMOVAL — the APPLY half of [[dupSpans]] and
+    * the policy Lee et al. actually ship: strip only the LONG duplicated
+    * runs (span_len ≥ `minSpan`), keep short accidental overlaps, and
+    * rebuild the document from the surviving tokens in order. The
+    * q141 boilerplate strip removes a bounded mined set; this removes
+    * unbounded cross-doc repetition by span policy — the two passes a
+    * production dedup stage runs back to back.
+    *
+    * Scale: q172's gram-df + gaps-and-islands stages, one extra
+    * span-length semi filter, and a per-doc position-set join-back into
+    * the q141 rebuild HOF — all (doc_id)- or (gram)-keyed. */
+  def spanStrip(s: SparkSession, dir: String, l: Int = 8,
+                minDf: Long = 2L, minSpan: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Text.shinglesPositional(col("toks"), l)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val dfT = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val pos = grams.join(dfT, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
+      .distinct()
+    val isl = pos.withColumn("grp",
+      col("p") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+    // positions of LONG spans only (the policy filter)
+    val longPos = isl
+      .withColumn("span_len",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .filter(col("span_len") >= minSpan)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("cut"))
+    docs.join(longPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("toks"), (t, i) =>
+          col("cut").isNull || not(array_contains(col("cut"), i + 1))), " ")
+          .as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[spanStrip]]. */
+  def spanStripSql(l: Int = 8, minDf: Long = 2L,
+                   minSpan: Long = 10L): String = {
+    val gram = (0 until l).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |     if len(t) > 0] AS t
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, unnest(
+       |    [struct_pack(i := i, g := $gram)
+       |     for i in generate_series(1, len(t) - ${l - 1})]) AS s
+       |  FROM toks WHERE len(t) >= $l),
+       |g AS (SELECT doc_id, s.i AS i, s.g AS g FROM g0),
+       |dft AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+       |  FROM g GROUP BY 1) WHERE df >= $minDf),
+       |pos AS (SELECT DISTINCT doc_id, p FROM
+       |  (SELECT doc_id, unnest(generate_series(i, i + ${l - 1})) AS p
+       |   FROM g WHERE g IN (SELECT g FROM dft))),
+       |isl AS (SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM pos),
+       |lsp AS (SELECT doc_id, p FROM (SELECT doc_id, p,
+       |    COUNT(*) OVER (PARTITION BY doc_id, grp) AS span_len
+       |  FROM isl) WHERE span_len >= $minSpan),
+       |cut AS (SELECT doc_id, list_sort(list(p)) AS cut FROM lsp
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(len(c.cut), 0) AS BIGINT) AS n_removed,
+       |  -- array_to_string of an EMPTY list is NULL in DuckDB; Spark's
+       |  -- array_join gives '' — coalesce to match (fully-covered docs)
+       |  COALESCE(array_to_string([t.t[i]
+       |    for i in generate_series(1, len(t.t))
+       |    if c.cut IS NULL OR NOT list_contains(c.cut, i)], ' '), '')
+       |    AS cleaned
+       |FROM toks t LEFT JOIN cut c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[dupSpans]]. */
   def dupSpansSql(l: Int = 8, minDf: Long = 2L): String = {
     val gram = (0 until l).map(j => s"t[i+$j]").mkString(" || ' ' || ")

@@ -191,6 +191,25 @@ class PolicySpec extends SparkSpec {
     assert(rows(1L) === ((32L, 1L, 12L, 12L)))
     assert(rows(2L) === ((32L, 1L, 12L, 12L)))
     assert(rows(3L) === ((21L, 0L, 0L, 0L)))
+    // q174 policy on the same fixture: the 12-token span (>= minSpan 10)
+    // is stripped; an 8-token accidental overlap is kept
+    val eight = "p1 p2 p3 p4 p5 p6 p7 p8"
+    Seq(
+      (1L, s"$u1 $para $u2"),
+      (2L, s"$para $u3"),
+      (3L, u4 + " tail"),
+      (4L, s"$eight uniq4a uniq4b uniq4c"),
+      (5L, s"uniq5a uniq5b $eight uniq5c")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val strip = TextQueries.spanStrip(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(strip(1L)._1 === 12L && strip(2L)._1 === 12L)
+    assert(!strip(1L)._2.contains("alpha") && strip(1L)._2.contains("unique1x1"))
+    assert(strip(2L)._2 === u3, "doc2 keeps exactly its unique tail")
+    // the short shared run survives the policy (n_removed = 0)
+    assert(strip(4L)._1 === 0L && strip(4L)._2.contains("p1"))
+    assert(strip(5L)._1 === 0L && strip(5L)._2.contains("p8"))
     // real corpus: spans are well-formed (max_span <= covered <= n_tokens,
     // n_spans = 0 iff covered = 0) and some doc has dup structure
     val real = TextQueries.dupSpans(spark, sf).collect()
