@@ -208,6 +208,8 @@ object SparkEntry {
     "q172_dup_spans"      -> ((s, d) => TextQueries.dupSpans(s, d)),
     "q173_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
     "q174_span_strip"     -> ((s, d) => TextQueries.spanStrip(s, d)),
+    "q175_tokenizer_fertility" -> ((s, d) =>
+      TextQueries.tokenizerFertility(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2055,6 +2057,8 @@ object SparkEntry {
     "q173_semantic_decontam" -> Similarity.semanticDecontamSql(),
     // q174: long-duplicated-span removal (the q172 APPLY pass)
     "q174_span_strip" -> TextQueries.spanStripSql(),
+    // q175: per-language fertility of the en-trained BPE tokenizer
+    "q175_tokenizer_fertility" -> TextQueries.tokenizerFertilitySql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -1346,6 +1346,104 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q175: TOKENIZER FERTILITY per language — the multilingual audit of
+    * an English-trained tokenizer (the "fertility" metric of the mBERT/
+    * XLM-R papers): merges learned on the 'en' slice exactly as q133,
+    * then EVERY language's word table encoded with that one merge table,
+    * reporting per-language words, symbols-per-word ppm and
+    * symbols-per-char ppm. A language the tokenizer undersegments pays
+    * its fertility ratio in context length — the number a mixture
+    * planner (q58/q171) reads next to its token budget.
+    *
+    * Scale: learning is q133's vocabulary-scale loop; the encode pass is
+    * a `rounds`-deep replace fold over the (lang, word, freq) table —
+    * vocabulary-sized, never corpus-sized, after one corpus scan for
+    * word frequencies. */
+  def tokenizerFertility(s: SparkSession, dir: String,
+                         rounds: Int = 8): DataFrame = {
+    val allWf = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // feeds the en learn slice AND the encode
+    val enWf = allWf.filter(col("lang") === "en")
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+    val merges = bpeMergesFrom(enWf, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val start = allWf.select(col("lang"), col("word"), col("freq"),
+      concat(regexp_replace(col("word"), "(.)", "|$1|"), lit("|_|"))
+        .as("seq"))
+    val encoded = merges.foldLeft(start) { case (df, (l, r)) =>
+      df.withColumn("seq", expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
+    }
+    encoded
+      .withColumn("n_symbols",
+        size(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"))
+          .cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_symbols")).as("n_symbols_total"),
+        sum(col("freq") * length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"),
+        expr("n_symbols_total * 1000000 div n_words").as("sym_per_word_ppm"),
+        expr("CASE WHEN n_chars = 0 THEN 0 ELSE " +
+          "n_symbols_total * 1000000 div n_chars END").as("sym_per_char_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle for [[tokenizerFertility]] — q148's learn chain on
+    * the en slice, the merge fold applied to the all-language word
+    * table, then the per-language aggregate. */
+  def tokenizerFertilitySql(rounds: Int = 8): String = {
+    val header =
+      """WITH allw AS MATERIALIZED (SELECT lang, tok AS word,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM documents, UNNEST(string_split_regex(lower(text),
+        |    '[^a-z0-9]+')) AS u(tok)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY 1, 2),
+        |w0 AS MATERIALIZED (SELECT word,
+        |    regexp_replace(word, '(.)', '|\1|', 'g') || '|_|' AS seq,
+        |    freq FROM (SELECT word, SUM(freq) AS freq FROM allw
+        |      WHERE lang = 'en' GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT p.l, p.r, SUM(freq) AS c FROM (
+         |    SELECT unnest([struct_pack(l := t[i], r := t[i+1])
+         |      for i in generate_series(1, len(t)-1)]) AS p, freq
+         |    FROM (SELECT string_split(trim(seq, '|'), '||') AS t, freq
+         |          FROM w${r - 1})) GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, replace(seq,
+         |    (SELECT '|' || l || '||' || r || '|' FROM m$r),
+         |    (SELECT '|' || l || r || '|' FROM m$r)) AS seq, freq
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val applyCtes = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT lang, word, freq, replace(seq,
+         |    (SELECT '|' || l || '||' || r || '|' FROM m$r),
+         |    (SELECT '|' || l || r || '|' FROM m$r)) AS seq
+         |  FROM a${r - 1})""".stripMargin
+    }
+    val a0 =
+      """a0 AS MATERIALIZED (SELECT lang, word, freq,
+        |    regexp_replace(word, '(.)', '|\1|', 'g') || '|_|' AS seq
+        |  FROM allw)""".stripMargin
+    val fin =
+      s"""SELECT lang, n_words,
+         |  n_symbols_total * 1000000 // n_words AS sym_per_word_ppm,
+         |  CASE WHEN n_chars = 0 THEN 0 ELSE
+         |    n_symbols_total * 1000000 // n_chars END AS sym_per_char_ppm
+         |FROM (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+         |    CAST(SUM(freq * len(string_split(trim(seq, '|'), '||')))
+         |      AS BIGINT) AS n_symbols_total,
+         |    CAST(SUM(freq * strlen(word)) AS BIGINT) AS n_chars
+         |  FROM a$rounds GROUP BY 1)
+         |ORDER BY lang""".stripMargin
+    (Seq(header) ++ roundCtes ++ Seq(a0) ++ applyCtes).mkString(",\n") +
+      "\n" + fin
+  }
+
   /** q174: duplicated-span REMOVAL — the APPLY half of [[dupSpans]] and
     * the policy Lee et al. actually ship: strip only the LONG duplicated
     * runs (span_len ≥ `minSpan`), keep short accidental overlaps, and

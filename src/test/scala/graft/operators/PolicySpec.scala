@@ -168,6 +168,25 @@ class PolicySpec extends SparkSpec {
     assert(eRate === 1000000L)
   }
 
+  test("q175 fertility: cross-foots word counts, bounded ratios, all langs") {
+    val rows = TextQueries.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val direct = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"),
+        explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === direct.keySet && rows.size > 1)
+    rows.foreach { case (lang, (nWords, spw, spc)) =>
+      assert(nWords === direct(lang), s"$lang word count")
+      // >= 1 symbol per word; the end-marker bounds symbols by chars+1
+      assert(spw >= 1000000L, s"$lang fertility under 1 sym/word")
+      assert(spc <= 2000000L, s"$lang symbols exceed chars+marker")
+    }
+  }
+
   test("q172 dup spans: one shared paragraph = one maximal span; structure exact") {
     val s2 = spark; import s2.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q172").toString
