@@ -1313,27 +1313,17 @@ object TextQueries {
     * shuffle is (doc_id)- or (gram)-keyed, nothing corpus-crossing. */
   def dupSpans(s: SparkSession, dir: String, l: Int = 8,
                minDf: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tokens"))
-      .localCheckpoint(true) // feeds grams AND the final join-back
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(Text.shinglesPositional(col("toks"), l)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-    val dfT = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("g"))
-    val pos = grams.join(dfT, Seq("g"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
-      .distinct()
-    val isl = pos.withColumn("grp",
-      col("p") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
-    val spans = isl.groupBy(col("doc_id"), col("grp"))
+    val docs = spanDocs(Tables.load(s, dir, "documents"))
+    dupSpansFrom(docs, spanFlaggedGrams(docs, l, minDf), l)
+  }
+
+  /** The q172 report from an externally-supplied flagged-gram table
+    * (shared with the streaming twin, which derives the table from its
+    * incremental df state). */
+  private[graft] def dupSpansFrom(docs: DataFrame, flagged: DataFrame,
+                                  l: Int): DataFrame = {
+    val spans = spanIslands(docs, flagged, l)
+      .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("span_len"))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"),
@@ -1457,28 +1447,52 @@ object TextQueries {
     * the q141 rebuild HOF — all (doc_id)- or (gram)-keyed. */
   def spanStrip(s: SparkSession, dir: String, l: Int = 8,
                 minDf: Long = 2L, minSpan: Long = 10L): DataFrame = {
+    val docs = spanDocs(Tables.load(s, dir, "documents"))
+    spanStripFrom(docs, spanFlaggedGrams(docs, l, minDf), l, minSpan)
+  }
+
+  /** (doc_id, toks, n_tokens) projection the span family shares. */
+  private[graft] def spanDocs(raw: DataFrame): DataFrame = raw
+    .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    .localCheckpoint(true) // feeds grams AND the final join-back
+
+  /** Corpus-repeated positional L-grams (the q172/q174 mining table —
+    * per-doc-distinct doc frequency ≥ minDf). The streaming twin derives
+    * the same single-`g` column from its incrementally-maintained df
+    * state instead. */
+  private[graft] def spanFlaggedGrams(docs: DataFrame, l: Int,
+                                      minDf: Long): DataFrame = docs
+    .select(col("doc_id"),
+      explode(array_distinct(Text.shinglesPositional(col("toks"), l)))
+        .as("g"))
+    .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    .filter(col("df") >= minDf).select(col("g"))
+
+  /** Gaps-and-islands over the flagged-gram coverage: (doc_id, p, grp). */
+  private[graft] def spanIslands(docs: DataFrame, flagged: DataFrame,
+                                 l: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tokens"))
-      .localCheckpoint(true)
     val grams = docs
       .select(col("doc_id"),
         posexplode(Text.shinglesPositional(col("toks"), l)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-    val dfT = grams.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("g"))
-    val pos = grams.join(dfT, Seq("g"), "left_semi")
+    val pos = grams.join(flagged.select(col("g")), Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (l - 1))).as("p"))
       .distinct()
-    val isl = pos.withColumn("grp",
+    pos.withColumn("grp",
       col("p") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+  }
+
+  /** The q174 strip from an externally-supplied flagged-gram table. */
+  private[graft] def spanStripFrom(docs: DataFrame, flagged: DataFrame,
+                                   l: Int, minSpan: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // positions of LONG spans only (the policy filter)
-    val longPos = isl
+    val longPos = spanIslands(docs, flagged, l)
       .withColumn("span_len",
         count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
       .filter(col("span_len") >= minSpan)

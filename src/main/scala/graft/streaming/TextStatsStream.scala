@@ -326,3 +326,62 @@ object BoilerplateStripStream {
     graft.operators.TextQueries.boilerplateStripWith(
       docs, minedSet(state, minDf, topK))
 }
+
+/** Incremental q172/q174 (`TextQueries.dupSpans`/`spanStrip`): the
+  * duplicated-SPAN family with its gram-df MINING state maintained
+  * incrementally — the same fold discipline as [[BoilerplateStripStream]]
+  * at the positional-8-gram grain. Each doc contributes its DISTINCT
+  * 8-grams once (pure function of the doc → any split folds by sum; the
+  * seen anti-join makes re-delivery a no-op); the flagged set at any
+  * trigger is `df >= minDf` over the state, and both reports — the span
+  * structure AND the strip-long-keep-short rebuild — reuse the batch
+  * operators' own stages (`dupSpansFrom`/`spanStripFrom`), so streamed
+  * == batch is structural given equal state. At 100 TB the df table
+  * buckets by gram and persists through [[VersionedState.applyBatch]]. */
+object DupSpanStream {
+  import TextStatsStream._
+  import graft.operators.TextQueries
+
+  val L = 8
+
+  def emptyState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, text). Returns (state', seen'). */
+  def mergeBatch(state: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val delta = fresh
+      .select(explode(array_distinct(
+        Text.shinglesPositional(Text.tokens(col("text")), L))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df_new"))
+    val state2 = state.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (state2, seen2)
+  }
+
+  private def flagged(state: DataFrame, minDf: Long): DataFrame =
+    state.filter(col("df") >= minDf).select(col("g"))
+
+  /** q172 report off maintained state — identical columns/order. */
+  def spansReport(docs: DataFrame, state: DataFrame,
+                  minDf: Long = 2L): DataFrame =
+    TextQueries.dupSpansFrom(TextQueries.spanDocs(docs),
+      flagged(state, minDf), L)
+
+  /** q174 report off maintained state — identical columns/order. */
+  def stripReport(docs: DataFrame, state: DataFrame, minDf: Long = 2L,
+                  minSpan: Long = 10L): DataFrame =
+    TextQueries.spanStripFrom(TextQueries.spanDocs(docs),
+      flagged(state, minDf), L, minSpan)
+}
