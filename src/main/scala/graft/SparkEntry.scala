@@ -210,6 +210,11 @@ object SparkEntry {
     "q174_span_strip"     -> ((s, d) => TextQueries.spanStrip(s, d)),
     "q175_tokenizer_fertility" -> ((s, d) =>
       TextQueries.tokenizerFertility(s, d)),
+    // q176-q178: labeled-data QA, budgeted selection, chunk inventory
+    "q176_knn_label_audit" -> ((s, d) => Similarity.knnLabelAudit(s, d)),
+    "q177_token_budget"   -> ((s, d) =>
+      graft.operators.Curation.tokenBudgetSelect(s, d)),
+    "q178_chunk_dedup"    -> ((s, d) => TextQueries.chunkDedup(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2059,6 +2064,12 @@ object SparkEntry {
     "q174_span_strip" -> TextQueries.spanStripSql(),
     // q175: per-language fertility of the en-trained BPE tokenizer
     "q175_tokenizer_fertility" -> TextQueries.tokenizerFertilitySql(),
+    // q176: kNN label-agreement audit (label-noise detection)
+    "q176_knn_label_audit" -> Similarity.knnLabelAuditSql(),
+    // q177: token-budget-constrained quality-ranked corpus selection
+    "q177_token_budget" -> graft.operators.Curation.tokenBudgetSelectSql(),
+    // q178: fixed-stride chunk inventory + chunk-level dedup stats
+    "q178_chunk_dedup" -> TextQueries.chunkDedupSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

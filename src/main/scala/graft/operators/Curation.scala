@@ -60,7 +60,14 @@ object Curation {
         .cast("long").as("n_ws_tokens"),
       round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
         .cast("double") / length(col("text")).cast("double"), 6)
-        .as("alpha_ratio")): _*)
+        .as("alpha_ratio"),
+      // integer twin of alpha_ratio (ppm, floor) — the total-order
+      // quality key q177 sorts the corpus by; kept integer so the
+      // global ordering is engine-portable with no float ties
+      when(length(col("text")) === 0, 0L)
+        .otherwise(expr("length(regexp_replace(lower(text), '[^a-z]', ''))" +
+          " * CAST(1000000 AS BIGINT) div length(text)"))
+        .as("alpha_ppm")): _*)
   }
 
   private val featureCache =
@@ -601,4 +608,78 @@ object Curation {
        |  r.rate_ppm, k.realized_docs, k.realized_tokens
        |FROM r JOIN k USING (lang) ORDER BY r.lang""".stripMargin
   }
+
+  /** q177: token-BUDGET-constrained corpus selection — the "best docs
+    * until the budget runs out" cut every fixed-compute pretraining run
+    * makes (given B training tokens, take the highest-quality documents
+    * whose cumulative token count fits): corpus totally ordered by
+    * (alpha_ppm DESC, doc_id), running token sum along that order, docs
+    * with cum ≤ B selected, B = total tokens div `budgetDiv`. The report
+    * is the per-(lang, source) composition of the selected set against
+    * the full corpus — the table that shows WHAT a pure quality-ranked
+    * cut does to language/source balance (it starves low-alpha
+    * languages; q171's temperature rule is the counter-measure, and this
+    * query is how you SEE the tension).
+    *
+    * Determinism: the quality key is the INTEGER alpha_ppm from the
+    * shared [[docFeatures]] artifact and doc_id breaks ties, so the
+    * selection set is a pure function of the data in both engines.
+    *
+    * Scale: the global running sum is [[Ranks.globalRunningSum]] — range
+    * partition on the sort key, per-partition sums, prefix offsets over
+    * the partition-count-sized table, ONE window inside each partition
+    * (the Terasort construction; no single-reducer global window). The
+    * budget is one broadcast scalar. Everything downstream of the
+    * artifact touches (doc_id, lang, source, two longs) — never text. */
+  def tokenBudgetSelect(s: SparkSession, dir: String,
+                        budgetDiv: Long = 5L): DataFrame = {
+    val f = docFeatures(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("alpha_ppm"),
+        (-col("alpha_ppm")).as("ord"))
+    val budget = f.agg(expr(s"sum(n_tokens) div $budgetDiv").as("budget"))
+    val cum = Ranks.globalRunningSum(f, Nil, Seq("ord", "doc_id"),
+      "n_tokens", out = "cum")
+    cum.crossJoin(broadcast(budget))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("toks"),
+        sum(when(col("cum") <= col("budget"), 1L).otherwise(0L))
+          .as("n_docs_sel"),
+        sum(when(col("cum") <= col("budget"), col("n_tokens"))
+          .otherwise(0L)).as("toks_sel"),
+        max(col("budget")).as("budget"))
+      .select(col("lang"), col("source"), col("n_docs"), col("toks"),
+        col("n_docs_sel"), col("toks_sel"),
+        expr("CASE WHEN budget = 0 THEN 0" +
+          " ELSE toks_sel * 1000000 div budget END").as("budget_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** DuckDB oracle for [[tokenBudgetSelect]] (plain window running sum —
+    * the semantics; the Spark side's range-partitioned construction must
+    * reproduce it exactly). */
+  def tokenBudgetSelectSql(budgetDiv: Long = 5L): String =
+    s"""WITH f AS (SELECT doc_id, lang, source,
+       |    CAST(len([x for x in string_split_regex(lower(text),
+       |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0
+       |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+       |        AS BIGINT) * 1000000 // length(text) END AS alpha_ppm
+       |  FROM documents),
+       |b AS (SELECT CAST(SUM(n_tokens) // $budgetDiv AS BIGINT) AS budget
+       |  FROM f),
+       |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY alpha_ppm DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)
+       |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS toks,
+       |  CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_sel,
+       |  CAST(SUM(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS toks_sel,
+       |  CASE WHEN MAX(budget) = 0 THEN 0
+       |    ELSE CAST(SUM(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)
+       |      AS BIGINT) * 1000000 // MAX(budget) END AS budget_ppm
+       |FROM c CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

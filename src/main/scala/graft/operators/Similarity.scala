@@ -778,4 +778,76 @@ object Similarity {
        |SELECT train_id, test_id, sim FROM p WHERE sim >= $threshold
        |ORDER BY train_id, test_id""".stripMargin
   }
+
+  /** q176: kNN label-agreement audit (label-noise detection) — for each
+    * of `nQueries` audited vectors, its `k` EXACT nearest neighbors by
+    * cosine (rounded-6, nid tiebreak — the q20/q130 ranking protocol)
+    * vote on its label: n_same counts neighbors sharing it, and a vector
+    * outvoted by its own neighborhood (2·n_same < k) is flagged suspect.
+    * The standard embedding-space QA pass over labeled training data
+    * (Confident-Learning-style): mislabeled examples sit inside a
+    * differently-labeled neighborhood, and this surfaces them as a
+    * deterministic, hash-gated row set instead of a human eyeball pass.
+    *
+    * Scale: queries are the bounded audit slice (broadcast), so flops =
+    * corpus × nQueries — ONE corpus scan, same honest-exact shape as
+    * q173; at 100 TB you widen nQueries by sampling, not by joining.
+    * The top-k itself is TWO-PHASE: phase 1 ranks within (qid,
+    * input-partition) so no reducer ever sees a corpus-sized group —
+    * the per-qid groups that would serialize a single global window are
+    * cut to partitions × k rows before the final per-qid rank (lossless:
+    * both phases use the same total order). */
+  def knnLabelAudit(s: SparkSession, dir: String,
+                    nQueries: Int = 40, k: Int = 10): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        col("vec_id").as("nid"), col("label").as("nlabel"),
+        round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6)
+          .as("sim"),
+        spark_partition_id().as("pid"))
+    val w1 = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_same"))
+      .select(col("qid"), col("qlabel").as("label"), col("n_same"),
+        expr(s"n_same * 1000000 div $k").as("agree_ppm"),
+        when(col("n_same") * 2 < k, 1L).otherwise(0L).as("suspect"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB oracle for [[knnLabelAudit]] — the single-window brute-force
+    * form of the same ranking protocol. */
+  def knnLabelAuditSql(nQueries: Int = 40, k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+       |    e.vec_id AS nid, e.label AS nlabel,
+       |    ${cosSqlDuck("q.embedding", "e.embedding")} AS sim
+       |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < $nQueries) q
+       |  WHERE e.vec_id <> q.vec_id),
+       |t AS (SELECT qid, qlabel, nlabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |      AS rn
+       |  FROM sc)
+       |SELECT qid, qlabel AS label,
+       |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same,
+       |  CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // $k AS agree_ppm,
+       |  CAST(CASE WHEN SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+       |      * 2 < $k THEN 1 ELSE 0 END AS BIGINT) AS suspect
+       |FROM t WHERE rn <= $k GROUP BY 1, 2 ORDER BY qid""".stripMargin
 }

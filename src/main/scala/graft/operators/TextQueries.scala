@@ -1677,4 +1677,95 @@ object TextQueries {
       |    AS avg_surprisal
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q178: fixed-stride CHUNK inventory + chunk-level dedup stats — the
+    * RAG/retrieval-ingestion pass: every document split into `chunk`-token
+    * windows advanced by `stride` (overlap = chunk − stride, the
+    * LangChain-style fixed splitter), each chunk fingerprinted
+    * ([[graft.functions.PortableHash.h60]] of its space-joined tokens),
+    * and the per-source report counts chunks, DISTINCT fingerprints, and
+    * the duplicate share in ppm. Chunk-level duplication is what a
+    * retrieval index actually pays for (near-identical passages from
+    * boilerplate-heavy sources), and it is invisible to the doc-level
+    * dedup family — a corpus can be 0% doc-duplicated and 40%
+    * chunk-duplicated.
+    *
+    * Chunk grid: starts = 1, 1+stride, …; for n ≤ chunk tokens exactly
+    * one chunk; else the last start is the smallest grid point covering
+    * token n (1 + stride·⌈(n−chunk)/stride⌉) — every token is in ≥ 1
+    * chunk, no chunk is empty, tails may be short (the real splitter's
+    * behavior, counted as-is).
+    *
+    * Scale: per-row explode (fan-out ≈ n/stride ≈ 1.3 rows per 64
+    * tokens) then ONE (source, fingerprint)-keyed partial-agg shuffle of
+    * 8-byte hashes — never chunk text; at 100 TB this is scan-speed plus
+    * a hash-sized exchange. */
+  def chunkDedup(s: SparkSession, dir: String,
+                 chunk: Int = 64, stride: Int = 48): DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val perDoc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val ch = docs.filter(col("n") >= 1)
+      .select(col("source"),
+        explode(when(col("n") <= chunk, array(lit(1L)))
+          .otherwise(sequence(lit(1L),
+            lit(1L) + lit(stride.toLong) *
+              expr(s"(n - $chunk + ${stride - 1}) div $stride"),
+            lit(stride.toLong)))).as("start"),
+        col("t"))
+      .select(col("source"),
+        slice(col("t"), col("start").cast("int"), lit(chunk)).as("ck"))
+      .select(col("source"), size(col("ck")).cast("long").as("clen"),
+        PortableHash.h60(array_join(col("ck"), " ")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("uniq_chunks"),
+        sum(col("clen")).as("chunk_toks"))
+    perDoc.join(ch, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("uniq_chunks"), lit(0L)).as("uniq_chunks"),
+        coalesce(col("chunk_toks"), lit(0L)).as("chunk_toks"))
+      .withColumn("dup_ppm",
+        expr("CASE WHEN n_chunks = 0 THEN 0" +
+          " ELSE (n_chunks - uniq_chunks) * 1000000 div n_chunks END"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[chunkDedup]] — the same grid/fingerprint
+    * protocol via generate_series + list_slice. */
+  def chunkDedupSql(chunk: Int = 64, stride: Int = 48): String = {
+    val h = graft.functions.PortableHash.h60Sql("array_to_string(ck, ' ')")
+    s"""WITH f AS (SELECT doc_id, source,
+       |    [x for x in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(x) > 0] AS t
+       |  FROM documents),
+       |st AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n FROM f),
+       |ck AS (SELECT source,
+       |    list_slice(t, start, start + ${chunk - 1}) AS ck
+       |  FROM (SELECT source, t, unnest(generate_series(1,
+       |      CASE WHEN n <= $chunk THEN 1
+       |        ELSE 1 + $stride * ((n - $chunk + ${stride - 1}) // $stride)
+       |      END, $stride)) AS start
+       |    FROM st WHERE n >= 1)),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(COUNT(DISTINCT $h) AS BIGINT) AS uniq_chunks,
+       |    CAST(SUM(len(ck)) AS BIGINT) AS chunk_toks
+       |  FROM ck GROUP BY 1),
+       |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM st
+       |  GROUP BY 1)
+       |SELECT d.source, d.n_docs,
+       |  COALESCE(agg.n_chunks, 0) AS n_chunks,
+       |  COALESCE(agg.uniq_chunks, 0) AS uniq_chunks,
+       |  COALESCE(agg.chunk_toks, 0) AS chunk_toks,
+       |  CASE WHEN COALESCE(agg.n_chunks, 0) = 0 THEN 0
+       |    ELSE (agg.n_chunks - agg.uniq_chunks) * 1000000 // agg.n_chunks
+       |  END AS dup_ppm
+       |FROM d LEFT JOIN agg USING (source) ORDER BY d.source""".stripMargin
+  }
 }

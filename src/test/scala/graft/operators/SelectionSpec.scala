@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q176-q178: labeled-data QA, budgeted selection, and chunk-inventory
+  * invariants — each checked against an independent driver-side
+  * recomputation from the raw tables. */
+class SelectionSpec extends SparkSpec {
+
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  test("q176 knn label audit: matches driver-side brute-force kNN vote") {
+    val (nQ, k) = (40, 10)
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.filter(_._1 < nQ).map { case (qid, qe, ql) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (nid, ne, nl) => (nid, nl, cos(qe, ne)) }
+        .sortBy { case (nid, _, sim) => (-sim, nid) }
+        .take(k)
+      val same = top.count(_._2 == ql).toLong
+      (qid, (ql, same, same * 1000000L / k, if (same * 2 < k) 1L else 0L))
+    }.toMap
+    val rows = Similarity.knnLabelAudit(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (ql, same, ppm, susp) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((ql, same, ppm, susp)), s"qid ${r.getLong(0)}")
+    }
+    assert(rows.exists(_.getLong(4) == 1L) ||
+      rows.forall(_.getLong(2) >= (k + 1) / 2),
+      "no suspect row and no clean majority — fixture degenerate")
+  }
+
+  test("q177 token budget: selected set is exactly the quality-ranked prefix") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map { r =>
+        val text = r.getString(3)
+        val alphaPpm =
+          if (text.isEmpty) 0L
+          else text.toLowerCase.count(c => c >= 'a' && c <= 'z').toLong *
+            1000000L / text.length
+        (r.getLong(0), r.getString(1), r.getString(2),
+          tokensOf(text).length.toLong, alphaPpm)
+      }
+    val budget = docs.map(_._4).sum / 5
+    var cum = 0L
+    val selected = docs.sortBy { case (id, _, _, _, ppm) => (-ppm, id) }
+      .flatMap { case (id, lang, source, n, _) =>
+        cum += n
+        if (cum <= budget) Some((id, lang, source, n)) else None
+      }
+    val expByGroup = docs.groupBy(d => (d._2, d._3)).map { case (g, ds) =>
+      val sel = selected.filter(x => (x._2, x._3) == g)
+      g -> (ds.length.toLong, ds.map(_._4).sum,
+        sel.length.toLong, sel.map(_._4).sum)
+    }
+    val rows = Curation.tokenBudgetSelect(spark, sf).collect()
+    assert(rows.length === expByGroup.size)
+    rows.foreach { r =>
+      val g = (r.getString(0), r.getString(1))
+      val (nd, tk, nds, tks) = expByGroup(g)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((nd, tk, nds, tks)), s"group $g")
+      assert(r.getLong(6) === (if (budget == 0) 0L
+        else tks * 1000000L / budget))
+    }
+    val totSel = rows.map(_.getLong(5)).sum
+    assert(totSel <= budget, "selected tokens exceed the budget")
+    assert(totSel > 0, "nothing selected — fixture degenerate")
+    assert(rows.map(_.getLong(4)).sum < docs.length,
+      "every doc selected — budget not binding, test is vacuous")
+  }
+
+  test("q178 chunk dedup: grid covers every token; counts recompute exactly") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), tokensOf(r.getString(2))))
+    val (c, s) = (64, 48)
+    def starts(n: Int): Seq[Int] =
+      if (n <= c) Seq(1)
+      else (0 to ((n - c + s - 1) / s)).map(1 + _ * s)
+    // every token position covered by at least one chunk
+    docs.filter(_._3.nonEmpty).foreach { case (_, _, t) =>
+      val covered = starts(t.length)
+        .flatMap(st => st until math.min(st + c, t.length + 1)).toSet
+      assert(covered === (1 to t.length).toSet)
+    }
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val chunks = ds.flatMap { case (_, _, t) =>
+        if (t.isEmpty) Nil
+        else starts(t.length).map(st => t.slice(st - 1, st - 1 + c))
+      }
+      src -> (ds.length.toLong, chunks.length.toLong,
+        chunks.map(_.mkString(" ")).distinct.length.toLong,
+        chunks.map(_.length.toLong).sum)
+    }
+    val rows = TextQueries.chunkDedup(spark, sf).collect()
+    assert(rows.length === exp.size)
+    var dupSomewhere = false
+    rows.foreach { r =>
+      val (nd, nc, uq, tk) = exp(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((nd, nc, uq, tk)), s"source ${r.getString(0)}")
+      assert(r.getLong(5) ===
+        (if (nc == 0) 0L else (nc - uq) * 1000000L / nc))
+      if (uq < nc) dupSomewhere = true
+    }
+    assert(dupSomewhere, "no duplicated chunk anywhere — dup_ppm untested")
+  }
+}
