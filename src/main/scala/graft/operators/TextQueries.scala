@@ -1702,15 +1702,28 @@ object TextQueries {
     * a hash-sized exchange. */
   def chunkDedup(s: SparkSession, dir: String,
                  chunk: Int = 64, stride: Int = 48): DataFrame = {
-    import graft.functions.PortableHash
     val docs = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("source"),
-        Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("text"))
+    chunkReport(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      chunkRows(docs, chunk, stride)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("uniq_chunks"),
+          sum(col("clen")).as("chunk_toks")))
+  }
+
+  /** q178 stage 1 over any (source, text) frame: one row per chunk —
+    * (source, clen, fp). Per-row explode, no shuffle; the streaming twin
+    * folds these rows into its (source, fp) count state. */
+  def chunkRows(docs: DataFrame, chunk: Int = 64,
+                stride: Int = 48): DataFrame = {
+    import graft.functions.PortableHash
+    docs
+      .select(col("source"), Text.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-    val perDoc = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
-    val ch = docs.filter(col("n") >= 1)
+      .filter(col("n") >= 1)
       .select(col("source"),
         explode(when(col("n") <= chunk, array(lit(1L)))
           .otherwise(sequence(lit(1L),
@@ -1722,11 +1735,13 @@ object TextQueries {
         slice(col("t"), col("start").cast("int"), lit(chunk)).as("ck"))
       .select(col("source"), size(col("ck")).cast("long").as("clen"),
         PortableHash.h60(array_join(col("ck"), " ")).as("fp"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("fp")).as("uniq_chunks"),
-        sum(col("clen")).as("chunk_toks"))
-    perDoc.join(ch, Seq("source"), "left")
+  }
+
+  /** q178 stage 2: assemble the per-source report from doc counts and
+    * the per-source chunk aggregate — shared verbatim by the batch query
+    * and the streaming twin's state-derived aggregate. */
+  def chunkReport(perDoc: DataFrame, chunkAgg: DataFrame): DataFrame =
+    perDoc.join(chunkAgg, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("uniq_chunks"), lit(0L)).as("uniq_chunks"),
@@ -1735,7 +1750,6 @@ object TextQueries {
         expr("CASE WHEN n_chunks = 0 THEN 0" +
           " ELSE (n_chunks - uniq_chunks) * 1000000 div n_chunks END"))
       .orderBy(col("source"))
-  }
 
   /** DuckDB oracle for [[chunkDedup]] — the same grid/fingerprint
     * protocol via generate_series + list_slice. */

@@ -385,3 +385,72 @@ object DupSpanStream {
     TextQueries.spanStripFrom(TextQueries.spanDocs(docs),
       flagged(state, minDf), L, minSpan)
 }
+
+/** Incremental q178 (`TextQueries.chunkDedup`): the chunk inventory as
+  * TWO mergeable state tables — per-(source, fingerprint) chunk counts
+  * (clen rides along: a fingerprint determines its chunk text, hence its
+  * length) and per-source doc counts. A doc's chunk rows are a pure
+  * function of the doc ([[TextQueries.chunkRows]]), so partials merge by
+  * sum under any batch split, and re-delivery is absorbed by the seen
+  * anti-join. The report re-derives the batch aggregate from state
+  * (n_chunks = Σc, uniq = state rows, chunk_toks = Σ c·clen) and feeds
+  * the SAME [[TextQueries.chunkReport]] assembly — streamed == batch is
+  * structural given equal state. At 100 TB the fp state buckets by
+  * (source, fp) exactly like the incremental-dedup signature store. */
+object ChunkDedupStream {
+  import TextStatsStream._
+  import graft.operators.TextQueries
+
+  def emptyState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("clen",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+
+  def emptyDocState(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, source, text).
+    * Returns (state', docState', seen'). */
+  def mergeBatch(state: DataFrame, docState: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val delta = TextQueries.chunkRows(fresh)
+      .groupBy(col("source"), col("fp"), col("clen"))
+      .agg(count(lit(1)).as("c_new"))
+    val state2 = state.join(delta, Seq("source", "fp", "clen"), "full_outer")
+      .select(col("source"), col("fp"), col("clen"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c"))
+      .localCheckpoint(true)
+    val docDelta = fresh.groupBy(col("source"))
+      .agg(count(lit(1)).as("d_new"))
+    val docState2 = docState.join(docDelta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_new"), lit(0L)))
+          .as("n_docs"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (state2, docState2, seen2)
+  }
+
+  /** The q178 report off maintained state — identical columns/order. */
+  def report(state: DataFrame, docState: DataFrame): DataFrame =
+    TextQueries.chunkReport(docState,
+      state.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_chunks"),
+          count(lit(1)).as("uniq_chunks"),
+          sum(col("c") * col("clen")).as("chunk_toks")))
+}
