@@ -215,6 +215,8 @@ object SparkEntry {
     "q177_token_budget"   -> ((s, d) =>
       graft.operators.Curation.tokenBudgetSelect(s, d)),
     "q178_chunk_dedup"    -> ((s, d) => TextQueries.chunkDedup(s, d)),
+    "q179_source_overlap" -> ((s, d) =>
+      graft.operators.Curation.sourceOverlap(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2070,6 +2072,8 @@ object SparkEntry {
     "q177_token_budget" -> graft.operators.Curation.tokenBudgetSelectSql(),
     // q178: fixed-stride chunk inventory + chunk-level dedup stats
     "q178_chunk_dedup" -> TextQueries.chunkDedupSql(),
+    // q179: cross-source exact-fingerprint duplication matrix
+    "q179_source_overlap" -> graft.operators.Curation.sourceOverlapSql,
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

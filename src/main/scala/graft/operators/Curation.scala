@@ -682,4 +682,77 @@ object Curation {
        |    ELSE CAST(SUM(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)
        |      AS BIGINT) * 1000000 // MAX(budget) END AS budget_ppm
        |FROM c CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q179: cross-SOURCE duplication matrix — for every unordered source
+    * pair, the count of exact content fingerprints (q25's normalized-
+    * token md5) present in BOTH, plus per-source distinct-fingerprint
+    * counts and the pair's fingerprint-set Jaccard in ppm. The
+    * provenance governance report: doc-level dedup (q15) says HOW MUCH
+    * is duplicated, this says WHERE FROM — which crawl sources mirror
+    * each other, which pair's overlap justifies dropping one feed.
+    * Pairs with zero overlap are kept (the all-clear is part of the
+    * report).
+    *
+    * Scale: ONE distinct (source, fp) shuffle (16-byte hashes, never
+    * text); the self-join blocks on fp, whose fan-out per fingerprint is
+    * bounded by the (tiny) source count squared; the pair spine is a
+    * broadcast cross of the source-count table with itself. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapDf(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** [[sourceOverlap]]'s core over any (source, text) frame — the unit
+    * the spec drives with a planted cross-source duplicate (the test
+    * corpus duplicates within sources only, so the shared-fp leg needs a
+    * fixture to be non-vacuous). */
+  def sourceOverlapDf(docs: DataFrame): DataFrame = {
+    val sfp = docs
+      .select(col("source"),
+        md5(array_join(Text.tokens(col("text")), " ")).as("fp"))
+      .distinct()
+      .localCheckpoint(true) // feeds the counts AND both join sides
+    val counts = sfp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val shared = sfp.as("a")
+      .join(sfp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    counts.as("ca")
+      .crossJoin(broadcast(counts.as("cb")))
+      .filter(col("ca.source") < col("cb.source"))
+      .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
+        col("ca.n_fp").as("n_fp_a"), col("cb.n_fp").as("n_fp_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard_ppm",
+        expr("CASE WHEN n_fp_a + n_fp_b - n_shared = 0 THEN 0" +
+          " ELSE n_shared * 1000000 div (n_fp_a + n_fp_b - n_shared) END"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]]. The COALESCE matters:
+    * DuckDB's array_to_string on an empty list is NULL where Spark's
+    * array_join is '' (SURVEY §2.21 gotcha). */
+  val sourceOverlapSql: String =
+    """WITH fp AS (SELECT DISTINCT source,
+      |    md5(COALESCE(array_to_string([t for t in
+      |      string_split_regex(lower(text), '[^a-z0-9]+') if len(t) > 0],
+      |      ' '), '')) AS fp
+      |  FROM documents),
+      |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp
+      |  GROUP BY 1),
+      |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT ca.source AS src_a, cb.source AS src_b,
+      |  ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+      |  COALESCE(sh.n_shared, 0) AS n_shared,
+      |  CASE WHEN ca.n_fp + cb.n_fp - COALESCE(sh.n_shared, 0) = 0 THEN 0
+      |    ELSE COALESCE(sh.n_shared, 0) * 1000000
+      |      // (ca.n_fp + cb.n_fp - COALESCE(sh.n_shared, 0)) END
+      |    AS jaccard_ppm
+      |FROM c ca JOIN c cb ON ca.source < cb.source
+      |LEFT JOIN sh ON sh.src_a = ca.source AND sh.src_b = cb.source
+      |ORDER BY 1, 2""".stripMargin
 }

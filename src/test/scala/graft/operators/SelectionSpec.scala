@@ -91,6 +91,47 @@ class SelectionSpec extends SparkSpec {
       "every doc selected — budget not binding, test is vacuous")
   }
 
+  test("q179 source overlap: matrix recomputes from driver-side fp sets") {
+    val bySource = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> rs.map(r => tokensOf(r.getString(1)).mkString(" ")).toSet
+      }
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (fa, fb) = (bySource(a), bySource(b))
+      val shared = (fa intersect fb).size.toLong
+      val denom = fa.size.toLong + fb.size.toLong - shared
+      (a, b) -> (fa.size.toLong, fb.size.toLong, shared,
+        if (denom == 0) 0L else shared * 1000000L / denom)
+    }).toMap
+    val rows = Curation.sourceOverlap(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val e = expected((r.getString(0), r.getString(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) === e,
+        s"pair ${r.getString(0)}/${r.getString(1)}")
+    }
+    // the synthetic corpus duplicates within sources only (all n_shared
+    // = 0 above is the true answer); exercise the shared-fp leg on a
+    // planted fixture: 'x copy' appears in a and b (tokenizes equally
+    // despite case/punct), plus one unique doc each
+    import spark.implicits._
+    val planted = Seq(
+      ("a", "The shared COPY, here!"), ("a", "only in a"),
+      ("b", "the shared copy here"), ("b", "only in b"),
+      ("b", "also only b")).toDF("source", "text")
+    val m = Curation.sourceOverlapDf(planted).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      (("a", "b", 2L, 3L, 1L, 1000000L / 4)))
+  }
+
   test("q178 chunk dedup: grid covers every token; counts recompute exactly") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("source"), col("text")).collect()
