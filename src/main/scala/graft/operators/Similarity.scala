@@ -792,11 +792,11 @@ object Similarity {
     * Scale: queries are the bounded audit slice (broadcast), so flops =
     * corpus × nQueries — ONE corpus scan, same honest-exact shape as
     * q173; at 100 TB you widen nQueries by sampling, not by joining.
-    * The top-k itself is TWO-PHASE: phase 1 ranks within (qid,
-    * input-partition) so no reducer ever sees a corpus-sized group —
-    * the per-qid groups that would serialize a single global window are
-    * cut to partitions × k rows before the final per-qid rank (lossless:
-    * both phases use the same total order). */
+    * The per-qid top-k window plans with WindowGroupLimit (Spark 3.5+):
+    * the rank≤k cap applies PARTIALLY map-side before the qid exchange,
+    * so each reducer receives ≤ tasks × k rows per query, never a
+    * corpus-sized group — the two-phase rank this would otherwise need
+    * hand-built (plan-pinned by SelectionSpec). */
   def knnLabelAudit(s: SparkSession, dir: String,
                     nQueries: Int = 40, k: Int = 10): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -811,14 +811,10 @@ object Similarity {
       .select(col("qid"), col("qlabel"),
         col("vec_id").as("nid"), col("label").as("nlabel"),
         round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6)
-          .as("sim"),
-        spark_partition_id().as("pid"))
-    val w1 = Window.partitionBy(col("qid"), col("pid"))
+          .as("sim"))
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
-    val w2 = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
-      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .groupBy(col("qid"), col("qlabel"))
       .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
         .as("n_same"))

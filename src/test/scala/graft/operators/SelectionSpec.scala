@@ -47,6 +47,13 @@ class SelectionSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) == 1L) ||
       rows.forall(_.getLong(2) >= (k + 1) / 2),
       "no suspect row and no clean majority — fixture degenerate")
+    // scale-shape pin: the per-qid top-k must plan with WindowGroupLimit
+    // so the rank<=k cap applies map-side BEFORE the qid exchange (no
+    // reducer ever receives a corpus-sized group)
+    val plan = Similarity.knnLabelAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k window lost its partial group limit")
   }
 
   test("q177 token budget: selected set is exactly the quality-ranked prefix") {
