@@ -217,6 +217,7 @@ object SparkEntry {
     "q178_chunk_dedup"    -> ((s, d) => TextQueries.chunkDedup(s, d)),
     "q179_source_overlap" -> ((s, d) =>
       graft.operators.Curation.sourceOverlap(s, d)),
+    "q180_ann_mrr"        -> ((s, d) => Similarity.annMrr(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -323,7 +324,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q130_ann_recall" -> annRecallSql(oracleSqlBase)) +
-      ("q140_dedup_quality" -> dedupQualitySql(oracleSqlBase))
+      ("q140_dedup_quality" -> dedupQualitySql(oracleSqlBase)) +
+      ("q180_ann_mrr" -> annMrrSql(oracleSqlBase))
 
   /** q140 oracle: the dedup methods' own proven SQL protocols composed
     * into a recall/precision audit against the exact-Jaccard truth —
@@ -409,6 +411,52 @@ object SparkEntry {
        |SELECT method, n_exact, n_hits,
        |  n_hits * 1000000 // n_exact AS recall_ppm
        |FROM h CROSS JOIN nx ORDER BY method""".stripMargin
+  }
+
+  /** q180 oracle: the q130 composition with rank-aware scoring — each
+    * method's proven SQL re-ranked by its OWN score column, reciprocal
+    * rank of the first exact-truth hit in integer ppm. */
+  private def annMrrSql(base: Map[String, String],
+                        sample: Int = 8): String = {
+    val pred = "vec_id < 5 OR " +
+      s"(${graft.functions.PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")})" +
+      s" < ${sample.toLong << 55}"
+    def sampled(sql: String): String =
+      if (sample >= 32) sql else sql.replace("FROM embeddings", "FROM semb")
+    val methods = Seq(
+      ("int8", "q65_ann_quantized", "qsim"),
+      ("ivf", "q31_ann_ivf", "sim"),
+      ("ivfpq", "q129_ann_ivfpq", "adc_micro"),
+      ("lsh_banded", "q42_ann_lsh_banded", "sim"),
+      ("pq", "q128_ann_pq", "adc_micro"))
+    val ctes = methods.map { case (nm, key, score) =>
+      s"""m_$nm AS (
+         |${sampled(base(key))}
+         |),
+         |r_$nm AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY $score DESC, nid) AS rk FROM m_$nm),
+         |fh_$nm AS (SELECT r.qid, MIN(r.rk) AS frk FROM r_$nm r
+         |  JOIN ex ON ex.qid = r.qid AND ex.nid = r.nid GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = methods.map { case (nm, _, _) =>
+      s"""SELECT '$nm' AS method,
+         |  CAST(SUM(COALESCE(1000000 // fh.frk, 0)) AS BIGINT)
+         |    AS sum_rr_ppm
+         |  FROM qs LEFT JOIN fh_$nm fh USING (qid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH semb AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE $pred),
+       |ex AS (
+       |${sampled(base("q20_ann_topk"))}
+       |),
+       |$ctes,
+       |qs AS (SELECT DISTINCT qid FROM ex),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+       |h AS ($rows)
+       |SELECT method, n_queries, sum_rr_ppm,
+       |  sum_rr_ppm // n_queries AS mrr_ppm
+       |FROM h CROSS JOIN nq ORDER BY method""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

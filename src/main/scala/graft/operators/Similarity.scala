@@ -665,6 +665,53 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** q180: rank-aware retrieval quality — MRR@k of every approximate
+    * index against the exact top-k truth (q130 grades SET recall; this
+    * grades ORDER: a method that returns all the right neighbors ranked
+    * last scores 1.0 there and poorly here). Per method and audited
+    * query: the method's own ranking (its score DESC, nid — identical to
+    * its internal top-k order), the rank of the FIRST truth hit,
+    * reciprocal rank as integer ppm (1e6 div rank, 0 if no hit), summed
+    * and divided by the query count — integer end-to-end, so the metric
+    * hash-gates like q130 instead of needing float tolerance. Runs on
+    * the same deterministic corpus slice as q130 (`sample`/32, queries
+    * kept).
+    *
+    * Scale: the method frames are (queries × k)-sized — everything here
+    * after the finders is audit-sized; the finders themselves are the
+    * library's own bucketed/coded retrieval paths. */
+  def annMrr(s: SparkSession, dir: String, sample: Int = 8,
+             k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(s, dir, sample = sample)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    val qs = exact.select(col("qid")).distinct().localCheckpoint(true)
+    val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "int8" -> quantizedTopK(s, dir, sample = sample),
+      "ivf" -> ivfTopK(s, dir, sample = sample),
+      "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
+      "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
+      "pq" -> pqTopK(s, dir, sample = sample))
+    methods.map { case (nm, df) =>
+      val score = df.columns(2) // (qid, nid, <method's own score>)
+      val ranked = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col(score).desc, col("nid"))))
+      val firstHit = ranked
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(min(col("rk")).as("frk"))
+      qs.join(firstHit, Seq("qid"), "left")
+        .select(coalesce(expr("1000000 div frk"), lit(0L)).as("rr_ppm"))
+        .agg(sum(col("rr_ppm")).as("sum_rr_ppm"))
+        .select(lit(nm).as("method"), col("sum_rr_ppm"))
+    }.reduce(_ unionByName _)
+      .crossJoin(nq)
+      .select(col("method"), col("n_queries"), col("sum_rr_ppm"),
+        expr("sum_rr_ppm div n_queries").as("mrr_ppm"))
+      .orderBy(col("method"))
+  }
+
   /** q169: per-label embedding centroid drift — each label's
     * decimal-exact mean vector scored by cosine against the corpus
     * centroid, with member counts. The embedding-space governance check

@@ -98,6 +98,26 @@ class SelectionSpec extends SparkSpec {
       "every doc selected — budget not binding, test is vacuous")
   }
 
+  test("q180 ann mrr: bounded, consistent with q130 recall, non-vacuous") {
+    val mrr = Similarity.annMrr(spark, sf, sample = 32).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val recall = Similarity.annRecall(spark, sf, sample = 32).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mrr.keySet === recall.keySet)
+    mrr.foreach { case (m, (nq, sumRr, mrrPpm)) =>
+      assert(nq > 0)
+      assert(mrrPpm >= 0L && mrrPpm <= 1000000L, s"$m mrr out of range")
+      assert(sumRr <= nq * 1000000L, s"$m sum_rr exceeds nq")
+      assert(mrrPpm === sumRr / nq, s"$m mrr != sum_rr div nq")
+      // a method that recovered at least one truth pair has a first-hit
+      // rank somewhere, so its reciprocal-rank mass must be positive
+      if (recall(m) > 0) assert(sumRr > 0, s"$m recall>0 but mrr=0")
+      else assert(sumRr === 0L, s"$m recall=0 but mrr>0")
+    }
+    assert(mrr.values.exists(_._3 > 0), "all methods scored 0 — vacuous")
+  }
+
   test("q179 source overlap: matrix recomputes from driver-side fp sets") {
     val bySource = graft.Tables.load(spark, sf, "documents")
       .select(col("source"), col("text")).collect()
