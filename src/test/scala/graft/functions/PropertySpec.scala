@@ -90,4 +90,43 @@ class PropertySpec extends SparkSpec {
     // distinct slots draw distinct hash functions
     assert(hashes(slot = 18).map(_._2) !== first.map(_._2))
   }
+
+  test("q178 chunk grid: coverage/count/length invariants over random docs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(987654)
+    val (c, st) = (64, 48)
+    // token counts spanning every regime: empty, sub-chunk, exact
+    // boundary, off-by-one around starts, large
+    val ns = Seq(0, 1, 63, 64, 65, 111, 112, 113, 160, 161) ++
+      (1 to 10).map(_ => rng.nextInt(1000))
+    val docs = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, s"src${i % 3}", (1 to n).map(j => s"t$j").mkString(" "))
+    }
+    val rows = graft.operators.TextQueries
+      .chunkRows(docs.toDF("doc_id", "source", "text"), c, st)
+      .select(col("source"), col("clen")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def expectedChunks(n: Int): Seq[Int] =
+      if (n == 0) Nil
+      else if (n <= c) Seq(n)
+      else {
+        val nCh = 1 + (n - c + st - 1) / st
+        (0 until nCh).map(i => math.min(c, n - i * st))
+      }
+    val exp = docs.flatMap { case (_, src, text) =>
+      val n = if (text.isEmpty) 0 else text.split(" ").length
+      expectedChunks(n).map(src -> _.toLong)
+    }
+    assert(rows.sorted.toSeq === exp.sorted,
+      "chunk multiset (source, length) mismatch")
+    // coverage: sum of (clen - overlap) per doc ≥ n guarantees no token
+    // is skipped; verified structurally by expectedChunks: last start
+    // 1 + (nCh-1)*st <= n and start+c-1 >= n
+    ns.filter(_ > c).foreach { n =>
+      val nCh = 1 + (n - c + st - 1) / st
+      assert(1 + (nCh - 1) * st <= n, s"n=$n: start beyond doc")
+      assert((nCh - 1) * st + c >= n, s"n=$n: tail uncovered")
+    }
+  }
 }
