@@ -218,6 +218,8 @@ object SparkEntry {
     "q179_source_overlap" -> ((s, d) =>
       graft.operators.Curation.sourceOverlap(s, d)),
     "q180_ann_mrr"        -> ((s, d) => Similarity.annMrr(s, d)),
+    "q181_rule_attrition" -> ((s, d) =>
+      graft.operators.Curation.ruleAttrition(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2122,6 +2124,8 @@ object SparkEntry {
     "q178_chunk_dedup" -> TextQueries.chunkDedupSql(),
     // q179: cross-source exact-fingerprint duplication matrix
     "q179_source_overlap" -> graft.operators.Curation.sourceOverlapSql,
+    // q181: per-rule quality-filter attrition with unique-fail attribution
+    "q181_rule_attrition" -> graft.operators.Curation.ruleAttritionSql,
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

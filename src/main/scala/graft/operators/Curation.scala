@@ -683,6 +683,156 @@ object Curation {
        |      AS BIGINT) * 1000000 // MAX(budget) END AS budget_ppm
        |FROM c CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q181: per-RULE quality-filter attrition (the Gopher/C4 rule-cascade
+    * diagnostic): five independent integer-exact quality rules —
+    * `length` (10 ≤ tokens ≤ 100000), `mean_word_len` (mean token length
+    * in [3, 10] chars, ppm), `alpha` (≥ 50% alphabetic), `stopword`
+    * (≥ 2 distinct stopwords), `repetition` (top unigram ≤ 20% of
+    * tokens) — each reported with its fail count, fail ppm, and its
+    * UNIQUE-fail count (docs failing ONLY that rule), plus an `any` row.
+    * q59 says how much survives the cascade; this says which rule does
+    * the work — the number you read before loosening or dropping a
+    * filter (a rule with many fails but near-zero unique fails is
+    * redundant with the rest of the cascade).
+    *
+    * Zero-token docs fail `length` (and `stopword`) but are defined NOT
+    * to additionally fail the token-statistic rules (mean/repetition) —
+    * CASE-guarded in both engines, so ANSI mode cannot divide by zero.
+    *
+    * Scale: the per-doc scalars ride the shared [[docFeatures]]
+    * artifact; the three token-statistic scalars come from ONE
+    * explode → (doc, token) count → per-doc aggregate chain (scan-shaped,
+    * map-side combined); the report is a single 13-aggregate reduce
+    * unpivoted metadata-side. */
+  def ruleAttrition(s: SparkSession, dir: String): DataFrame = {
+    val stops = TextQueries.stopwords.values.flatten.toSeq.distinct
+    val base = docFeatures(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ppm"))
+    val tokStats = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("tok")).cast("long")).as("tchars"),
+        max(col("c")).as("topc"),
+        sum(when(col("tok").isInCollection(stops), 1L).otherwise(0L))
+          .as("nstop"))
+    val flags = base.join(tokStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") < 10 || col("n_tokens") > 100000).as("f_len"),
+        expr("CASE WHEN n_tokens = 0 THEN false ELSE " +
+          "tchars * 1000000 div n_tokens < 3000000 OR " +
+          "tchars * 1000000 div n_tokens > 10000000 END").as("f_mean"),
+        (col("alpha_ppm") < 500000L).as("f_alpha"),
+        (coalesce(col("nstop"), lit(0L)) < 2L).as("f_stop"),
+        expr("CASE WHEN n_tokens = 0 THEN false ELSE " +
+          "topc * 1000000 div n_tokens > 200000 END").as("f_rep"))
+      .withColumn("nf",
+        expr("CASE WHEN f_len THEN 1 ELSE 0 END + " +
+          "CASE WHEN f_mean THEN 1 ELSE 0 END + " +
+          "CASE WHEN f_alpha THEN 1 ELSE 0 END + " +
+          "CASE WHEN f_stop THEN 1 ELSE 0 END + " +
+          "CASE WHEN f_rep THEN 1 ELSE 0 END"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(col("f_len")).as("len_f"),
+      cnt(col("f_len") && col("nf") === 1).as("len_u"),
+      cnt(col("f_mean")).as("mean_f"),
+      cnt(col("f_mean") && col("nf") === 1).as("mean_u"),
+      cnt(col("f_alpha")).as("alpha_f"),
+      cnt(col("f_alpha") && col("nf") === 1).as("alpha_u"),
+      cnt(col("f_stop")).as("stop_f"),
+      cnt(col("f_stop") && col("nf") === 1).as("stop_u"),
+      cnt(col("f_rep")).as("rep_f"),
+      cnt(col("f_rep") && col("nf") === 1).as("rep_u"),
+      cnt(col("nf") > 0).as("any_f"),
+      cnt(col("nf") === 1).as("any_u"))
+    agg.select(expr("stack(6, " +
+        "'alpha', alpha_f, alpha_u, " +
+        "'any', any_f, any_u, " +
+        "'length', len_f, len_u, " +
+        "'mean_word_len', mean_f, mean_u, " +
+        "'repetition', rep_f, rep_u, " +
+        "'stopword', stop_f, stop_u) AS (rule, n_fail, n_unique_fail)"),
+        col("n_docs"))
+      .select(col("rule"), col("n_fail"),
+        expr("CASE WHEN n_docs = 0 THEN 0" +
+          " ELSE n_fail * 1000000 div n_docs END").as("fail_ppm"),
+        col("n_unique_fail"))
+      .orderBy(col("rule"))
+  }
+
+  /** DuckDB oracle for [[ruleAttrition]] — the stopword literal is built
+    * from the same Scala list the Column tree uses. */
+  def ruleAttritionSql: String = {
+    val stops = TextQueries.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id, text,
+       |    [x for x in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(x) > 0] AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+       |    CASE WHEN length(text) = 0 THEN 0
+       |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+       |        'g')) AS BIGINT) * 1000000 // length(text) END AS alpha_ppm
+       |  FROM f),
+       |tl AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM f) GROUP BY 1, 2),
+       |ts AS (SELECT doc_id, SUM(c * len(tok)) AS tchars, MAX(c) AS topc,
+       |    SUM(CASE WHEN list_contains([$stops], tok) THEN 1 ELSE 0 END)
+       |      AS nstop
+       |  FROM tl GROUP BY 1),
+       |fl AS (SELECT base.doc_id,
+       |    n_toks < 10 OR n_toks > 100000 AS f_len,
+       |    CASE WHEN n_toks = 0 THEN false ELSE
+       |      tchars * 1000000 // n_toks < 3000000 OR
+       |      tchars * 1000000 // n_toks > 10000000 END AS f_mean,
+       |    alpha_ppm < 500000 AS f_alpha,
+       |    COALESCE(nstop, 0) < 2 AS f_stop,
+       |    CASE WHEN n_toks = 0 THEN false ELSE
+       |      topc * 1000000 // n_toks > 200000 END AS f_rep
+       |  FROM base LEFT JOIN ts USING (doc_id)),
+       |w AS (SELECT *,
+       |    (CASE WHEN f_len THEN 1 ELSE 0 END +
+       |     CASE WHEN f_mean THEN 1 ELSE 0 END +
+       |     CASE WHEN f_alpha THEN 1 ELSE 0 END +
+       |     CASE WHEN f_stop THEN 1 ELSE 0 END +
+       |     CASE WHEN f_rep THEN 1 ELSE 0 END) AS nf FROM fl),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM w),
+       |h AS (
+       |  SELECT 'length' AS rule,
+       |    CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fail,
+       |    CAST(SUM(CASE WHEN f_len AND nf = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_unique_fail FROM w
+       |  UNION ALL SELECT 'mean_word_len',
+       |    CAST(SUM(CASE WHEN f_mean THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN f_mean AND nf = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM w
+       |  UNION ALL SELECT 'alpha',
+       |    CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN f_alpha AND nf = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM w
+       |  UNION ALL SELECT 'stopword',
+       |    CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN f_stop AND nf = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM w
+       |  UNION ALL SELECT 'repetition',
+       |    CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN f_rep AND nf = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM w
+       |  UNION ALL SELECT 'any',
+       |    CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM w)
+       |SELECT rule, n_fail,
+       |  CASE WHEN n_docs = 0 THEN 0
+       |    ELSE n_fail * 1000000 // n_docs END AS fail_ppm,
+       |  n_unique_fail
+       |FROM h CROSS JOIN n ORDER BY rule""".stripMargin
+  }
+
   /** q179: cross-SOURCE duplication matrix — for every unordered source
     * pair, the count of exact content fingerprints (q25's normalized-
     * token md5) present in BOTH, plus per-source distinct-fingerprint

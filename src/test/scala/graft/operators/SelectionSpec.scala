@@ -98,6 +98,52 @@ class SelectionSpec extends SparkSpec {
       "every doc selected — budget not binding, test is vacuous")
   }
 
+  test("q181 rule attrition: matrix recomputes from driver-side rule flags") {
+    val stops = TextQueries.stopwords.values.flatten.toSeq.distinct.toSet
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val flags = docs.map { case (_, text) =>
+      val toks = tokensOf(text)
+      val n = toks.length.toLong
+      val alphaPpm =
+        if (text.isEmpty) 0L
+        else text.toLowerCase.count(c => c >= 'a' && c <= 'z').toLong *
+          1000000L / text.length
+      val tchars = toks.map(_.length.toLong).sum
+      val topc = if (n == 0) 0L
+        else toks.groupBy(identity).values.map(_.length).max.toLong
+      val nstop = toks.distinct.count(stops.contains).toLong
+      val fLen = n < 10 || n > 100000
+      val fMean = n > 0 && {
+        val m = tchars * 1000000L / n; m < 3000000L || m > 10000000L
+      }
+      val fAlpha = alphaPpm < 500000L
+      val fStop = nstop < 2
+      val fRep = n > 0 && topc * 1000000L / n > 200000L
+      Seq(fLen, fMean, fAlpha, fStop, fRep)
+    }
+    val nDocs = docs.length.toLong
+    def stat(sel: Seq[Boolean] => Boolean): (Long, Long) =
+      (flags.count(sel).toLong,
+        flags.count(f => sel(f) && f.count(identity) == 1).toLong)
+    val expected = Map(
+      "length" -> stat(_(0)), "mean_word_len" -> stat(_(1)),
+      "alpha" -> stat(_(2)), "stopword" -> stat(_(3)),
+      "repetition" -> stat(_(4)),
+      "any" -> (flags.count(_.exists(identity)).toLong,
+        flags.count(_.count(identity) == 1).toLong))
+    val rows = Curation.ruleAttrition(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (nf, uf) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((nf, nf * 1000000L / nDocs, uf)), s"rule ${r.getString(0)}")
+    }
+    assert(expected("any")._1 > 0, "no rule ever fails — matrix vacuous")
+    assert(expected("any")._1 < nDocs, "every doc fails — matrix vacuous")
+  }
+
   test("q180 ann mrr: bounded, consistent with q130 recall, non-vacuous") {
     val mrr = Similarity.annMrr(spark, sf, sample = 32).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
