@@ -220,6 +220,8 @@ object SparkEntry {
     "q180_ann_mrr"        -> ((s, d) => Similarity.annMrr(s, d)),
     "q181_rule_attrition" -> ((s, d) =>
       graft.operators.Curation.ruleAttrition(s, d)),
+    "q182_dsir"           -> ((s, d) =>
+      graft.operators.Curation.dsirSelect(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2126,6 +2128,8 @@ object SparkEntry {
     "q179_source_overlap" -> graft.operators.Curation.sourceOverlapSql,
     // q181: per-rule quality-filter attrition with unique-fail attribution
     "q181_rule_attrition" -> graft.operators.Curation.ruleAttritionSql,
+    // q182: DSIR hashed-bigram importance-resampling selection
+    "q182_dsir" -> graft.operators.Curation.dsirSelectSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -905,4 +905,129 @@ object Curation {
       |FROM c ca JOIN c cb ON ca.source < cb.source
       |LEFT JOIN sh ON sh.src_a = ca.source AND sh.src_b = cb.source
       |ORDER BY 1, 2""".stripMargin
+
+  /** q182: DSIR — Data Selection via Importance Resampling (Xie et al.
+    * NeurIPS 2023), the hashed-n-gram importance-weighting selector: a
+    * TARGET domain (here `targetSrc`, the paper's "Wikipedia" role) and
+    * the raw pool (every other source) each induce a distribution over
+    * `buckets` hashed-bigram feature buckets; each pool document scores
+    * the sum over its bigram OCCURRENCES of the per-bucket log-likelihood
+    * ratio λ(b) = ln(p̂_t(b) / p̂_r(b)) under add-one smoothing, and the
+    * selection is the top pool-size/`selDiv` docs by that weight. The
+    * report is the q177-shaped composition table: what importance
+    * weighting does to per-(lang, source) balance — DSIR is the
+    * distribution-MATCHING counterpoint to q177's pure-quality cut and
+    * q171's temperature rule.
+    *
+    * Portability discipline: λ(b) is one double division inside one ln,
+    * `round(·, 9)`, cast DECIMAL(28,9) (the q168 protocol — identical
+    * expression both engines, rounded far above libm's 1-ulp zone), and
+    * per-doc weights are EXACT decimal sums, so the (weight DESC, doc_id)
+    * selection order is engine-portable with no float ties.
+    *
+    * Scale: ONE corpus tokenization feeds a persisted (doc_id, is_t, b)
+    * bigram-bucket frame reused by both passes; bucket counts are a
+    * ≤2·`buckets`-row broadcast table; the rank over the pool is
+    * [[Ranks.globalRowNumber]] (range partition + offsets — no
+    * single-reducer window). Corpus text never shuffles: only 8-byte
+    * bucket ids and decimal partials move. */
+  def dsirSelect(s: SparkSession, dir: String, targetSrc: String = "src0",
+                 buckets: Int = 4096, selDiv: Long = 5L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val bg = docs
+      .select(col("doc_id"), (col("source") === targetSrc).as("is_t"),
+        Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => PortableHash.h60(concat(a, lit(" "), b)) % buckets))
+        .as("b"))
+      .persist()
+    val cnt = bg.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") *
+            (col("nr") + buckets).cast("double") /
+          ((col("cr") + 1).cast("double") *
+            (col("nt") + buckets).cast("double"))), 9)
+          .cast("decimal(28,9)").as("lam"))
+    val w = bg.filter(!col("is_t"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lam")).as("w"))
+    val pool = docs.filter(col("source") =!= targetSrc)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("w", coalesce(col("w"),
+        lit(BigDecimal(0)).cast("decimal(38,9)")))
+      .withColumn("ord", lit(0).cast("decimal(38,9)") - col("w"))
+    val budget = pool.agg(expr(s"count(1) div $selDiv").as("budget"))
+    val ranked = Ranks.globalRowNumber(pool, Nil, Seq("ord", "doc_id"))
+      .crossJoin(broadcast(budget))
+    val out = ranked.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(when(col("rnk") <= col("budget"), 1L).otherwise(0L)).as("n_sel"),
+        sum(col("w")).as("sw"),
+        sum(when(col("rnk") <= col("budget"), col("w"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(38,9)"))).as("sws"))
+      .select(col("lang"), col("source"), col("n_pool"), col("n_sel"),
+        expr("n_sel * 1000000 div n_pool").as("sel_ppm"),
+        round(col("sw").cast("double") / col("n_pool").cast("double"), 6)
+          .as("mean_w"),
+        when(col("n_sel") === 0, lit(0.0))
+          .otherwise(round(col("sws").cast("double") /
+            col("n_sel").cast("double"), 6)).as("mean_w_sel"))
+      .orderBy(col("lang"), col("source"))
+    Dedup.pinAndRelease(out, bg)
+  }
+
+  /** DuckDB oracle for [[dsirSelect]]. */
+  def dsirSelectSql(targetSrc: String = "src0", buckets: Int = 4096,
+                    selDiv: Long = 5L): String = {
+    val h = PortableHash.h60Sql("w1 || ' ' || w2")
+    s"""WITH tk AS (SELECT doc_id, source = '$targetSrc' AS is_t,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents),
+       |bgr AS (SELECT doc_id, is_t, unnest(t[1:len(t)-1]) AS w1,
+       |    unnest(t[2:len(t)]) AS w2 FROM tk WHERE len(t) >= 2),
+       |bb AS (SELECT doc_id, is_t, ($h) % $buckets AS b FROM bgr),
+       |cnt AS (SELECT b,
+       |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM bb GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |    CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+       |lam AS (SELECT b, CAST(round(ln(
+       |      CAST(ct + 1 AS DOUBLE) * CAST(nr + $buckets AS DOUBLE) /
+       |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + $buckets AS DOUBLE))), 9)
+       |    AS DECIMAL(28,9)) AS lam
+       |  FROM cnt CROSS JOIN tot),
+       |wd AS (SELECT doc_id, SUM(lam) AS w FROM bb JOIN lam USING (b)
+       |  WHERE NOT is_t GROUP BY 1),
+       |pool AS (SELECT d.doc_id, d.lang, d.source,
+       |    COALESCE(wd.w, CAST(0 AS DECIMAL(38,9))) AS w
+       |  FROM documents d LEFT JOIN wd USING (doc_id)
+       |  WHERE d.source <> '$targetSrc'),
+       |b2 AS (SELECT CAST(COUNT(*) // $selDiv AS BIGINT) AS budget
+       |  FROM pool),
+       |r AS (SELECT *, row_number() OVER (ORDER BY w DESC, doc_id) AS rnk
+       |  FROM pool)
+       |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pool,
+       |  CAST(SUM(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sel,
+       |  CAST(SUM(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS sel_ppm,
+       |  round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS mean_w,
+       |  CASE WHEN SUM(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) = 0
+       |    THEN 0.0
+       |    ELSE round(CAST(SUM(CASE WHEN rnk <= budget THEN w
+       |        ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE) /
+       |      SUM(CASE WHEN rnk <= budget THEN 1 ELSE 0 END), 6) END
+       |    AS mean_w_sel
+       |FROM r CROSS JOIN b2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }
