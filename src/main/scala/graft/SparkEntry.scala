@@ -222,6 +222,7 @@ object SparkEntry {
       graft.operators.Curation.ruleAttrition(s, d)),
     "q182_dsir"           -> ((s, d) =>
       graft.operators.Curation.dsirSelect(s, d)),
+    "q183_heldout_xent"   -> ((s, d) => TextQueries.heldoutBigramXent(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2130,6 +2131,8 @@ object SparkEntry {
     "q181_rule_attrition" -> graft.operators.Curation.ruleAttritionSql,
     // q182: DSIR hashed-bigram importance-resampling selection
     "q182_dsir" -> graft.operators.Curation.dsirSelectSql(),
+    // q183: held-out bigram LM cross-entropy on the q47 hash split
+    "q183_heldout_xent" -> TextQueries.heldoutBigramXentSql,
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{PortableHash, Text}
 
 /** Text-analysis operators over the `documents` table (beyond-reference
   * surface: language-ID, quality scoring, token counting, fingerprinting).
@@ -1781,5 +1781,111 @@ object TextQueries {
        |    ELSE (agg.n_chunks - agg.uniq_chunks) * 1000000 // agg.n_chunks
        |  END AS dup_ppm
        |FROM d LEFT JOIN agg USING (source) ORDER BY d.source""".stripMargin
+  }
+
+  /** q183: held-out bigram cross-entropy — the CCNet/KenLM perplexity
+    * filter at order 2, evaluated the honest way (train/score on
+    * DISJOINT q47 hash-split halves, where q168's unigram surprisal
+    * scores the corpus under its own statistics): an add-one-smoothed
+    * bigram model p(b|a) = (c(ab)+1)/(c(a)+V) is fit on the `train`
+    * split (h60(text)%100 < 80) and every `test` doc (≥ 90) pays
+    * −ln p per transition; the report is per-source scored docs,
+    * transitions, NOVEL-transition ppm (c(ab)=0 — the q151 novelty link,
+    * now conditional), and mean cross-entropy in nats. High-entropy
+    * sources are the ones a perplexity-filtered pretraining mix would
+    * down-weight; novel_ppm says whether that's genuine distribution
+    * shift or just unseen continuations.
+    *
+    * Model convention: c(a) = Σ_b c(ab) (context mass, so p(·|a) sums
+    * to 1 over the V-way add-one support) and V = distinct train
+    * unigram TYPES. Portability: per-transition term
+    * `round(ln((c_a+V)/(c_ab+1)), 9)` summed in DECIMAL(28,9) — the
+    * q168 protocol (one division, one ln, identical in both engines).
+    *
+    * Scale: ONE bigram explode with the split flag feeds both the count
+    * and probe passes (persisted, released after); the (w1,w2)
+    * count⋈probe equi-join is the single corpus-scale shuffle, hash-
+    * partitioned on the bigram key; context masses and V are
+    * vocabulary-scale broadcasts. Val-split docs (80-89) are touched
+    * once and dropped — the grid the real pipeline reserves. */
+  def heldoutBigramXent(s: SparkSession, dir: String): DataFrame =
+    heldoutBigramXentOf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[heldoutBigramXent]] over any (doc_id, source, text) frame
+    * (planted-fixture entry point for the novel-transition spec leg). */
+  def heldoutBigramXentOf(docs: DataFrame): DataFrame = {
+    val bucket = PortableHash.h60(col("text")) % 100
+    val bg = docs
+      .select(col("doc_id"), col("source"), bucket.as("bk"),
+        Text.tokens(col("text")).as("toks"))
+      .filter(col("bk") < 80 || col("bk") >= 90)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), (col("bk") < 80).as("is_train"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .persist()
+    val trainBg = bg.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val ctx = trainBg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs
+      .filter(bucket < 80)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bg.filter(!col("is_train"))
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("c_ab"), lit(0L)).as("c_ab"),
+        round(log((coalesce(col("c_a"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c_ab"), lit(0L)) + 1).cast("double")), 9)
+          .cast("decimal(28,9)").as("term"))
+    val out = scored.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_trans"),
+        sum(when(col("c_ab") === 0, 1L).otherwise(0L)).as("novel"),
+        sum(col("term")).as("st"))
+      .select(col("source"), col("n_docs"), col("n_trans"),
+        expr("novel * 1000000 div n_trans").as("novel_ppm"),
+        round(col("st").cast("double") / col("n_trans").cast("double"), 6)
+          .as("mean_xent"))
+      .orderBy(col("source"))
+    Dedup.pinAndRelease(out, bg)
+  }
+
+  /** DuckDB oracle for [[heldoutBigramXent]]. */
+  val heldoutBigramXentSql: String = {
+    val h = PortableHash.h60Sql("text")
+    s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, source, bk < 80 AS is_train,
+       |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM d WHERE (bk < 80 OR bk >= 90) AND len(t) >= 2),
+       |tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+       |  WHERE is_train GROUP BY 1, 2),
+       |cx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM tb
+       |  GROUP BY 1),
+       |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM d WHERE bk < 80)),
+       |sc AS (SELECT bg.doc_id, bg.source,
+       |    COALESCE(tb.c_ab, 0) AS c_ab,
+       |    CAST(round(ln(CAST(COALESCE(cx.c_a, 0) + v AS DOUBLE) /
+       |      CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)), 9)
+       |      AS DECIMAL(28,9)) AS term
+       |  FROM bg LEFT JOIN tb ON tb.w1 = bg.w1 AND tb.w2 = bg.w2
+       |  LEFT JOIN cx ON cx.w1 = bg.w1 CROSS JOIN vb
+       |  WHERE NOT bg.is_train)
+       |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_trans,
+       |  CAST(SUM(CASE WHEN c_ab = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS novel_ppm,
+       |  round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS mean_xent
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }
