@@ -223,6 +223,8 @@ object SparkEntry {
     "q182_dsir"           -> ((s, d) =>
       graft.operators.Curation.dsirSelect(s, d)),
     "q183_heldout_xent"   -> ((s, d) => TextQueries.heldoutBigramXent(s, d)),
+    "q184_nb_confusion"   -> ((s, d) =>
+      graft.operators.Curation.nbConfusion(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2133,6 +2135,8 @@ object SparkEntry {
     "q182_dsir" -> graft.operators.Curation.dsirSelectSql(),
     // q183: held-out bigram LM cross-entropy on the q47 hash split
     "q183_heldout_xent" -> TextQueries.heldoutBigramXentSql,
+    // q184: add-one multinomial NB source classifier confusion matrix
+    "q184_nb_confusion" -> graft.operators.Curation.nbConfusionSql,
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

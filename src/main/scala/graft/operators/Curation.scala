@@ -1030,4 +1030,139 @@ object Curation {
        |    AS mean_w_sel
        |FROM r CROSS JOIN b2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** q184: multinomial Naive Bayes source classifier + confusion matrix
+    * — the fastText-role domain/quality classifier every curation
+    * pipeline trains (CCNet's LM has q183; the CLASSIFIER leg is this),
+    * kept to the one model whose training IS aggregation so a 100 TB fit
+    * is a count pass, not SGD: add-one multinomial NB over tokens,
+    * classes = `source`, fit on the q47 train split (h60(text)%100 < 80),
+    * scored on the test split (≥ 90). Per test doc the class score is
+    * ln p(c) + Σ_t ln p(t|c) with p(t|c) = (c_tc+1)/(n_c+V); the report
+    * is the (actual, predicted) confusion matrix with row-share ppm —
+    * the diagonal says whether sources are even SEPARABLE in token
+    * space, which is what decides if a learned domain tagger (q58's
+    * input) can work.
+    *
+    * Determinism: per-term `round(ln(·), 9)` summed in DECIMAL(28,9)
+    * (q168 protocol), prior terms the same, argmax by (score DESC,
+    * class ASC) via one min-struct aggregate — no float ties, no window.
+    *
+    * Scale: training is ONE (token, class) count aggregation; scoring
+    * expands test tokens by the class spine (|classes|-row broadcast,
+    * constant fan-out) and left-joins the (token, class) count table —
+    * the single corpus-scale shuffle, hash-partitioned on the token key.
+    * Unseen tokens cost ln((n_c+V)/1) through the same expression. */
+  def nbConfusion(s: SparkSession, dir: String): DataFrame =
+    nbConfusionOf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[nbConfusion]] over any (doc_id, source, text) frame. */
+  def nbConfusionOf(docsIn: DataFrame): DataFrame = {
+    val bucket = PortableHash.h60(col("text")) % 100
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"),
+        bucket.as("bk"))
+      .filter(col("bk") < 80 || col("bk") >= 90)
+      .select(col("doc_id"), col("source"), col("toks"),
+        (col("bk") < 80).as("is_train"))
+      .persist()
+    val trainToks = docs.filter(col("is_train"))
+      .select(col("source").as("cls"), explode(col("toks")).as("t"))
+    val tc = trainToks.groupBy(col("t"), col("cls"))
+      .agg(count(lit(1)).as("c_tc"))
+    val classes = docs.filter(col("is_train"))
+      .groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+    val nTrain = classes.agg(sum(col("n_docs_c")).as("n_train"))
+    val nc = trainToks.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
+    val vocab = trainToks.agg(countDistinct(col("t")).as("v"))
+    val spine = classes.join(broadcast(nc), "cls")
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vocab))
+      .select(col("cls"), col("n_c"), col("v"),
+        round(log(col("n_docs_c").cast("double") /
+          col("n_train").cast("double")), 9)
+          .cast("decimal(28,9)").as("prior"))
+    val testTok = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
+    val terms = testTok.crossJoin(broadcast(spine))
+      .join(tc.select(col("t").as("tk"), col("cls").as("cls2"), col("c_tc")),
+        col("t") === col("tk") && col("cls") === col("cls2"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        round(log((coalesce(col("c_tc"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("term")).as("tsum"))
+    // empty-token test docs score prior-only: rebuild the full
+    // (doc, class) grid from the doc spine so they are still classified
+    val grid = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(spine.select(col("cls"), col("prior"))))
+      .join(terms, Seq("doc_id", "source", "cls"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("prior") + coalesce(col("tsum"),
+          lit(BigDecimal(0)).cast("decimal(38,9)"))).as("score"))
+    val pred = grid
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((lit(0).cast("decimal(38,9)") - col("score"))
+        .as("neg"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("source").as("actual"),
+        col("best.cls").as("predicted"))
+    val out = pred.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("actual"))))
+      .select(col("actual"), col("predicted"), col("n_docs"),
+        expr("n_docs * 1000000 div row_total").as("share_ppm"))
+      .orderBy(col("actual"), col("predicted"))
+    Dedup.pinAndRelease(out, docs)
+  }
+
+  /** DuckDB oracle for [[nbConfusion]]. */
+  val nbConfusionSql: String = {
+    val h = PortableHash.h60Sql("text")
+    s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents WHERE ($h) % 100 < 80 OR ($h) % 100 >= 90),
+       |trn AS (SELECT source AS cls, unnest(t) AS tok FROM d
+       |  WHERE bk < 80),
+       |tc AS (SELECT tok, cls, CAST(COUNT(*) AS BIGINT) AS c_tc FROM trn
+       |  GROUP BY 1, 2),
+       |cl AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs_c
+       |  FROM d WHERE bk < 80 GROUP BY 1),
+       |ntr AS (SELECT CAST(SUM(n_docs_c) AS BIGINT) AS n_train FROM cl),
+       |nc AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_c FROM trn
+       |  GROUP BY 1),
+       |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM trn),
+       |sp AS (SELECT cl.cls, nc.n_c, vb.v,
+       |    CAST(round(ln(CAST(cl.n_docs_c AS DOUBLE) /
+       |      CAST(ntr.n_train AS DOUBLE)), 9) AS DECIMAL(28,9)) AS prior
+       |  FROM cl JOIN nc USING (cls) CROSS JOIN ntr CROSS JOIN vb),
+       |tt AS (SELECT doc_id, source, unnest(t) AS tok FROM d
+       |  WHERE bk >= 90),
+       |tm AS (SELECT tt.doc_id, tt.source, sp.cls,
+       |    SUM(CAST(round(ln(CAST(COALESCE(tc.c_tc, 0) + 1 AS DOUBLE) /
+       |      CAST(sp.n_c + sp.v AS DOUBLE)), 9) AS DECIMAL(28,9)))
+       |      AS tsum
+       |  FROM tt CROSS JOIN sp
+       |  LEFT JOIN tc ON tc.tok = tt.tok AND tc.cls = sp.cls
+       |  GROUP BY 1, 2, 3),
+       |gr AS (SELECT td.doc_id, td.source, sp.cls,
+       |    sp.prior + COALESCE(tm.tsum, CAST(0 AS DECIMAL(38,9)))
+       |      AS score
+       |  FROM (SELECT DISTINCT doc_id, source FROM d WHERE bk >= 90) td
+       |  CROSS JOIN sp
+       |  LEFT JOIN tm ON tm.doc_id = td.doc_id AND tm.cls = sp.cls),
+       |pr AS (SELECT doc_id, source AS actual, cls AS predicted
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cls) AS rn FROM gr)
+       |  WHERE rn = 1),
+       |cm AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT)
+       |    AS n_docs FROM pr GROUP BY 1, 2)
+       |SELECT actual, predicted, n_docs,
+       |  CAST(n_docs * 1000000 //
+       |    SUM(n_docs) OVER (PARTITION BY actual) AS BIGINT)
+       |    AS share_ppm
+       |FROM cm ORDER BY 1, 2""".stripMargin
+  }
 }
