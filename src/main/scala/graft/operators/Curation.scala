@@ -1056,7 +1056,8 @@ object Curation {
   def nbConfusion(s: SparkSession, dir: String): DataFrame =
     nbConfusionOf(Tables.load(s, dir, "documents"))
 
-  /** Core of [[nbConfusion]] over any (doc_id, source, text) frame. */
+  /** Core of [[nbConfusion]] over any (doc_id, source, text) frame:
+    * split by the q47 hash, fit the count model, score. */
   def nbConfusionOf(docsIn: DataFrame): DataFrame = {
     val bucket = PortableHash.h60(col("text")) % 100
     val docs = docsIn
@@ -1070,18 +1071,33 @@ object Curation {
       .select(col("source").as("cls"), explode(col("toks")).as("t"))
     val tc = trainToks.groupBy(col("t"), col("cls"))
       .agg(count(lit(1)).as("c_tc"))
-    val classes = docs.filter(col("is_train"))
+    val cd = docs.filter(col("is_train"))
       .groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_docs_c"))
-    val nTrain = classes.agg(sum(col("n_docs_c")).as("n_train"))
-    val nc = trainToks.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
-    val vocab = trainToks.agg(countDistinct(col("t")).as("v"))
-    val spine = classes.join(broadcast(nc), "cls")
+    val out = nbScoreFrom(tc, cd,
+      docs.filter(!col("is_train")).select(col("doc_id"), col("source"),
+        col("toks")))
+    Dedup.pinAndRelease(out, docs)
+  }
+
+  /** NB scoring as a pure function of the count-table MODEL — the entry
+    * point the [[graft.streaming]] NbModelStream twin shares with batch
+    * q184. `tc` = (t, cls, c_tc) token-class counts, `cd` = (cls,
+    * n_docs_c) training doc counts; everything else (context masses,
+    * vocabulary size, priors) derives from those two frames, so an
+    * incrementally-maintained model scores identically to a batch fit. */
+  def nbScoreFrom(tc: DataFrame, cd: DataFrame, testDocs: DataFrame)
+      : DataFrame = {
+    val nTrain = cd.agg(sum(col("n_docs_c")).as("n_train"))
+    val nc = tc.groupBy(col("cls")).agg(sum(col("c_tc")).as("n_c"))
+    val vocab = tc.select(col("t")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val spine = cd.join(broadcast(nc), "cls")
       .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vocab))
       .select(col("cls"), col("n_c"), col("v"),
         round(log(col("n_docs_c").cast("double") /
           col("n_train").cast("double")), 9)
           .cast("decimal(28,9)").as("prior"))
-    val testTok = docs.filter(!col("is_train"))
+    val testTok = testDocs
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
     val terms = testTok.crossJoin(broadcast(spine))
       .join(tc.select(col("t").as("tk"), col("cls").as("cls2"), col("c_tc")),
@@ -1094,7 +1110,7 @@ object Curation {
       .agg(sum(col("term")).as("tsum"))
     // empty-token test docs score prior-only: rebuild the full
     // (doc, class) grid from the doc spine so they are still classified
-    val grid = docs.filter(!col("is_train"))
+    val grid = testDocs
       .select(col("doc_id"), col("source"))
       .crossJoin(broadcast(spine.select(col("cls"), col("prior"))))
       .join(terms, Seq("doc_id", "source", "cls"), "left")
@@ -1107,14 +1123,13 @@ object Curation {
         .as("neg"), col("cls"))).as("best"))
       .select(col("doc_id"), col("source").as("actual"),
         col("best.cls").as("predicted"))
-    val out = pred.groupBy(col("actual"), col("predicted"))
+    pred.groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("row_total",
         sum(col("n_docs")).over(Window.partitionBy(col("actual"))))
       .select(col("actual"), col("predicted"), col("n_docs"),
         expr("n_docs * 1000000 div row_total").as("share_ppm"))
       .orderBy(col("actual"), col("predicted"))
-    Dedup.pinAndRelease(out, docs)
   }
 
   /** DuckDB oracle for [[nbConfusion]]. */

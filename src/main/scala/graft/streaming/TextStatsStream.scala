@@ -454,3 +454,82 @@ object ChunkDedupStream {
           count(lit(1)).as("uniq_chunks"),
           sum(col("c") * col("clen")).as("chunk_toks")))
 }
+
+/** Incremental q184 (`Curation.nbConfusion`): the Naive Bayes MODEL as
+  * streaming state — the classifier-refresh pattern a production
+  * curation stack runs (the model store grows with each labeled batch;
+  * scoring is a pure function of the store). State is exactly the two
+  * count tables batch q184 fits: `tc` (t, cls, c_tc) token-class
+  * occurrence counts and `cd` (cls, n_docs_c) doc counts — both merge
+  * BY SUM (a doc's token counts are a pure function of the doc), so any
+  * ingest order or batch split folds to the same model, and context
+  * masses / vocabulary size / priors all DERIVE from them inside
+  * [[graft.operators.Curation.nbScoreFrom]]. Re-delivery is absorbed by
+  * the seen-doc anti-join; at 100 TB `tc` buckets by token like the
+  * postings/bigram stores.
+  *
+  * The twin ingests TRAIN-split docs only (the q47 bucket predicate is
+  * applied inside mergeBatch, so a mixed feed is safe); score() over the
+  * test split equals batch q184 row-for-row once the same train docs
+  * have arrived — structural, given equal state, and spec-pinned across
+  * uneven splits and a re-delivered batch. */
+object NbModelStream {
+  import TextStatsStream._
+  import graft.functions.PortableHash
+  import graft.operators.Curation
+
+  def emptyTc(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cls",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_tc",
+          org.apache.spark.sql.types.LongType))))
+
+  def emptyCd(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cls",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs_c",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, source, text); only q47-train
+    * docs (h60(text)%100 < 80) update the model.
+    * Returns (tc', cd', seen'). */
+  def mergeBatch(tc: DataFrame, cd: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val train = fresh
+      .filter(PortableHash.h60(col("text")) % 100 < 80)
+      .select(col("doc_id"), col("source").as("cls"),
+        Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    val tcDelta = train
+      .select(col("cls"), explode(col("toks")).as("t"))
+      .groupBy(col("t"), col("cls")).agg(count(lit(1)).as("c_new"))
+    val tc2 = tc.join(tcDelta, Seq("t", "cls"), "full_outer")
+      .select(col("t"), col("cls"),
+        (coalesce(col("c_tc"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c_tc"))
+      .localCheckpoint(true)
+    val cdDelta = train.groupBy(col("cls")).agg(count(lit(1)).as("d_new"))
+    val cd2 = cd.join(cdDelta, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        (coalesce(col("n_docs_c"), lit(0L)) + coalesce(col("d_new"), lit(0L)))
+          .as("n_docs_c"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (tc2, cd2, seen2)
+  }
+
+  /** Score a (doc_id, source, text) test frame against the maintained
+    * model — the batch q184 confusion report, from streamed state. */
+  def score(tc: DataFrame, cd: DataFrame, testDocs: DataFrame): DataFrame =
+    Curation.nbScoreFrom(tc, cd,
+      testDocs.select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("toks")))
+}
