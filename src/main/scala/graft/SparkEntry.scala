@@ -225,6 +225,7 @@ object SparkEntry {
     "q183_heldout_xent"   -> ((s, d) => TextQueries.heldoutBigramXent(s, d)),
     "q184_nb_confusion"   -> ((s, d) =>
       graft.operators.Curation.nbConfusion(s, d)),
+    "q185_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2137,6 +2138,8 @@ object SparkEntry {
     "q183_heldout_xent" -> TextQueries.heldoutBigramXentSql,
     // q184: add-one multinomial NB source classifier confusion matrix
     "q184_nb_confusion" -> graft.operators.Curation.nbConfusionSql,
+    // q185: k-means cluster balance + label purity (q31's Lloyd audit)
+    "q185_cluster_purity" -> Similarity.clusterPuritySql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -893,4 +893,101 @@ object Similarity {
        |  CAST(CASE WHEN SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
        |      * 2 < $k THEN 1 ELSE 0 END AS BIGINT) AS suspect
        |FROM t WHERE rn <= $k GROUP BY 1, 2 ORDER BY qid""".stripMargin
+
+  /** q185: k-means cluster balance + label purity — the unsupervised
+    * structure audit over the embedding store: the SAME deterministic
+    * Lloyd construction as the q31/q129 IVF codebooks (first-nCells
+    * seeds, assignment by round(cosine, 6) with cid tiebreak,
+    * decimal-exact member means) reported as an audit instead of used
+    * as an index: per surviving cell, member count, the MAJORITY label
+    * with its share ppm (are semantic clusters label-coherent? — the
+    * q176 label-noise question asked at cluster granularity), and the
+    * mean member→centroid cosine (cluster tightness; the cosine-space
+    * inertia twin). Balance says whether an IVF/routing layout keyed by
+    * these cells would skew; purity says whether cheap cluster-level
+    * labels could stand in for per-doc ones.
+    *
+    * Portability: per-member cosines are round-6 (the ANN-family
+    * protocol), summed exactly in DECIMAL(17,6); majority is one
+    * min-struct aggregate ((-cnt, label) — no window over members).
+    *
+    * Scale: each Lloyd round is one broadcast assignment pass over the
+    * corpus plus a (cell × dim) aggregation; the report is one
+    * (cid, label) count shuffle and one cid-sized reduce. Nothing
+    * corpus-sized ever sits on the driver. */
+  def clusterPurity(s: SparkSession, dir: String, nCells: Int = 16,
+                    lloydRounds: Int = 2): DataFrame = {
+    val embAll = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      .persist()
+    val emb = embAll.select(col("vec_id"), col("embedding"))
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(assignCells(s, emb, cents))
+    val asg = assignCells(s, emb, cents)
+    val scored = asg.join(broadcast(cents), "cid")
+      .join(embAll.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("cid"), col("label"),
+        round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6)
+          .cast("decimal(17,6)").as("csim"))
+    val perLabel = scored.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("cnt"), sum(col("csim")).as("ssim"))
+    val out = perLabel.groupBy(col("cid"))
+      .agg(sum(col("cnt")).as("n_members"),
+        min(struct((-col("cnt")).as("neg"), col("label"))).as("top"),
+        sum(col("ssim")).as("ssim"))
+      .select(col("cid"), col("n_members"),
+        col("top.label").as("top_label"),
+        expr("(-top.neg) * 1000000 div n_members").as("top_share_ppm"),
+        round(col("ssim").cast("double") / col("n_members").cast("double"), 6)
+          .as("mean_csim"))
+      .orderBy(col("cid"))
+    graft.operators.Dedup.pinAndRelease(out, embAll)
+  }
+
+  /** DuckDB oracle for [[clusterPurity]] — re-derives the identical
+    * Lloyd centroids (the q31 oracle construction) then the audit. */
+  def clusterPuritySql(nCells: Int = 16, lloydRounds: Int = 2,
+                       dims: Int = 64): String = {
+    def assignCte(out: String, cin: String): String =
+      s"""$out AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSqlDuck("e.embedding", "c.ce")} DESC, c.cid)
+         |      AS rn
+         |  FROM embeddings e, $cin c) WHERE rn = 1)""".stripMargin
+    def lloydCte(r: Int, ain: String, cout: String): String =
+      s"""m$r AS (SELECT cid, t.generate_series AS pos,
+         |    CAST(CAST(SUM(CAST(embedding[t.generate_series]
+         |      AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS FLOAT) AS comp
+         |  FROM $ain, generate_series(1, $dims) t GROUP BY 1, 2),
+         |$cout AS (SELECT cid, list(comp ORDER BY pos) AS ce FROM m$r
+         |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to lloydRounds).map(r =>
+      s"${assignCte(s"a$r", s"c${r - 1}")},\n${lloydCte(r, s"a$r", s"c$r")}")
+      .mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |$rounds,
+       |${assignCte("asg", s"c$lloydRounds")},
+       |sc AS (SELECT a.cid, CAST(e.label AS BIGINT) AS label,
+       |    CAST(${cosSqlDuck("a.embedding", "c.ce")} AS DECIMAL(17,6))
+       |      AS csim
+       |  FROM asg a JOIN c$lloydRounds c USING (cid)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |pl AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    SUM(csim) AS ssim FROM sc GROUP BY 1, 2),
+       |tp AS (SELECT cid, label AS top_label, cnt AS top_cnt FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |    ORDER BY cnt DESC, label) AS rn FROM pl) WHERE rn = 1)
+       |SELECT pl.cid, CAST(SUM(pl.cnt) AS BIGINT) AS n_members,
+       |  MAX(tp.top_label) AS top_label,
+       |  CAST(MAX(tp.top_cnt) * 1000000 // SUM(pl.cnt) AS BIGINT)
+       |    AS top_share_ppm,
+       |  round(CAST(SUM(pl.ssim) AS DOUBLE) / SUM(pl.cnt), 6) AS mean_csim
+       |FROM pl JOIN tp USING (cid) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
