@@ -226,6 +226,7 @@ object SparkEntry {
     "q184_nb_confusion"   -> ((s, d) =>
       graft.operators.Curation.nbConfusion(s, d)),
     "q185_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
+    "q186_ann_filtered"   -> ((s, d) => Similarity.filteredTopK(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2140,6 +2141,8 @@ object SparkEntry {
     "q184_nb_confusion" -> graft.operators.Curation.nbConfusionSql,
     // q185: k-means cluster balance + label purity (q31's Lloyd audit)
     "q185_cluster_purity" -> Similarity.clusterPuritySql(),
+    // q186: filtered vector search, pre- vs post-filter recall audit
+    "q186_ann_filtered" -> Similarity.filteredTopKSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

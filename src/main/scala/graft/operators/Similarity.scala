@@ -990,4 +990,93 @@ object Similarity {
        |  round(CAST(SUM(pl.ssim) AS DOUBLE) / SUM(pl.cnt), 6) AS mean_csim
        |FROM pl JOIN tp USING (cid) GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q186: FILTERED vector search audit — the tenant/metadata-filter
+    * mode every vector store ships (only neighbors satisfying a
+    * predicate count; here: neighbors sharing the query's `label`),
+    * graded as PRE- vs POST-filter: pre-filtering pushes the predicate
+    * below scoring and always achieves min(pool, k) true neighbors
+    * (the plan shape a 100 TB run wants — the scan itself shrinks);
+    * post-filtering takes the UNFILTERED top-k and drops non-matching
+    * rows, and its survivors are provably a prefix of the true filtered
+    * top-k (a matching vector inside the global top-k outranks every
+    * matching one outside), so recall = survivors / min(pool, k) — the
+    * number that says when the cheap mode stops being acceptable
+    * (selective filters, minority labels). Per query: label, matching
+    * pool size, achievable pre-filter depth, post-filter survivors,
+    * and post-recall ppm.
+    *
+    * Determinism: the q20 protocol exactly (round-6 cosine, nid
+    * tiebreak); all audit columns integer.
+    *
+    * Scale: one broadcast of the nQueries query rows against ONE corpus
+    * scan scoring both legs (the label filter is a flag, not a second
+    * pass); one WindowGroupLimit top-k over a (queries×k)-sized frame.
+    * The corpus is scanned once, never shuffled. */
+  def filteredTopK(s: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        (col("label") === col("qlabel")).as("m"),
+        round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6)
+          .as("sim"))
+      .persist()
+    val wAll = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    // post-filter survivors are always a PREFIX of the true filtered
+    // top-k (a matching vector inside the global top-k outranks every
+    // matching vector outside it), so the audit is the survivor count
+    // against the achievable filtered k — no set intersection needed
+    val post = scored.withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(when(col("m"), 1L).otherwise(0L)).as("post_survivors"))
+    val pool = scored.filter(col("m"))
+      .groupBy(col("qid"), col("qlabel")).agg(count(lit(1)).as("pool"))
+    val out = pool
+      .join(post, Seq("qid"), "left")
+      .select(col("qid"), col("qlabel").as("label"), col("pool"),
+        least(col("pool"), lit(k.toLong)).as("pre_k"),
+        coalesce(col("post_survivors"), lit(0L)).as("post_survivors"))
+      .withColumn("post_recall_ppm",
+        expr("CASE WHEN pre_k = 0 THEN 0" +
+          " ELSE post_survivors * 1000000 div pre_k END"))
+      .orderBy(col("qid"))
+    graft.operators.Dedup.pinAndRelease(out, scored)
+  }
+
+  /** DuckDB oracle for [[filteredTopK]]. */
+  def filteredTopKSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |  FROM e WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, q.qlabel, e.vec_id AS nid,
+       |    e.label = q.qlabel AS m,
+       |    ${cosSqlDuck("q.qe", "e.embedding")} AS sim
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |post AS (SELECT qid,
+       |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS post_survivors
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rn FROM sc)
+       |  WHERE rn <= $k GROUP BY 1),
+       |pool AS (SELECT qid, qlabel, CAST(COUNT(*) AS BIGINT) AS pool
+       |  FROM sc WHERE m GROUP BY 1, 2)
+       |SELECT pool.qid, pool.qlabel AS label, pool.pool,
+       |  LEAST(pool.pool, $k) AS pre_k,
+       |  COALESCE(post.post_survivors, 0) AS post_survivors,
+       |  CASE WHEN LEAST(pool.pool, $k) = 0 THEN 0
+       |    ELSE COALESCE(post.post_survivors, 0) * 1000000
+       |      // LEAST(pool.pool, $k) END AS post_recall_ppm
+       |FROM pool LEFT JOIN post USING (qid)
+       |ORDER BY pool.qid""".stripMargin
 }
