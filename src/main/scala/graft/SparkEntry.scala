@@ -227,6 +227,8 @@ object SparkEntry {
       graft.operators.Curation.nbConfusion(s, d)),
     "q185_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
     "q186_ann_filtered"   -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "q187_pack_contamination" -> ((s, d) =>
+      graft.operators.Layout.packContamination(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2143,6 +2145,9 @@ object SparkEntry {
     "q185_cluster_purity" -> Similarity.clusterPuritySql(),
     // q186: filtered vector search, pre- vs post-filter recall audit
     "q186_ann_filtered" -> Similarity.filteredTopKSql(),
+    // q187: cross-doc attention contamination in q161's packed windows
+    "q187_pack_contamination" ->
+      graft.operators.Layout.packContaminationSql(),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -187,4 +187,85 @@ object Layout {
        |    ELSE CAST(SUM(mx * bn) - SUM(sm) AS BIGINT) * 1000000
        |    // CAST(SUM(mx * bn) AS BIGINT) END AS waste_ppm
        |FROM b GROUP BY strategy ORDER BY strategy""".stripMargin
+
+  /** q187: cross-document attention contamination in packed windows —
+    * the audit behind boundary-masked attention (the Llama-3-style
+    * document mask): under q161's packing, a context window holding m
+    * documents lets (T² − Σlᵢ²)/2 of its T·(T−1)/2 unordered
+    * query–key pairs attend ACROSS a document boundary (lᵢ = the
+    * segment lengths inside the window; the last window may have
+    * T < ctxLen). Report, per docs-per-window bucket: window count,
+    * token mass, and mean contamination ppm — the m = 1 row is the
+    * clean mass, the tail rows are why the mask exists, and the
+    * ctxLen-vs-doc-length tradeoff is read straight off the bucket
+    * distribution.
+    *
+    * Integer-exact throughout: contamination per window is
+    * (T·T − Σl²)·10⁶ div (T·(T−1)) (0 when T ≤ 1), the bucket mean is
+    * an integer div of summed ppms.
+    *
+    * Scale: rides q161's [[Ranks.globalRunningSum]] offsets; each doc
+    * explodes into its (window, segment) rows via `sequence` (fan-out
+    * ≈ n_tokens/ctxLen + 1, sub-linear blow-up), then ONE window-keyed
+    * partial-agg shuffle of (window, l) longs and a bucket-sized
+    * reduce. Segment arithmetic never leaves the executors. */
+  def packContamination(s: SparkSession, dir: String,
+                        ctxLen: Long = 2048L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val segs = Ranks.globalRunningSum(docs, Seq.empty, Seq("doc_id"),
+      "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("off"))
+      .select(explode(sequence(expr(s"off div $ctxLen"),
+        expr(s"(off + n_tokens - 1) div $ctxLen"))).as("win"),
+        col("off"), col("n_tokens"))
+      .select(col("win"),
+        (least(col("off") + col("n_tokens"), (col("win") + 1) * ctxLen) -
+          greatest(col("off"), col("win") * ctxLen)).as("l"))
+    val wins = segs.groupBy(col("win"))
+      .agg(count(lit(1)).as("m"), sum(col("l")).as("t"),
+        sum(col("l") * col("l")).as("sl2"))
+      .select(col("win"), col("m"), col("t"),
+        expr("CASE WHEN t <= 1 THEN 0" +
+          " ELSE (t * t - sl2) * 1000000 div (t * (t - 1)) END")
+          .as("contam_ppm"))
+    wins.groupBy(col("m").as("docs_per_window"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("t")).as("tokens"),
+        sum(col("contam_ppm")).as("s_ppm"))
+      .select(col("docs_per_window"), col("n_windows"), col("tokens"),
+        expr("s_ppm div n_windows").as("mean_contam_ppm"))
+      .orderBy(col("docs_per_window"))
+  }
+
+  /** DuckDB oracle for [[packContamination]]. */
+  def packContaminationSql(ctxLen: Long = 2048L): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len([x for x in string_split_regex(lower(text),
+       |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+       |  FROM d WHERE n_tokens > 0),
+       |sg AS (SELECT unnest(generate_series(off // $ctxLen,
+       |      (off + n_tokens - 1) // $ctxLen)) AS win, off, n_tokens
+       |  FROM c),
+       |sl AS (SELECT win,
+       |    LEAST(off + n_tokens, (win + 1) * $ctxLen) -
+       |      GREATEST(off, win * $ctxLen) AS l
+       |  FROM sg),
+       |w AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(l) AS BIGINT) AS t,
+       |    CAST(SUM(l * l) AS BIGINT) AS sl2
+       |  FROM sl GROUP BY 1),
+       |cw AS (SELECT win, m, t, CASE WHEN t <= 1 THEN 0
+       |    ELSE (t * t - sl2) * 1000000 // (t * (t - 1)) END AS contam_ppm
+       |  FROM w)
+       |SELECT m AS docs_per_window, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(t) AS BIGINT) AS tokens,
+       |  CAST(SUM(contam_ppm) // COUNT(*) AS BIGINT) AS mean_contam_ppm
+       |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin
 }

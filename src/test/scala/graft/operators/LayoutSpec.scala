@@ -45,6 +45,29 @@ class LayoutSpec extends SparkSpec {
       if (s17(id) != sh) assert(s17(id) === 16L, s"doc $id reshuffled") }
   }
 
+  test("q187 pack contamination: token mass conserved, m=1 clean, m>1 dirty") {
+    val buckets = Layout.packContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(buckets.nonEmpty)
+    // token mass across all buckets == total tokens of the packed corpus
+    val totalTokens = graft.Tables.load(spark, sf, "documents")
+      .select(size(graft.functions.Text.tokens(col("text"))).cast("long")
+        .as("n")).agg(sum(col("n"))).head().getLong(0)
+    assert(buckets.map(_._3).sum === totalTokens, "token mass not conserved")
+    buckets.foreach { case (m, nWin, toks, ppm) =>
+      assert(m >= 1 && nWin >= 1 && toks >= 1)
+      assert(ppm >= 0 && ppm < 1000000, s"bucket $m ppm out of range: $ppm")
+      // a single-doc window has no cross-document pairs
+      if (m === 1L) assert(ppm === 0L, "m=1 bucket must be contamination-free")
+      // >=2 docs in a full window always produce cross-doc pairs
+      if (m >= 2L && toks >= 2L * nWin)
+        assert(ppm > 0L, s"bucket $m claims zero contamination")
+    }
+    // contamination grows with fragmentation: last bucket dirtier than first
+    val multi = buckets.filter(_._1 >= 2).map(_._4)
+    if (multi.length >= 2) assert(multi.last > multi.head)
+  }
+
   test("q163 batching: length order never wastes more than arrival order") {
     val rows = Layout.lengthBatchingWaste(spark, sf).collect()
       .map(r => r.getString(0) ->
