@@ -229,6 +229,8 @@ object SparkEntry {
     "q186_ann_filtered"   -> ((s, d) => Similarity.filteredTopK(s, d)),
     "q187_pack_contamination" -> ((s, d) =>
       graft.operators.Layout.packContamination(s, d)),
+    "q188_ppl_buckets"      -> ((s, d) => TextQueries.pplBuckets(s, d)),
+    "q189_cluster_chaining" -> ((s, d) => Dedup.clusterChaining(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2148,6 +2150,50 @@ object SparkEntry {
     // q187: cross-doc attention contamination in q161's packed windows
     "q187_pack_contamination" ->
       graft.operators.Layout.packContaminationSql(),
+    // q188: CCNet head/middle/tail perplexity buckets off the q183 LM
+    "q188_ppl_buckets" -> TextQueries.pplBucketsSql,
+    // q189: transitive-chaining audit of the q48 clusters — exact
+    // Jaccard over sampled within-cluster pairs, on the shared
+    // minhash CTE basis (eh/cnt) plus the q48 recursive reach
+    "q189_cluster_chaining" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.h60Sql("CAST(cl.doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM cl
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |sm AS (SELECT cluster, csize, doc_id FROM (
+         |  SELECT cl.cluster, cs.csize, cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY $h, cl.doc_id) AS rk
+         |  FROM cl JOIN cs USING (cluster)) WHERE rk <= 8),
+         |pq AS (SELECT a.cluster, LEAST(a.csize, 5) AS size_bucket,
+         |    a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sm a JOIN sm b ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+         |shp AS (SELECT pq.id_a, pq.id_b, CAST(COUNT(*) AS BIGINT) AS sh
+         |  FROM pq JOIN eh ea ON ea.doc_id = pq.id_a
+         |  JOIN eh eb ON eb.doc_id = pq.id_b AND eb.h = ea.h GROUP BY 1, 2),
+         |pj AS (SELECT pq.cluster, pq.size_bucket,
+         |    COALESCE(shp.sh, 0) AS sh, ca.n AS na, cb.n AS nb
+         |  FROM pq LEFT JOIN shp ON shp.id_a = pq.id_a AND shp.id_b = pq.id_b
+         |  JOIN cnt ca ON ca.doc_id = pq.id_a JOIN cnt cb ON cb.doc_id = pq.id_b),
+         |pz AS (SELECT cluster, size_bucket,
+         |    sh * 1000000 // (na + nb - sh) AS j_ppm FROM pj)
+         |SELECT size_bucket, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+         |  CAST(SUM(CASE WHEN j_ppm < 300000 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS chained_ppm
+         |FROM pz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash

@@ -1857,6 +1857,125 @@ object TextQueries {
     Dedup.pinAndRelease(out, bg)
   }
 
+  /** q188: CCNet-style perplexity filter buckets — the head/middle/tail
+    * partition of the corpus by LM score that CCNet (Wenzek et al. 2020)
+    * and the GPT-3/LLaMA data pipelines use to keep the fluent third and
+    * drop (or down-weight) the noisy tail. The q183 add-one bigram LM is
+    * fit on the q47 `train` split (h60(text)%100 < 80) and then scores
+    * EVERY doc with ≥2 tokens — train docs included, as CCNet scores the
+    * whole crawl with its pretrained KenLM. Docs rank by per-doc mean
+    * cross-entropy and split into exact global terciles: `head` = most
+    * fluent (lowest xent), `tail` = what a perplexity filter would cut.
+    * Report per (bucket, source): docs, transitions, mean per-doc xent —
+    * the bucket×source mix is the filter's disparate-impact audit (a
+    * tail dominated by one source means the filter is a source filter in
+    * disguise, the known CCNet failure mode on low-resource domains).
+    *
+    * Portability: per-transition term `round(ln((c_a+V)/(c_ab+1))·10⁹)`
+    * as BIGINT nano-nats (the q168/q183 one-division-one-ln protocol at
+    * the same 1e-9 granularity); per-doc mean = integer div, so ranking
+    * and every downstream stat are integer-exact in both engines.
+    *
+    * Scale: ONE bigram explode (persisted, released) feeds the count and
+    * score passes; the (w1,w2) count⋈probe equi-join is the corpus-scale
+    * shuffle; context masses and V are vocabulary-scale broadcasts. The
+    * global tercile rank rides [[Ranks.globalRowNumber]]'s range-
+    * partitioned construction (no single-partition window), and the
+    * tercile boundaries come from ONE broadcast row count. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame =
+    pplBucketsOf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[pplBuckets]] over any (doc_id, source, text) frame. */
+  def pplBucketsOf(docs: DataFrame): DataFrame = {
+    val bucket = PortableHash.h60(col("text")) % 100
+    val bg = docs
+      .select(col("doc_id"), col("source"), (bucket < 80).as("is_train"),
+        Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_train"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .persist()
+    val trainBg = bg.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val ctx = trainBg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.filter(bucket < 80)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val perDoc = bg
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"),
+        round(log((coalesce(col("c_a"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c_ab"), lit(0L)) + 1).cast("double")) * 1e9)
+          .cast("long").as("t_nn"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("t_nn")).as("st_nn"))
+      // terms are ≥ 0 (the smoothed ratio is ≥ 1), so div == floor here
+      .select(col("doc_id"), col("source"), col("n_trans"),
+        expr("st_nn div n_trans").as("xent_nn"))
+      // persisted: the rank's range sampling + count + rank pass would
+      // otherwise re-run the LM join three times
+      .persist()
+    val ranked =
+      Ranks.globalRowNumber(perDoc, Seq.empty, Seq("xent_nn", "doc_id"))
+    val nAll = perDoc.agg(count(lit(1)).as("n_all"))
+    val out = ranked.crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_trans"), col("xent_nn"),
+        expr("CASE WHEN rnk * 3 <= n_all THEN 'head'" +
+          " WHEN rnk * 3 <= 2 * n_all THEN 'middle' ELSE 'tail' END")
+          .as("bucket"))
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_trans")).as("transitions"),
+        sum(col("xent_nn")).as("sx"))
+      .select(col("bucket"), col("source"), col("n_docs"),
+        col("transitions"), expr("sx div n_docs").as("mean_xent_nn"))
+      .orderBy(col("bucket"), col("source"))
+    Dedup.pinAndRelease(out, bg, perDoc)
+  }
+
+  /** DuckDB oracle for [[pplBuckets]]. */
+  val pplBucketsSql: String = {
+    val h = PortableHash.h60Sql("text")
+    s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, source, bk < 80 AS is_train,
+       |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM d WHERE len(t) >= 2),
+       |tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+       |  WHERE is_train GROUP BY 1, 2),
+       |cx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM tb
+       |  GROUP BY 1),
+       |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM d WHERE bk < 80)),
+       |sc AS (SELECT bg.doc_id, bg.source,
+       |    CAST(round(ln(CAST(COALESCE(cx.c_a, 0) + v AS DOUBLE) /
+       |      CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)) * 1000000000)
+       |      AS BIGINT) AS t_nn
+       |  FROM bg LEFT JOIN tb ON tb.w1 = bg.w1 AND tb.w2 = bg.w2
+       |  LEFT JOIN cx ON cx.w1 = bg.w1 CROSS JOIN vb),
+       |pd AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_trans,
+       |    CAST(SUM(t_nn) AS BIGINT) AS st_nn FROM sc GROUP BY 1, 2),
+       |pr AS (SELECT doc_id, source, n_trans, st_nn // n_trans AS xent_nn
+       |  FROM pd),
+       |rk AS (SELECT source, n_trans, xent_nn,
+       |    row_number() OVER (ORDER BY xent_nn, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n_all FROM pr)
+       |SELECT CASE WHEN rnk * 3 <= n_all THEN 'head'
+       |    WHEN rnk * 3 <= 2 * n_all THEN 'middle' ELSE 'tail' END AS bucket,
+       |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_trans) AS BIGINT) AS transitions,
+       |  CAST(SUM(xent_nn) // COUNT(*) AS BIGINT) AS mean_xent_nn
+       |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** DuckDB oracle for [[heldoutBigramXent]]. */
   val heldoutBigramXentSql: String = {
     val h = PortableHash.h60Sql("text")
