@@ -54,6 +54,7 @@ object Bench {
     def scrubState(): Int = {
       graft.operators.Dedup.clearClusterCache()
       graft.operators.Curation.clearFeatureCache()
+      graft.operators.Similarity.clearIndexCache()
       spark.sqlContext.clearCache()
       val leaked = spark.sparkContext.getPersistentRDDs
       leaked.values.foreach(_.unpersist(false))

@@ -28,6 +28,82 @@ object Similarity {
       graft.functions.PortableHash.h60(col("vec_id").cast("string")) <
         lit(sample.toLong << 55))
 
+  /** Session-keyed memo for the retrieval family's shared artifacts — the
+    * [[Dedup.sharedClusters]] discipline applied to indexes: the audit
+    * queries (q130 recall, q180 MRR) drive FIVE finders, and without
+    * sharing, each finder re-loads/persists its own copy of the corpus,
+    * the coarse inverted file is trained twice (q31 inside ivfTopK AND
+    * ivfPqTopK) and the PQ codebooks twice (q128 inside pqTopK AND
+    * ivfPqTopK) — pure recompute of bit-identical deterministic
+    * artifacts. At 100 TB these ARE persisted index artifacts built once
+    * at ingest; the memo is the session-scale analogue. Keys carry every
+    * parameter that shapes the artifact. Bench clears this between timed
+    * runs (standalone honesty, same as the cluster memo). */
+  private val indexCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private def memo[T <: AnyRef](s: SparkSession, key: String)(
+      build: => T): T = {
+    val perSession = indexCache.synchronized {
+      var m = indexCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        indexCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  }
+
+  def clearIndexCache(): Unit =
+    indexCache.synchronized(indexCache.clear())
+
+  /** The persisted (vec_id, embedding) corpus frame every finder scores
+    * against — hash-partitioned on vec_id so assignment-pass join-backs
+    * stay exchange-free. One cache entry per (dir, sample, nQueries)
+    * regardless of how many finders an audit composes. */
+  private def sharedEmb(s: SparkSession, dir: String, sample: Int,
+                        nQueries: Int): DataFrame = {
+    val key =
+      if (sample >= 32) s"emb:$dir:full"
+      else s"emb:$dir:$sample:$nQueries"
+    memo(s, key) {
+      embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .persist()
+    }
+  }
+
+  /** Coarse IVF centroids (q31 deterministic Lloyd), trained once per
+    * parameterization and shared by ivfTopK / ivfPqTopK / the audits. */
+  private def sharedIvfCents(s: SparkSession, dir: String, sample: Int,
+                             nQueries: Int, nCells: Int,
+                             lloydRounds: Int): DataFrame =
+    memo(s, s"ivf:$dir:$sample:$nQueries:$nCells:$lloydRounds") {
+      val emb = sharedEmb(s, dir, sample, nQueries)
+      var cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      for (_ <- 1 to lloydRounds)
+        cents = lloydStep(assignCells(s, emb, cents))
+      cents.localCheckpoint(true) // metadata-sized: nCells × 64 floats
+    }
+
+  /** The corpus's final nearest-centroid assignment under
+    * [[sharedIvfCents]] — (vec_id, embedding, cid), lazily persisted:
+    * ivfTopK, ivfPqTopK, semDedup and clusterPurity all need exactly this
+    * pass, and an audit composing them re-ran it per finder. */
+  private def sharedIvfAssign(s: SparkSession, dir: String, sample: Int,
+                              nQueries: Int, nCells: Int,
+                              lloydRounds: Int): DataFrame =
+    memo(s, s"ivfasg:$dir:$sample:$nQueries:$nCells:$lloydRounds") {
+      val emb = sharedEmb(s, dir, sample, nQueries)
+      val cents =
+        sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds)
+      assignCells(s, emb, cents).persist()
+    }
+
   /** Exact double-precision dot product of two float vectors, accumulated
     * left-to-right (mirrors the DuckDB oracle's list_sum over list_zip). */
   private def dot(a: Column, b: Column): Column =
@@ -49,9 +125,7 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 5, k: Int = 10,
                      sample: Int = 32): DataFrame = {
-    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"))
+    val emb = sharedEmb(s, dir, sample, nQueries)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = emb.crossJoin(broadcast(q))
@@ -140,22 +214,14 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2,
               sample: Int = 32): DataFrame = {
-    // persist: the corpus feeds every Lloyd assignment pass plus the final
-    // assignment/probe/scoring — without it each pass re-scans and
-    // re-decodes the parquet. The cache entry lives until session end or
-    // eviction (MEMORY_AND_DISK, LRU); callers looping over many dirs
-    // should spark.sqlContext.clearCache() between corpora.
-    // hash-partitioned on vec_id (not round-robin) so each assignment
-    // pass's join-back of the winning cid meets the corpus exchange-free
-    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    for (_ <- 1 to lloydRounds)
-      cents = lloydStep(assignCells(s, emb, cents))
-    val assigned = assignCells(s, emb, cents)
+    // corpus and centroids come from the session memo ([[sharedEmb]] /
+    // [[sharedIvfCents]]): the persisted vec_id-partitioned frame keeps
+    // each assignment pass's join-back exchange-free, and an audit
+    // composing this finder with ivfPqTopK trains the inverted file once
+    val emb = sharedEmb(s, dir, sample, nQueries)
+    val cents = sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds)
+    val assigned =
+      sharedIvfAssign(s, dir, sample, nQueries, nCells, lloydRounds)
     val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -193,11 +259,14 @@ object Similarity {
     val bits = bands * bitsPerBand
     require(bits <= 63, s"bucket bits out of long range: $bits")
     val mask = (1L << bitsPerBand) - 1
-    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"),
-        graft.plans.FloatVecLshBucket(s, col("embedding"), bits).as("bucket"))
-      .persist()
+    // the bucketed view rides its own memo entry: the sign-bit signature
+    // is 64×bits multiplies per row — worth caching over the shared base
+    val emb = memo(s, s"lshb:$dir:$sample:$nQueries:$bits") {
+      sharedEmb(s, dir, sample, nQueries)
+        .select(col("vec_id"), col("embedding"),
+          graft.plans.FloatVecLshBucket(s, col("embedding"), bits).as("bucket"))
+        .persist()
+    }
     def bandsOf(df: DataFrame, idAs: String) = df.select(col("vec_id").as(idAs),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("bucket"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
@@ -283,10 +352,7 @@ object Similarity {
   def quantizedTopK(s: SparkSession, dir: String,
                     nQueries: Int = 5, k: Int = 10,
                     sample: Int = 32): DataFrame = {
-    val emb = quantized(
-      embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding")))
+    val emb = quantized(sharedEmb(s, dir, sample, nQueries))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
     val dotQ = aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y),
@@ -356,15 +422,29 @@ object Similarity {
   }
 
   /** Train the per-subspace codebooks (deterministic Lloyd, q31 protocol)
-    * and code the corpus. Returns (books, codes). */
+    * and code the corpus. Returns (books, codes).
+    *
+    * The training round carries `sv` THROUGH the assignment aggregate
+    * (`first` over a group where sv is constant — value-deterministic)
+    * instead of joining the winner back to `subs` on (vec_id, ss): that
+    * join re-shuffled corpus×m rows on BOTH sides every round, the one
+    * key the vec_id-partitioned corpus does not co-locate. */
   private def pqTrain(s: SparkSession, subs: DataFrame, codebookSize: Int,
                       lloydRounds: Int): (DataFrame, DataFrame) = {
+    val radix = lit(1L << 32)
     var books = subs.filter(col("vec_id") < codebookSize)
       .select(col("ss"), col("vec_id").as("cid"), col("sv").as("ce"))
     for (_ <- 1 to lloydRounds) {
-      books = pqAssign(s, subs, books)
-        .join(subs, Seq("vec_id", "ss"))
-        .select(col("ss"), col("cid"), posexplode(col("sv")))
+      books = subs.join(broadcast(books), Seq("ss"))
+        .withColumn("csim", round(nanvl(
+          graft.plans.FloatVecCosine(s, col("sv"), col("ce")), lit(-2d)), 6))
+        .select(col("vec_id"), col("ss"),
+          (round(col("csim") * 1000000d, 0).cast("long") * radix -
+            col("cid")).as("enc"), col("sv"))
+        .groupBy(col("vec_id"), col("ss"))
+        .agg(max(col("enc")).as("enc"), first(col("sv")).as("sv"))
+        .select(col("ss"), pmod(-col("enc"), radix).as("cid"),
+          posexplode(col("sv")))
         .groupBy(col("ss"), col("cid"), (col("pos") + 1).as("pos"))
         .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
           count(lit(1))).cast("float").as("comp"))
@@ -374,6 +454,22 @@ object Similarity {
     }
     (books, pqAssign(s, subs, books))
   }
+
+  /** PQ codebooks + corpus codes, trained once per parameterization and
+    * shared by pqTopK / ivfPqTopK / the audits. Codes are corpus-scale
+    * (m rows of 3 ints per vector) — eager-checkpointed so consumers read
+    * blocks, not the two-Lloyd-round lineage. */
+  private def sharedPq(s: SparkSession, dir: String, sample: Int,
+                       nQueries: Int, m: Int, codebookSize: Int,
+                       lloydRounds: Int): (DataFrame, DataFrame) =
+    memo(s, s"pq:$dir:$sample:$nQueries:$m:$codebookSize:$lloydRounds") {
+      val subs = pqSubs(sharedEmb(s, dir, sample, nQueries), m, 64 / m)
+      val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+      // lazy persist, not eager checkpoint: a single-consumer caller
+      // (q128 standalone) must not pay an extra materialization job just
+      // to fill the cache a second consumer may never read
+      (books.localCheckpoint(true), codes.persist())
+    }
 
   /** Query→codebook ADC lookup tables in exact integer micro-units. */
   private def pqQueryTables(subs: DataFrame, books: DataFrame,
@@ -388,12 +484,10 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
              m: Int = 4, codebookSize: Int = 16,
              lloydRounds: Int = 2, sample: Int = 32): DataFrame = {
-    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
+    val emb = sharedEmb(s, dir, sample, nQueries)
     val subs = pqSubs(emb, m, 64 / m)
-    val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+    val (books, codes) =
+      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
     val qtab = pqQueryTables(subs, books, nQueries)
     val scored = codes.join(broadcast(qtab), Seq("ss", "cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -423,16 +517,11 @@ object Similarity {
                 k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
                 lloydRounds: Int = 2, m: Int = 4,
                 codebookSize: Int = 16, sample: Int = 32): DataFrame = {
-    val emb = embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
-    // coarse inverted file (q31 protocol)
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    for (_ <- 1 to lloydRounds)
-      cents = lloydStep(assignCells(s, emb, cents))
-    val assigned = assignCells(s, emb, cents)
+    val emb = sharedEmb(s, dir, sample, nQueries)
+    // coarse inverted file (q31 protocol, shared with ivfTopK)
+    val cents = sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds)
+    val assigned =
+      sharedIvfAssign(s, dir, sample, nQueries, nCells, lloydRounds)
       .select(col("vec_id"), col("cid").as("cell"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
@@ -444,9 +533,10 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    // PQ codes + query tables (q128 protocol, same corpus frame)
+    // PQ codes + query tables (q128 protocol, shared with pqTopK)
     val subs = pqSubs(emb, m, 64 / m)
-    val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+    val (books, codes) =
+      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
     val qtab = pqQueryTables(subs, books, nQueries)
     // candidates = members of each query's probed cells; ADC-score them
     val cand = assigned.join(broadcast(probes), Seq("cell"))
@@ -484,15 +574,7 @@ object Similarity {
     * family q27 is the recall-bounded alternative). */
   def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
                lloydRounds: Int = 2, threshold: Double = 0.45): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    for (_ <- 1 to lloydRounds)
-      cents = lloydStep(assignCells(s, emb, cents))
-    val assigned = assignCells(s, emb, cents)
+    val assigned = sharedIvfAssign(s, dir, 32, 0, nCells, lloydRounds)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(graft.plans.FloatVecCosine(s,
@@ -917,19 +999,14 @@ object Similarity {
     * corpus-sized ever sits on the driver. */
   def clusterPurity(s: SparkSession, dir: String, nCells: Int = 16,
                     lloydRounds: Int = 2): DataFrame = {
-    val embAll = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        col("label").cast("long").as("label"))
-      .persist()
-    val emb = embAll.select(col("vec_id"), col("embedding"))
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    for (_ <- 1 to lloydRounds)
-      cents = lloydStep(assignCells(s, emb, cents))
-    val asg = assignCells(s, emb, cents)
+    val cents = sharedIvfCents(s, dir, 32, 0, nCells, lloydRounds)
+    val asg = sharedIvfAssign(s, dir, 32, 0, nCells, lloydRounds)
+    // labels ride a separate pruned scan (2 columns) — the big embedding
+    // frame stays the label-free shared one every other finder uses
+    val labels = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
     val scored = asg.join(broadcast(cents), "cid")
-      .join(embAll.select(col("vec_id"), col("label")), "vec_id")
+      .join(labels, "vec_id")
       .select(col("cid"), col("label"),
         round(graft.plans.FloatVecCosine(s, col("embedding"), col("ce")), 6)
           .cast("decimal(17,6)").as("csim"))
@@ -945,7 +1022,7 @@ object Similarity {
         round(col("ssim").cast("double") / col("n_members").cast("double"), 6)
           .as("mean_csim"))
       .orderBy(col("cid"))
-    graft.operators.Dedup.pinAndRelease(out, embAll)
+    out
   }
 
   /** DuckDB oracle for [[clusterPurity]] — re-derives the identical
