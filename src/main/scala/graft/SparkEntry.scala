@@ -231,6 +231,8 @@ object SparkEntry {
       graft.operators.Layout.packContamination(s, d)),
     "q188_ppl_buckets"      -> ((s, d) => TextQueries.pplBuckets(s, d)),
     "q189_cluster_chaining" -> ((s, d) => Dedup.clusterChaining(s, d)),
+    "q190_nb_calibration"   -> ((s, d) =>
+      graft.operators.Curation.nbMarginCalib(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2152,6 +2154,8 @@ object SparkEntry {
       graft.operators.Layout.packContaminationSql(),
     // q188: CCNet head/middle/tail perplexity buckets off the q183 LM
     "q188_ppl_buckets" -> TextQueries.pplBucketsSql,
+    // q190: NB decision-margin calibration deciles over the q184 grid
+    "q190_nb_calibration" -> graft.operators.Curation.nbMarginCalibSql,
     // q189: transitive-chaining audit of the q48 clusters — exact
     // Jaccard over sampled within-cluster pairs, on the shared
     // minhash CTE basis (eh/cnt) plus the q48 recursive reach

@@ -1085,8 +1085,13 @@ object Curation {
     * n_docs_c) training doc counts; everything else (context masses,
     * vocabulary size, priors) derives from those two frames, so an
     * incrementally-maintained model scores identically to a batch fit. */
-  def nbScoreFrom(tc: DataFrame, cd: DataFrame, testDocs: DataFrame)
-      : DataFrame = {
+  /** The full (doc, class, score) NB posterior-score grid — shared by the
+    * q184 confusion matrix (argmax only) and the q190 margin-calibration
+    * audit (argmax AND runner-up). Scores are DECIMAL(38,9) sums of
+    * round-9 ln terms (q168 protocol): exact multiples of 10⁻⁹ in both
+    * engines, so downstream margins are integer nano-nats. */
+  private def nbGrid(tc: DataFrame, cd: DataFrame,
+                     testDocs: DataFrame): DataFrame = {
     val nTrain = cd.agg(sum(col("n_docs_c")).as("n_train"))
     val nc = tc.groupBy(col("cls")).agg(sum(col("c_tc")).as("n_c"))
     val vocab = tc.select(col("t")).distinct()
@@ -1110,13 +1115,18 @@ object Curation {
       .agg(sum(col("term")).as("tsum"))
     // empty-token test docs score prior-only: rebuild the full
     // (doc, class) grid from the doc spine so they are still classified
-    val grid = testDocs
+    testDocs
       .select(col("doc_id"), col("source"))
       .crossJoin(broadcast(spine.select(col("cls"), col("prior"))))
       .join(terms, Seq("doc_id", "source", "cls"), "left")
       .select(col("doc_id"), col("source"), col("cls"),
         (col("prior") + coalesce(col("tsum"),
           lit(BigDecimal(0)).cast("decimal(38,9)"))).as("score"))
+  }
+
+  def nbScoreFrom(tc: DataFrame, cd: DataFrame, testDocs: DataFrame)
+      : DataFrame = {
+    val grid = nbGrid(tc, cd, testDocs)
     val pred = grid
       .groupBy(col("doc_id"), col("source"))
       .agg(min(struct((lit(0).cast("decimal(38,9)") - col("score"))
@@ -1132,8 +1142,166 @@ object Curation {
       .orderBy(col("actual"), col("predicted"))
   }
 
-  /** DuckDB oracle for [[nbConfusion]]. */
-  val nbConfusionSql: String = {
+  /** q190: NB margin-calibration audit — is the classifier's CONFIDENCE
+    * meaningful, not just its argmax? The q184 model's per-doc decision
+    * margin (top-1 minus top-2 class log-score, integer nano-nats — the
+    * exact-arithmetic stand-in for posterior confidence) ranks the test
+    * split into global deciles; the report per decile is docs, accuracy,
+    * and mean margin. A monotone accuracy curve is what licenses
+    * fastText-style confidence-thresholded filtering (keep only docs the
+    * domain tagger is sure about — the q58 mix's input); a flat curve
+    * says the margin carries no signal and thresholding is arbitrary.
+    *
+    * Determinism: scores are DECIMAL(38,9) sums of round-9 ln terms, so
+    * margins are exact multiples of 10⁻⁹ recovered as BIGINT nano-nats;
+    * top-2 selection is an array_sort over the (−score, cls) total order
+    * (|classes| entries per doc — bounded, no window); deciles ride
+    * [[Ranks.globalRowNumber]]'s range-partitioned rank.
+    *
+    * Scale: identical to q184 until the grid (one (token, class)
+    * count aggregation + one token-keyed scoring shuffle); after it,
+    * everything is test-split-sized. */
+  def nbMarginCalib(s: SparkSession, dir: String): DataFrame =
+    nbMarginCalibOf(Tables.load(s, dir, "documents"))
+
+  /** Core of [[nbMarginCalib]] over any (doc_id, source, text) frame.
+    *
+    * The score grid here is NOT [[nbGrid]]: q184's DECIMAL(38,9)
+    * prior+sum addition silently loses its 9th decimal in Spark
+    * (precision-39 promotion reduces to scale 8 under allowPrecisionLoss)
+    * while DuckDB keeps scale 9 — invisible to an argmax, fatal to a
+    * nano-nat margin. This audit therefore scores in BIGINT nano-nats
+    * end-to-end (the q188 protocol): every ln term rounds to an integer
+    * once, and all downstream arithmetic is exact in both engines. */
+  def nbMarginCalibOf(docsIn: DataFrame): DataFrame = {
+    val bucket = PortableHash.h60(col("text")) % 100
+    val docs = docsIn
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("toks"), bucket.as("bk"))
+      .filter(col("bk") < 80 || col("bk") >= 90)
+      .select(col("doc_id"), col("source"), col("toks"),
+        (col("bk") < 80).as("is_train"))
+      .persist()
+    val trainToks = docs.filter(col("is_train"))
+      .select(col("source").as("cls"), explode(col("toks")).as("t"))
+    val tc = trainToks.groupBy(col("t"), col("cls"))
+      .agg(count(lit(1)).as("c_tc"))
+    val cd = docs.filter(col("is_train"))
+      .groupBy(col("source").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+    val testDocs = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("source"), col("toks"))
+    val nTrain = cd.agg(sum(col("n_docs_c")).as("n_train"))
+    val nc = tc.groupBy(col("cls")).agg(sum(col("c_tc")).as("n_c"))
+    val vocab = tc.select(col("t")).distinct().agg(count(lit(1)).as("v"))
+    val spine = cd.join(broadcast(nc), "cls")
+      .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vocab))
+      .select(col("cls"), col("n_c"), col("v"),
+        round(log(col("n_docs_c").cast("double") /
+          col("n_train").cast("double")) * 1e9).cast("long").as("prior_nn"))
+    val terms = testDocs
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
+      .crossJoin(broadcast(spine))
+      .join(tc.select(col("t").as("tk"), col("cls").as("cls2"), col("c_tc")),
+        col("t") === col("tk") && col("cls") === col("cls2"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        round(log((coalesce(col("c_tc"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")) * 1e9)
+          .cast("long").as("t_nn"))
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("t_nn")).as("tsum_nn"))
+    val grid = testDocs
+      .select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(spine.select(col("cls"), col("prior_nn"))))
+      .join(terms, Seq("doc_id", "source", "cls"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("prior_nn") + coalesce(col("tsum_nn"), lit(0L)))
+          .as("score_nn"))
+    val perDoc = grid.groupBy(col("doc_id"), col("source"))
+      .agg(array_sort(collect_list(struct(
+        (-col("score_nn")).as("neg"), col("cls")))).as("a"))
+      .select(col("doc_id"),
+        when(get(col("a"), lit(0)).getField("cls") === col("source"), 1L)
+          .otherwise(0L).as("ok"),
+        // margin = s₁ − s₂ = neg₂ − neg₁, exact long arithmetic
+        coalesce(get(col("a"), lit(1)).getField("neg") -
+          get(col("a"), lit(0)).getField("neg"), lit(0L)).as("margin_nn"))
+      .persist()
+    val ranked =
+      Ranks.globalRowNumber(perDoc, Seq.empty, Seq("margin_nn", "doc_id"))
+    val nAll = perDoc.agg(count(lit(1)).as("n_all"))
+    val out = ranked.crossJoin(broadcast(nAll))
+      .select(col("ok"), col("margin_nn"),
+        expr("(rnk - 1) * 10 div n_all + 1").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"),
+        sum(col("margin_nn")).as("sm"))
+      .select(col("decile"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"),
+        expr("sm div n_docs").as("mean_margin_nn"))
+      .orderBy(col("decile"))
+    Dedup.pinAndRelease(out, docs, perDoc)
+  }
+
+  /** DuckDB oracle for [[nbMarginCalib]] — the integer nano-nat grid
+    * (NOT the q184 decimal CTEs; see [[nbMarginCalibOf]]) plus top-2
+    * margin, rank-decile bucketing, and the per-decile report. */
+  val nbMarginCalibSql: String = {
+    val h = PortableHash.h60Sql("text")
+    s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents WHERE ($h) % 100 < 80 OR ($h) % 100 >= 90),
+       |trn AS (SELECT source AS cls, unnest(t) AS tok FROM d
+       |  WHERE bk < 80),
+       |tc AS (SELECT tok, cls, CAST(COUNT(*) AS BIGINT) AS c_tc FROM trn
+       |  GROUP BY 1, 2),
+       |cl AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs_c
+       |  FROM d WHERE bk < 80 GROUP BY 1),
+       |ntr AS (SELECT CAST(SUM(n_docs_c) AS BIGINT) AS n_train FROM cl),
+       |nc AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_c FROM trn
+       |  GROUP BY 1),
+       |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM trn),
+       |sp AS (SELECT cl.cls, nc.n_c, vb.v,
+       |    CAST(round(ln(CAST(cl.n_docs_c AS DOUBLE) /
+       |      CAST(ntr.n_train AS DOUBLE)) * 1000000000) AS BIGINT)
+       |      AS prior_nn
+       |  FROM cl JOIN nc USING (cls) CROSS JOIN ntr CROSS JOIN vb),
+       |tt AS (SELECT doc_id, source, unnest(t) AS tok FROM d
+       |  WHERE bk >= 90),
+       |tm AS (SELECT tt.doc_id, tt.source, sp.cls,
+       |    SUM(CAST(round(ln(CAST(COALESCE(tc.c_tc, 0) + 1 AS DOUBLE) /
+       |      CAST(sp.n_c + sp.v AS DOUBLE)) * 1000000000) AS BIGINT))
+       |      AS tsum_nn
+       |  FROM tt CROSS JOIN sp
+       |  LEFT JOIN tc ON tc.tok = tt.tok AND tc.cls = sp.cls
+       |  GROUP BY 1, 2, 3),
+       |gr AS (SELECT td.doc_id, td.source, sp.cls,
+       |    sp.prior_nn + COALESCE(tm.tsum_nn, 0) AS score_nn
+       |  FROM (SELECT DISTINCT doc_id, source FROM d WHERE bk >= 90) td
+       |  CROSS JOIN sp
+       |  LEFT JOIN tm ON tm.doc_id = td.doc_id AND tm.cls = sp.cls),
+       |sc2 AS (SELECT doc_id, source, cls, score_nn,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_nn DESC, cls) AS rn FROM gr),
+       |pd AS (SELECT a.doc_id,
+       |    CASE WHEN a.cls = a.source THEN 1 ELSE 0 END AS ok,
+       |    a.score_nn - b.score_nn AS margin_nn
+       |  FROM sc2 a JOIN sc2 b ON b.doc_id = a.doc_id AND b.rn = 2
+       |  WHERE a.rn = 1),
+       |rk AS (SELECT ok, margin_nn,
+       |    row_number() OVER (ORDER BY margin_nn, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n_all FROM pd)
+       |SELECT (rnk - 1) * 10 // n_all + 1 AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ok) AS BIGINT) AS n_correct,
+       |  CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+       |  CAST(SUM(margin_nn) // COUNT(*) AS BIGINT) AS mean_margin_nn
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The shared q184/q190 oracle CTE chain, through the (doc, class,
+    * score) grid `gr` — mirrors [[nbGrid]]. */
+  private def nbGridCtes: String = {
     val h = PortableHash.h60Sql("text")
     s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
@@ -1167,7 +1335,12 @@ object Curation {
        |      AS score
        |  FROM (SELECT DISTINCT doc_id, source FROM d WHERE bk >= 90) td
        |  CROSS JOIN sp
-       |  LEFT JOIN tm ON tm.doc_id = td.doc_id AND tm.cls = sp.cls),
+       |  LEFT JOIN tm ON tm.doc_id = td.doc_id AND tm.cls = sp.cls)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[nbConfusion]]. */
+  val nbConfusionSql: String =
+    s"""$nbGridCtes,
        |pr AS (SELECT doc_id, source AS actual, cls AS predicted
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, cls) AS rn FROM gr)
@@ -1179,5 +1352,6 @@ object Curation {
        |    SUM(n_docs) OVER (PARTITION BY actual) AS BIGINT)
        |    AS share_ppm
        |FROM cm ORDER BY 1, 2""".stripMargin
-  }
+
 }
+
