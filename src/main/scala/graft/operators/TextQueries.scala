@@ -1902,12 +1902,27 @@ object TextQueries {
       .persist()
     val trainBg = bg.filter(col("is_train"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val ctx = trainBg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val vocab = docs.filter(bucket < 80)
       .select(explode(Text.tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val perDoc = bg
-      .join(trainBg, Seq("w1", "w2"), "left")
+    val out = pplBucketsFrom(trainBg, vocab,
+      bg.select(col("doc_id"), col("source"), col("w1"), col("w2")))
+    bg.unpersist(false)
+    out
+  }
+
+  /** q188 scoring + tercile report as a pure function of the MODEL —
+    * `cAb` (w1, w2, c_ab) bigram counts and `vocab` (single-row `v`,
+    * distinct train token types) — plus the bigram rows of the docs to
+    * score. The [[graft.streaming.PplModelStream]] twin maintains the
+    * counts incrementally (merge-by-sum) and calls this with identical
+    * semantics; context masses derive from `cAb` here so an
+    * incrementally-folded model scores exactly like a batch fit. */
+  private[graft] def pplBucketsFrom(cAb: DataFrame, vocab: DataFrame,
+                                    scoredBg: DataFrame): DataFrame = {
+    val ctx = cAb.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val perDoc = scoredBg
+      .join(cAb, Seq("w1", "w2"), "left")
       .join(broadcast(ctx), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("source"),
@@ -1936,7 +1951,7 @@ object TextQueries {
       .select(col("bucket"), col("source"), col("n_docs"),
         col("transitions"), expr("sx div n_docs").as("mean_xent_nn"))
       .orderBy(col("bucket"), col("source"))
-    Dedup.pinAndRelease(out, bg, perDoc)
+    Dedup.pinAndRelease(out, perDoc)
   }
 
   /** DuckDB oracle for [[pplBuckets]]. */

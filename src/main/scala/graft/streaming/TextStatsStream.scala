@@ -533,3 +533,94 @@ object NbModelStream {
       testDocs.select(col("doc_id"), col("source"),
         Text.tokens(col("text")).as("toks")))
 }
+
+/** Incremental q188 (`TextQueries.pplBuckets`): the CCNet-style bigram
+  * LM as streaming state — the perplexity-filter-refresh pattern (the
+  * model store grows with each crawled train batch; bucketing any corpus
+  * snapshot is a pure function of the store). State is exactly what the
+  * batch fit aggregates: `bc` (w1, w2, c_ab) bigram counts and `tv`
+  * (t, c_t) train token counts (V = row count; counts kept so the store
+  * merges BY SUM — any ingest order or batch split folds to the same
+  * model), plus the seen-doc set for re-delivery absorption. Context
+  * masses derive from `bc` inside
+  * [[graft.operators.TextQueries.pplBucketsFrom]], so scoring from
+  * streamed state equals the batch q188 report row-for-row once the
+  * same train docs have arrived — spec-pinned across uneven splits and
+  * a re-delivered batch. At 100 TB `bc` buckets by bigram key like the
+  * postings/NB stores. */
+object PplModelStream {
+  import TextStatsStream._
+  import graft.functions.PortableHash
+  import graft.operators.TextQueries
+
+  def emptyBc(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_ab",
+          org.apache.spark.sql.types.LongType))))
+
+  def emptyTv(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_t",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, source, text); only q47-train docs
+    * (h60(text)%100 < 80) update the model. Returns (bc', tv', seen'). */
+  def mergeBatch(bc: DataFrame, tv: DataFrame, seen: DataFrame,
+                 batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val train = fresh
+      .filter(PortableHash.h60(col("text")) % 100 < 80)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    val bcDelta = train.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_new"))
+    val bc2 = bc.join(bcDelta, Seq("w1", "w2"), "full_outer")
+      .select(col("w1"), col("w2"),
+        (coalesce(col("c_ab"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c_ab"))
+      .localCheckpoint(true)
+    // vocabulary counts over ALL train docs' tokens (the batch q188
+    // vocab has no >=2-token filter)
+    val tvDelta = train.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_new"))
+    val tv2 = tv.join(tvDelta, Seq("t"), "full_outer")
+      .select(col("t"),
+        (coalesce(col("c_t"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c_t"))
+      .localCheckpoint(true)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (bc2, tv2, seen2)
+  }
+
+  /** Bucket a (doc_id, source, text) corpus snapshot against the
+    * maintained model — the batch q188 report, from streamed state. */
+  def score(bc: DataFrame, tv: DataFrame, docs: DataFrame): DataFrame = {
+    val scoredBg = docs
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"))
+    TextQueries.pplBucketsFrom(bc.select(col("w1"), col("w2"), col("c_ab")),
+      tv.agg(count(lit(1)).as("v")), scoredBg)
+  }
+}
