@@ -233,6 +233,7 @@ object SparkEntry {
     "q189_cluster_chaining" -> ((s, d) => Dedup.clusterChaining(s, d)),
     "q190_nb_calibration"   -> ((s, d) =>
       graft.operators.Curation.nbMarginCalib(s, d)),
+    "q191_label_outliers"   -> ((s, d) => Similarity.labelOutliers(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2156,6 +2157,8 @@ object SparkEntry {
     "q188_ppl_buckets" -> TextQueries.pplBucketsSql,
     // q190: NB decision-margin calibration deciles over the q184 grid
     "q190_nb_calibration" -> graft.operators.Curation.nbMarginCalibSql,
+    // q191: per-label centroid-distance outliers (the review queue)
+    "q191_label_outliers" -> Similarity.labelOutliersSql(),
     // q189: transitive-chaining audit of the q48 clusters — exact
     // Jaccard over sampled within-cluster pairs, on the shared
     // minhash CTE basis (eh/cnt) plus the q48 recursive reach

@@ -857,6 +857,72 @@ object Similarity {
       |     sqrt(list_sum([x * x for x in ge]))), 6) AS drift_cos
       |FROM pl CROSS JOIN g ORDER BY label""".stripMargin
 
+  /** q191: per-label embedding outliers — each label's k LEAST-typical
+    * members by cosine to the label's own exact centroid (q169's
+    * decimal-sum construction), the centroid-distance face of the
+    * label-noise audit (q176 asks "do my neighbors agree with my
+    * label?"; this asks "am I even near my label's mass?" — the two
+    * disagree exactly on boundary clusters vs genuine mislabels). The
+    * emitted (label, vec_id, csim, rk) rows are the re-labeling /
+    * review queue a curation pipeline feeds its annotators.
+    *
+    * Determinism: centroids are per-dimension DECIMAL(27,7) exact sums
+    * (order-free) divided once; cosines are the shared round-6 protocol
+    * with vec_id tie-break.
+    *
+    * Scale: one posexplode aggregate to (label × 64) centroid cells
+    * (broadcast back), ONE corpus scan for scoring, and the per-label
+    * bottom-k is a WindowGroupLimit — k rows per partition survive
+    * map-side, the corpus never shuffles. */
+  def labelOutliers(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val perLabel = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("ce"))
+    val scored = emb.join(broadcast(perLabel), "label")
+      .select(col("label"), col("vec_id"),
+        round(dot(col("embedding"), col("ce")) /
+          (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("ce")))), 6)
+          .as("csim"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("csim").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("vec_id"), col("csim"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  /** DuckDB oracle for [[labelOutliers]]. */
+  def labelOutliersSql(k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |cells AS (SELECT label, i AS pos,
+       |    SUM(CAST(embedding[i] AS DECIMAL(27,7))) AS ssum,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2),
+       |pl AS (SELECT label,
+       |    list(CAST(ssum AS DOUBLE) / c ORDER BY pos) AS ce
+       |  FROM cells GROUP BY 1),
+       |sc AS (SELECT e.label, e.vec_id,
+       |    round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |        for z in list_zip(e.embedding, pl.ce)]) /
+       |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        for x in e.embedding])) *
+       |       sqrt(list_sum([x * x for x in pl.ce]))), 6) AS csim
+       |  FROM e JOIN pl USING (label))
+       |SELECT label, vec_id, csim, rk FROM (
+       |  SELECT label, vec_id, csim,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY csim, vec_id) AS rk
+       |  FROM sc) WHERE rk <= $k ORDER BY label, rk""".stripMargin
+
   /** q173: SEMANTIC decontamination — q56/q170's test-set-leakage check
     * in embedding space (the eval-similarity filter modern pretraining
     * pipelines run alongside the n-gram one): vectors split train/test
