@@ -234,6 +234,7 @@ object SparkEntry {
     "q190_nb_calibration"   -> ((s, d) =>
       graft.operators.Curation.nbMarginCalib(s, d)),
     "q191_label_outliers"   -> ((s, d) => Similarity.labelOutliers(s, d)),
+    "q192_dup_quality_lift" -> ((s, d) => Dedup.dupQualityLift(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2159,6 +2160,40 @@ object SparkEntry {
     "q190_nb_calibration" -> graft.operators.Curation.nbMarginCalibSql,
     // q191: per-label centroid-distance outliers (the review queue)
     "q191_label_outliers" -> Similarity.labelOutliersSql(),
+    // q192: dup×quality contingency — the q188 per-doc chain joined
+    // against the q48 recursive clustering's drop set, lift in ppm
+    "q192_dup_quality_lift" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |jp AS (SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+         |reach AS (
+         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+         |  UNION
+         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+         |drp AS (SELECT id FROM reach GROUP BY id HAVING MIN(label) <> id),
+         |${graft.operators.TextQueries.pplPerDocCtes},
+         |pb AS (SELECT doc_id, CASE WHEN rnk * 3 <= n_all THEN 'head'
+         |    WHEN rnk * 3 <= 2 * n_all THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM (SELECT doc_id, xent_nn,
+         |    row_number() OVER (ORDER BY xent_nn, doc_id) AS rnk,
+         |    COUNT(*) OVER () AS n_all FROM ppr)),
+         |dd AS (SELECT pb.bucket,
+         |    CASE WHEN drp.id IS NULL THEN 0 ELSE 1 END AS dup
+         |  FROM pb LEFT JOIN drp ON drp.id = pb.doc_id),
+         |ctg AS (SELECT bucket, CAST(dup AS BIGINT) AS dup,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1, 2),
+         |rt AS (SELECT bucket, CAST(SUM(n_docs) AS BIGINT) AS rn FROM ctg
+         |  GROUP BY 1),
+         |cl2 AS (SELECT dup, CAST(SUM(n_docs) AS BIGINT) AS cn FROM ctg
+         |  GROUP BY 1),
+         |tt2 AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM ctg)
+         |SELECT ctg.bucket, ctg.dup, ctg.n_docs,
+         |  CAST(((ctg.n_docs * 1000000 // rt.rn) * tt2.t) // cl2.cn
+         |    AS BIGINT) AS lift_ppm
+         |FROM ctg JOIN rt USING (bucket) JOIN cl2 USING (dup) CROSS JOIN tt2
+         |ORDER BY 1, 2""".stripMargin,
     // q189: transitive-chaining audit of the q48 clusters — exact
     // Jaccard over sampled within-cluster pairs, on the shared
     // minhash CTE basis (eh/cnt) plus the q48 recursive reach

@@ -1886,7 +1886,13 @@ object TextQueries {
     pplBucketsOf(Tables.load(s, dir, "documents"))
 
   /** Core of [[pplBuckets]] over any (doc_id, source, text) frame. */
-  def pplBucketsOf(docs: DataFrame): DataFrame = {
+  def pplBucketsOf(docs: DataFrame): DataFrame =
+    pplReport(pplDocBucketsOf(docs))
+
+  /** Per-doc tercile assignments (doc_id, source, n_trans, xent_nn,
+    * bucket) — the q188 pipeline up to (and including) the rank, pinned;
+    * q188 aggregates it, q192 joins it against the dedup clusters. */
+  private[graft] def pplDocBucketsOf(docs: DataFrame): DataFrame = {
     val bucket = PortableHash.h60(col("text")) % 100
     val bg = docs
       .select(col("doc_id"), col("source"), (bucket < 80).as("is_train"),
@@ -1905,7 +1911,7 @@ object TextQueries {
     val vocab = docs.filter(bucket < 80)
       .select(explode(Text.tokens(col("text"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val out = pplBucketsFrom(trainBg, vocab,
+    val out = pplDocBucketsFrom(trainBg, vocab,
       bg.select(col("doc_id"), col("source"), col("w1"), col("w2")))
     bg.unpersist(false)
     out
@@ -1919,7 +1925,21 @@ object TextQueries {
     * semantics; context masses derive from `cAb` here so an
     * incrementally-folded model scores exactly like a batch fit. */
   private[graft] def pplBucketsFrom(cAb: DataFrame, vocab: DataFrame,
-                                    scoredBg: DataFrame): DataFrame = {
+                                    scoredBg: DataFrame): DataFrame =
+    pplReport(pplDocBucketsFrom(cAb, vocab, scoredBg))
+
+  /** The q188 report off a per-doc bucket table (small, bucket×source). */
+  private def pplReport(perDocBuckets: DataFrame): DataFrame =
+    perDocBuckets
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_trans")).as("transitions"),
+        sum(col("xent_nn")).as("sx"))
+      .select(col("bucket"), col("source"), col("n_docs"),
+        col("transitions"), expr("sx div n_docs").as("mean_xent_nn"))
+      .orderBy(col("bucket"), col("source"))
+
+  private def pplDocBucketsFrom(cAb: DataFrame, vocab: DataFrame,
+                                scoredBg: DataFrame): DataFrame = {
     val ctx = cAb.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val perDoc = scoredBg
       .join(cAb, Seq("w1", "w2"), "left")
@@ -1941,55 +1961,55 @@ object TextQueries {
       Ranks.globalRowNumber(perDoc, Seq.empty, Seq("xent_nn", "doc_id"))
     val nAll = perDoc.agg(count(lit(1)).as("n_all"))
     val out = ranked.crossJoin(broadcast(nAll))
-      .select(col("source"), col("n_trans"), col("xent_nn"),
+      .select(col("doc_id"), col("source"), col("n_trans"), col("xent_nn"),
         expr("CASE WHEN rnk * 3 <= n_all THEN 'head'" +
           " WHEN rnk * 3 <= 2 * n_all THEN 'middle' ELSE 'tail' END")
           .as("bucket"))
-      .groupBy(col("bucket"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_trans")).as("transitions"),
-        sum(col("xent_nn")).as("sx"))
-      .select(col("bucket"), col("source"), col("n_docs"),
-        col("transitions"), expr("sx div n_docs").as("mean_xent_nn"))
-      .orderBy(col("bucket"), col("source"))
     Dedup.pinAndRelease(out, perDoc)
   }
 
-  /** DuckDB oracle for [[pplBuckets]]. */
-  val pplBucketsSql: String = {
+  /** The q188 per-doc CTE chain (through `pr` = per-doc xent) — shared by
+    * the q188 oracle and the q192 dup×quality contingency oracle. No
+    * leading WITH; CTE names are disjoint from SparkEntry's minhash set. */
+  private[graft] val pplPerDocCtes: String = {
     val h = PortableHash.h60Sql("text")
-    s"""WITH d AS (SELECT doc_id, source, ($h) % 100 AS bk,
+    s"""pdoc AS (SELECT doc_id, source, ($h) % 100 AS bk,
        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
        |      if len(t) > 0] AS t
        |  FROM documents),
-       |bg AS (SELECT doc_id, source, bk < 80 AS is_train,
+       |pbg AS (SELECT doc_id, source, bk < 80 AS is_train,
        |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-       |  FROM d WHERE len(t) >= 2),
-       |tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+       |  FROM pdoc WHERE len(t) >= 2),
+       |ptb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pbg
        |  WHERE is_train GROUP BY 1, 2),
-       |cx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM tb
+       |pcx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM ptb
        |  GROUP BY 1),
-       |vb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-       |  FROM (SELECT unnest(t) AS tok FROM d WHERE bk < 80)),
-       |sc AS (SELECT bg.doc_id, bg.source,
-       |    CAST(round(ln(CAST(COALESCE(cx.c_a, 0) + v AS DOUBLE) /
-       |      CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)) * 1000000000)
+       |pvb AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM pdoc WHERE bk < 80)),
+       |psc AS (SELECT pbg.doc_id, pbg.source,
+       |    CAST(round(ln(CAST(COALESCE(pcx.c_a, 0) + v AS DOUBLE) /
+       |      CAST(COALESCE(ptb.c_ab, 0) + 1 AS DOUBLE)) * 1000000000)
        |      AS BIGINT) AS t_nn
-       |  FROM bg LEFT JOIN tb ON tb.w1 = bg.w1 AND tb.w2 = bg.w2
-       |  LEFT JOIN cx ON cx.w1 = bg.w1 CROSS JOIN vb),
-       |pd AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_trans,
-       |    CAST(SUM(t_nn) AS BIGINT) AS st_nn FROM sc GROUP BY 1, 2),
-       |pr AS (SELECT doc_id, source, n_trans, st_nn // n_trans AS xent_nn
-       |  FROM pd),
+       |  FROM pbg LEFT JOIN ptb ON ptb.w1 = pbg.w1 AND ptb.w2 = pbg.w2
+       |  LEFT JOIN pcx ON pcx.w1 = pbg.w1 CROSS JOIN pvb),
+       |ppd AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_trans,
+       |    CAST(SUM(t_nn) AS BIGINT) AS st_nn FROM psc GROUP BY 1, 2),
+       |ppr AS (SELECT doc_id, source, n_trans, st_nn // n_trans AS xent_nn
+       |  FROM ppd)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pplBuckets]]. */
+  val pplBucketsSql: String =
+    s"""WITH $pplPerDocCtes,
        |rk AS (SELECT source, n_trans, xent_nn,
        |    row_number() OVER (ORDER BY xent_nn, doc_id) AS rnk,
-       |    COUNT(*) OVER () AS n_all FROM pr)
+       |    COUNT(*) OVER () AS n_all FROM ppr)
        |SELECT CASE WHEN rnk * 3 <= n_all THEN 'head'
        |    WHEN rnk * 3 <= 2 * n_all THEN 'middle' ELSE 'tail' END AS bucket,
        |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_trans) AS BIGINT) AS transitions,
        |  CAST(SUM(xent_nn) // COUNT(*) AS BIGINT) AS mean_xent_nn
        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
 
   /** DuckDB oracle for [[heldoutBigramXent]]. */
   val heldoutBigramXentSql: String = {
