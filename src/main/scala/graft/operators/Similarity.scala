@@ -879,10 +879,23 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         col("label").cast("long").as("label"))
+    // Centroid protocol for RAW per-vector cosines (stricter than
+    // lloydStep's, whose consumers aggregate or argmax): components are
+    // quantized to INTEGER 1e-7 units and summed as BIGINT. A float→
+    // DECIMAL cast is NOT engine-portable at full output granularity —
+    // Spark rounds the shortest decimal string of the value, DuckDB the
+    // binary value, so per-dim sums drift ~1e-7 and a round-6 cosine can
+    // flip (bit at sf0.1). Integer quantization has no such boundary:
+    // round(x·1e7) can only tie at exactly-representable halves, where
+    // both engines round away from zero; the sum, the int→double
+    // conversion, and the two divisions below are then bit-identical.
     val perLabel = emb.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
-        count(lit(1))).as("m"))
+      .agg(sum(round(col("col").cast("double") * 1e7).cast("long"))
+        .as("ssum"), count(lit(1)).as("c"))
+      .select(col("label"), col("pos"),
+        (col("ssum").cast("double") / lit(1e7) / col("c"))
+          .cast("float").as("m"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("ce"))
@@ -904,18 +917,21 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
        |  FROM embeddings),
        |cells AS (SELECT label, i AS pos,
-       |    SUM(CAST(embedding[i] AS DECIMAL(27,7))) AS ssum,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000)
+       |      AS BIGINT)) AS ssum,
        |    CAST(COUNT(*) AS BIGINT) AS c
        |  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2),
        |pl AS (SELECT label,
-       |    list(CAST(ssum AS DOUBLE) / c ORDER BY pos) AS ce
+       |    list(CAST(CAST(ssum AS DOUBLE) / 10000000.0 / c AS FLOAT)
+       |      ORDER BY pos) AS ce
        |  FROM cells GROUP BY 1),
        |sc AS (SELECT e.label, e.vec_id,
        |    round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
        |        for z in list_zip(e.embedding, pl.ce)]) /
        |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |        for x in e.embedding])) *
-       |       sqrt(list_sum([x * x for x in pl.ce]))), 6) AS csim
+       |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        for x in pl.ce]))), 6) AS csim
        |  FROM e JOIN pl USING (label))
        |SELECT label, vec_id, csim, rk FROM (
        |  SELECT label, vec_id, csim,
