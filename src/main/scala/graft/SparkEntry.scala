@@ -235,6 +235,10 @@ object SparkEntry {
       graft.operators.Curation.nbMarginCalib(s, d)),
     "q191_label_outliers"   -> ((s, d) => Similarity.labelOutliers(s, d)),
     "q192_dup_quality_lift" -> ((s, d) => Dedup.dupQualityLift(s, d)),
+    "q193_ctx_sweep"        -> ((s, d) =>
+      graft.operators.Layout.ctxLenSweep(s, d)),
+    "q194_decontam_kappa"   -> ((s, d) =>
+      graft.operators.Curation.decontamAgreement(s, d)),
   )
 
   // ---- generated oracle fragments --------------------------------------
@@ -2156,6 +2160,11 @@ object SparkEntry {
       graft.operators.Layout.packContaminationSql(),
     // q188: CCNet head/middle/tail perplexity buckets off the q183 LM
     "q188_ppl_buckets" -> TextQueries.pplBucketsSql,
+    // q193: q187's contamination audit swept over candidate ctxLens
+    "q193_ctx_sweep" -> graft.operators.Layout.ctxLenSweepSql(),
+    // q194: q56 vs q170 flag agreement, q166's integer-kappa convention
+    "q194_decontam_kappa" ->
+      graft.operators.Curation.decontamAgreementSql,
     // q190: NB decision-margin calibration deciles over the q184 grid
     "q190_nb_calibration" -> graft.operators.Curation.nbMarginCalibSql,
     // q191: per-label centroid-distance outliers (the review queue)

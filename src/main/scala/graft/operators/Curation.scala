@@ -1142,6 +1142,113 @@ object Curation {
       .orderBy(col("actual"), col("predicted"))
   }
 
+  /** q194: decontamination-method agreement — do the exact-13-gram rule
+    * (q56) and the winnow-fingerprint rule (q170) flag the SAME
+    * documents? Per split (train/val): the 2×2 flag contingency (both /
+    * gram-only / winnow-only / neither over all probed docs) and Cohen's
+    * κ in integer ppm (the q166 convention, same guards). The number a
+    * curation team reads before running both scrubs at 100 TB: κ→1
+    * means winnow is redundant with exact grams on this corpus, low κ
+    * with a populated winnow-only cell is q170's robustness-to-rewording
+    * claim made measurable. (The semantic leg q173 keys its split on
+    * vec_id, not the text hash, so it is deliberately NOT in this
+    * matrix — its flag set lives in a different id space.)
+    *
+    * Scale: both flag legs are the operators' own broadcast-probe
+    * shapes; the matrix is a 2-row aggregate over (doc_id, 2 bits). */
+  def decontamAgreement(s: SparkSession, dir: String): DataFrame = {
+    val probed = bucketedText(s, dir).filter(col("bucket") < 90)
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train").otherwise("val").as("split"))
+    val gramF = decontaminate(s, dir)
+      .select(col("doc_id"), lit(1L).as("ga"))
+    val winnF = winnowDecontaminate(s, dir)
+      .select(col("doc_id"), lit(1L).as("wa"))
+    val flags = probed
+      .join(gramF, Seq("doc_id"), "left")
+      .join(winnF, Seq("doc_id"), "left")
+      .select(col("split"), (coalesce(col("ga"), lit(0L)) === 1L).as("a"),
+        (coalesce(col("wa"), lit(0L)) === 1L).as("b"))
+    flags.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("a") && col("b")).cast("long")).as("n11"),
+        sum((col("a") && !col("b")).cast("long")).as("n10"),
+        sum((!col("a") && col("b")).cast("long")).as("n01"),
+        sum((!col("a") && !col("b")).cast("long")).as("n00"))
+      .select(col("split"), col("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        expr("CASE WHEN n_docs = 0 THEN 0 " +
+          "WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00) THEN " +
+          "  CASE WHEN n11 + n00 = n_docs THEN 1000000 ELSE 0 END " +
+          "ELSE (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00))) * 1000000 div " +
+          "(n_docs * n_docs - ((n11 + n10) * (n11 + n01) " +
+          "+ (n01 + n00) * (n10 + n00))) END").as("kappa_ppm"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB oracle for [[decontamAgreement]] — the q56 and q170 oracle
+    * chains sharing one tokenization, flag sets joined onto the probed
+    * population, κ per the q166 integer convention. */
+  val decontamAgreementSql: String = {
+    val h = PortableHash.h60Sql("text")
+    val g13 = PortableHash.h60Sql("shingle")
+    val wg = PortableHash.h60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+    s"""WITH toks AS (SELECT doc_id,
+       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+       |      if len(t) > 0] AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, ($h) % 100 AS bucket FROM documents),
+       |gsh AS (SELECT DISTINCT doc_id, $g13 AS gh FROM (
+       |  SELECT doc_id,
+       |    unnest([list_aggregate(t[i:i+12], 'string_agg', ' ')
+       |      for i in generate_series(1, len(t) - 12)]) AS shingle
+       |  FROM toks WHERE len(t) >= 13)),
+       |gb AS (SELECT gsh.doc_id, b.bucket, gsh.gh FROM gsh
+       |  JOIN b USING (doc_id)),
+       |tg AS (SELECT DISTINCT gh FROM gb WHERE bucket >= 90),
+       |gramf AS (SELECT DISTINCT doc_id FROM gb
+       |  WHERE bucket < 90 AND gh IN (SELECT gh FROM tg)),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS pos,
+       |    unnest([$wg
+       |      for i in generate_series(1, len(t) - 2)]) AS h
+       |  FROM toks WHERE len(t) >= 3),
+       |m AS (SELECT doc_id, pos,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM g),
+       |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos + 3 <= n),
+       |f2 AS (SELECT fp.doc_id, fp.fp, b.bucket FROM fp
+       |  JOIN b ON b.doc_id = fp.doc_id),
+       |tst AS (SELECT DISTINCT fp FROM f2 WHERE bucket >= 90),
+       |winf AS (SELECT doc_id FROM f2 WHERE bucket < 90 GROUP BY doc_id
+       |  HAVING SUM(CASE WHEN fp IN (SELECT fp FROM tst) THEN 1 ELSE 0 END)
+       |    >= 2),
+       |pr AS (SELECT b.doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train' ELSE 'val' END AS split,
+       |    (b.doc_id IN (SELECT doc_id FROM gramf)) AS a,
+       |    (b.doc_id IN (SELECT doc_id FROM winf)) AS bb
+       |  FROM b WHERE bucket < 90),
+       |c AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT a AND bb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM pr GROUP BY 1)
+       |SELECT split, n_docs, n11, n10, n01, n00,
+       |  CASE WHEN n_docs = 0 THEN 0
+       |    WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01)
+       |      + (n01 + n00) * (n10 + n00) THEN
+       |      CASE WHEN n11 + n00 = n_docs THEN 1000000 ELSE 0 END
+       |    ELSE (n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+       |    + (n01 + n00) * (n10 + n00))) * 1000000 //
+       |    (n_docs * n_docs - ((n11 + n10) * (n11 + n01)
+       |    + (n01 + n00) * (n10 + n00))) END AS kappa_ppm
+       |FROM c ORDER BY split""".stripMargin
+  }
+
   /** q190: NB margin-calibration audit — is the classifier's CONFIDENCE
     * meaningful, not just its argmax? The q184 model's per-doc decision
     * margin (top-1 minus top-2 class log-score, integer nano-nats — the

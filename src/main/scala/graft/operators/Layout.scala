@@ -240,6 +240,93 @@ object Layout {
       .orderBy(col("docs_per_window"))
   }
 
+  /** q193: context-length decision sweep — q187's contamination audit
+    * parameterized over candidate window sizes, plus the padding the
+    * packer pays at each: per ctxLen, window count, token mass, share of
+    * CLEAN (single-doc) windows in ppm, mean cross-doc contamination
+    * ppm, and pad_ppm (only the final window is partial under dense
+    * packing, so padding = n·L − tokens). Larger windows amortize
+    * padding but fragment more documents across boundaries — this table
+    * IS the tradeoff, one row per candidate, read before a training run
+    * commits to a ctxLen. Integer-exact throughout (q187 arithmetic).
+    *
+    * Scale: ONE range-partitioned running-sum pass (pinned) is shared by
+    * every candidate; each ctxLen then costs one sequence-explode and
+    * one window-keyed partial-agg shuffle of longs — the report is
+    * |ctxLens| single-row aggregates unioned. */
+  def ctxLenSweep(s: SparkSession, dir: String,
+                  ctxLens: Seq[Long] =
+                    Seq(512L, 1024L, 2048L, 4096L)): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val offs = Ranks.globalRunningSum(docs, Seq.empty, Seq("doc_id"),
+      "n_tokens")
+      .select(col("n_tokens"), (col("cum") - col("n_tokens")).as("off"))
+      .localCheckpoint(true) // one offsets pass feeds every candidate
+    ctxLens.map { ctxLen =>
+      val segs = offs
+        .select(explode(sequence(expr(s"off div $ctxLen"),
+          expr(s"(off + n_tokens - 1) div $ctxLen"))).as("win"),
+          col("off"), col("n_tokens"))
+        .select(col("win"),
+          (least(col("off") + col("n_tokens"), (col("win") + 1) * ctxLen) -
+            greatest(col("off"), col("win") * ctxLen)).as("l"))
+      segs.groupBy(col("win"))
+        .agg(count(lit(1)).as("m"), sum(col("l")).as("t"),
+          sum(col("l") * col("l")).as("sl2"))
+        .select(col("m"), col("t"),
+          expr("CASE WHEN t <= 1 THEN 0" +
+            " ELSE (t * t - sl2) * 1000000 div (t * (t - 1)) END")
+            .as("contam_ppm"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("m") === 1, 1L).otherwise(0L)).as("clean"),
+          sum(col("t")).as("tokens"), sum(col("contam_ppm")).as("s_ppm"))
+        .select(lit(ctxLen).as("ctx_len"), col("n_windows"), col("tokens"),
+          expr("clean * 1000000 div n_windows").as("clean_ppm"),
+          expr("s_ppm div n_windows").as("mean_contam_ppm"),
+          expr(s"(n_windows * $ctxLen - tokens) * 1000000" +
+            s" div (n_windows * $ctxLen)").as("pad_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("ctx_len"))
+  }
+
+  /** DuckDB oracle for [[ctxLenSweep]] — the q187 chain per candidate,
+    * UNION ALL'd. */
+  def ctxLenSweepSql(ctxLens: Seq[Long] =
+                       Seq(512L, 1024L, 2048L, 4096L)): String = {
+    def leg(ctxLen: Long): String =
+      s"""SELECT $ctxLen AS ctx_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(t) AS BIGINT) AS tokens,
+         |  CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS clean_ppm,
+         |  CAST(SUM(contam_ppm) // COUNT(*) AS BIGINT) AS mean_contam_ppm,
+         |  CAST((COUNT(*) * $ctxLen - SUM(t)) * 1000000
+         |    // (COUNT(*) * $ctxLen) AS BIGINT) AS pad_ppm
+         |FROM (SELECT win, m, t, CASE WHEN t <= 1 THEN 0
+         |    ELSE (t * t - sl2) * 1000000 // (t * (t - 1)) END AS contam_ppm
+         |  FROM (SELECT win, CAST(COUNT(*) AS BIGINT) AS m,
+         |      CAST(SUM(l) AS BIGINT) AS t,
+         |      CAST(SUM(l * l) AS BIGINT) AS sl2
+         |    FROM (SELECT unnest(generate_series(off // $ctxLen,
+         |          (off + n_tokens - 1) // $ctxLen)) AS win, off, n_tokens
+         |        FROM c) sg,
+         |      LATERAL (SELECT LEAST(off + n_tokens, (win + 1) * $ctxLen) -
+         |        GREATEST(off, win * $ctxLen) AS l) lx
+         |    GROUP BY win))""".stripMargin
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len([x for x in string_split_regex(lower(text),
+       |      '[^a-z0-9]+') if len(x) > 0]) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+       |  FROM d WHERE n_tokens > 0)
+       |${ctxLens.map(leg).mkString("\nUNION ALL\n")}
+       |ORDER BY ctx_len""".stripMargin
+  }
+
   /** DuckDB oracle for [[packContamination]]. */
   def packContaminationSql(ctxLen: Long = 2048L): String =
     s"""WITH d AS (SELECT doc_id,

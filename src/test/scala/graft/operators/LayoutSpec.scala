@@ -68,6 +68,31 @@ class LayoutSpec extends SparkSpec {
     if (multi.length >= 2) assert(multi.last > multi.head)
   }
 
+  test("q193 ctx sweep: mass conserved per candidate, tradeoff monotone") {
+    val rows = Layout.ctxLenSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq(512L, 1024L, 2048L, 4096L))
+    val tok = rows.map(_._3).distinct
+    assert(tok.length === 1, "token mass must not depend on ctxLen")
+    rows.foreach { case (l, nw, t, clean, contam, pad) =>
+      // dense packing: every window full except possibly the last
+      assert(nw === (t + l - 1) / l, s"ctx $l window count")
+      assert(clean >= 0 && clean <= 1000000)
+      assert(contam >= 0 && contam < 1000000)
+      // only the last window can be partial: pad share <= one window's
+      // worth of the total, i.e. <= 1e6/n_windows (+1 integer slack)
+      assert(pad >= 0 && pad <= 1000000L / nw + 1, s"ctx $l pad bound")
+    }
+    // the tradeoff: bigger windows fragment more docs (contamination up,
+    // clean share down) but pad less in total share
+    val byL = rows.sortBy(_._1)
+    byL.map(_._5).sliding(2).foreach { case Array(a, b) => assert(a <= b)
+      case _ => () }
+    byL.map(_._4).sliding(2).foreach { case Array(a, b) => assert(a >= b)
+      case _ => () }
+  }
+
   test("q163 batching: length order never wastes more than arrival order") {
     val rows = Layout.lengthBatchingWaste(spark, sf).collect()
       .map(r => r.getString(0) ->
