@@ -228,17 +228,24 @@ object Layout {
     val wins = segs.groupBy(col("win"))
       .agg(count(lit(1)).as("m"), sum(col("l")).as("t"),
         sum(col("l") * col("l")).as("sl2"))
-      .select(col("win"), col("m"), col("t"),
+    contamReport(wins)
+  }
+
+  /** The q187 report off a (win, m, t, sl2) window table — shared by the
+    * batch query and the [[graft.streaming.PackContamStream]] twin,
+    * whose state IS this table merged by sum per micro-batch. */
+  private[graft] def contamReport(winTable: DataFrame): DataFrame =
+    winTable
+      .select(col("m"), col("t"),
         expr("CASE WHEN t <= 1 THEN 0" +
           " ELSE (t * t - sl2) * 1000000 div (t * (t - 1)) END")
           .as("contam_ppm"))
-    wins.groupBy(col("m").as("docs_per_window"))
+      .groupBy(col("m").as("docs_per_window"))
       .agg(count(lit(1)).as("n_windows"), sum(col("t")).as("tokens"),
         sum(col("contam_ppm")).as("s_ppm"))
       .select(col("docs_per_window"), col("n_windows"), col("tokens"),
         expr("s_ppm div n_windows").as("mean_contam_ppm"))
       .orderBy(col("docs_per_window"))
-  }
 
   /** q193: context-length decision sweep — q187's contamination audit
     * parameterized over candidate window sizes, plus the padding the

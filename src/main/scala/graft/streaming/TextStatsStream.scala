@@ -624,3 +624,78 @@ object PplModelStream {
       tv.agg(count(lit(1)).as("v")), scoredBg)
   }
 }
+
+/** Incremental q187 (`Layout.packContamination`): the packed-window
+  * contamination table as streaming state — the layout family's twin.
+  * Packing is ARRIVAL-ORDER by construction in a stream (a packer
+  * appends each batch's documents at the current global token offset),
+  * so state is: the (win, m, t, sl2) window table (merged BY SUM — a
+  * window split across batches accumulates its segments exactly, since
+  * each doc contributes its segment rows once), the scalar next-offset,
+  * and the seen-doc set for re-delivery absorption. When batches arrive
+  * in doc_id order the packing coincides with batch q187's and
+  * `report()` equals it row-for-row (spec-pinned, incl. a re-delivered
+  * batch and a window straddling a batch boundary); out-of-order
+  * delivery is still a VALID packing — just a different one, as for any
+  * real packer. At 100 TB the window table buckets by window id and
+  * only the current tail window is ever touched by more than one
+  * batch's delta. */
+object PackContamStream {
+  import TextStatsStream._
+  import graft.operators.{Layout, Ranks}
+
+  def emptyWins(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("win",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sl2",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Fold one micro-batch of (doc_id, source, text) at the current
+    * token offset. Returns (wins', nextOff', seen'). */
+  def mergeBatch(wins: DataFrame, nextOff: Long, seen: DataFrame,
+                 batch: DataFrame,
+                 ctxLen: Long = 2048L): (DataFrame, Long, DataFrame) = {
+    val fresh = newDocs(seen, batch)
+    val docs = fresh
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(true)
+    val segs = Ranks.globalRunningSum(docs, Seq.empty, Seq("doc_id"),
+      "n_tokens")
+      .select(col("n_tokens"),
+        (col("cum") - col("n_tokens") + lit(nextOff)).as("off"))
+      .select(explode(sequence(expr(s"off div $ctxLen"),
+        expr(s"(off + n_tokens - 1) div $ctxLen"))).as("win"),
+        col("off"), col("n_tokens"))
+      .select(col("win"),
+        (least(col("off") + col("n_tokens"), (col("win") + 1) * ctxLen) -
+          greatest(col("off"), col("win") * ctxLen)).as("l"))
+    val delta = segs.groupBy(col("win"))
+      .agg(count(lit(1)).as("m_new"), sum(col("l")).as("t_new"),
+        sum(col("l") * col("l")).as("sl2_new"))
+    val wins2 = wins.join(delta, Seq("win"), "full_outer")
+      .select(col("win"),
+        (coalesce(col("m"), lit(0L)) + coalesce(col("m_new"), lit(0L)))
+          .as("m"),
+        (coalesce(col("t"), lit(0L)) + coalesce(col("t_new"), lit(0L)))
+          .as("t"),
+        (coalesce(col("sl2"), lit(0L)) + coalesce(col("sl2_new"), lit(0L)))
+          .as("sl2"))
+      .localCheckpoint(true)
+    val total = docs.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    val seen2 = seen.unionByName(fresh.select(col("doc_id")))
+      .localCheckpoint(true)
+    (wins2, nextOff + total, seen2)
+  }
+
+  /** The q187 report off maintained state — identical columns/order. */
+  def report(wins: DataFrame): DataFrame = Layout.contamReport(wins)
+}
