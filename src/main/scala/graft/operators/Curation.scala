@@ -963,7 +963,11 @@ object Curation {
       .join(w, Seq("doc_id"), "left")
       .withColumn("w", coalesce(col("w"),
         lit(BigDecimal(0)).cast("decimal(38,9)")))
-      .withColumn("ord", lit(0).cast("decimal(38,9)") - col("w"))
+      // UnaryMinus preserves DECIMAL(38,9); `lit(0) - w` would promote to
+      // precision 39 and round the 9th decimal away (the q190 trap) —
+      // near-boundary weights differing at 1e-9 would then tie here but
+      // not in the DuckDB oracle, flipping the selected set.
+      .withColumn("ord", (-col("w")).as("ord"))
     val budget = pool.agg(expr(s"count(1) div $selDiv").as("budget"))
     val ranked = Ranks.globalRowNumber(pool, Nil, Seq("ord", "doc_id"))
       .crossJoin(broadcast(budget))
@@ -1129,8 +1133,10 @@ object Curation {
     val grid = nbGrid(tc, cd, testDocs)
     val pred = grid
       .groupBy(col("doc_id"), col("source"))
-      .agg(min(struct((lit(0).cast("decimal(38,9)") - col("score"))
-        .as("neg"), col("cls"))).as("best"))
+      // unary minus keeps DECIMAL(38,9) (subtraction from lit(0) would
+      // reduce to scale 8, letting near-tied class scores tie in Spark
+      // but not in the full-scale DuckDB oracle)
+      .agg(min(struct((-col("score")).as("neg"), col("cls"))).as("best"))
       .select(col("doc_id"), col("source").as("actual"),
         col("best.cls").as("predicted"))
     pred.groupBy(col("actual"), col("predicted"))

@@ -120,13 +120,23 @@ object Kafka {
         .filter(_.getName.startsWith("v="))
         .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         .map(_.getName.stripPrefix("v=").toLong).sorted
-    versions.map(v => s.read.parquet(s"$brokerDir/v=$v")
-        .withColumn("batch_id", lit(v)))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(s.createDataFrame(
+    // ONE multi-path scan with basePath, not a per-version union (ADVICE
+    // r10): with N committed micro-batches a union chain made the plan
+    // O(N) nodes and the driver list the dir N more times; here `v` and
+    // `topic` come back as partition columns of a single relation, so the
+    // plan stays O(1) and partition pruning on batch_id works for free.
+    // The _SUCCESS visibility rule is unchanged — only committed segment
+    // roots are passed to the reader.
+    if (versions.isEmpty)
+      s.createDataFrame(
         s.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("value", StringType),
           StructField("topic", StringType),
-          StructField("batch_id", LongType)))))
+          StructField("batch_id", LongType))))
+    else
+      s.read.option("basePath", brokerDir)
+        .parquet(versions.map(v => s"$brokerDir/v=$v"): _*)
+        .withColumn("batch_id", col("v").cast("long"))
+        .drop("v")
   }
 }
