@@ -84,4 +84,75 @@ object VersionedState {
     }
     true
   }
+
+  // ---- multi-frame state ------------------------------------------------
+  // The heavier twins keep SEVERAL keyed frames per version (IndexStream:
+  // state + indexed; EffectiveSizeStream: hashes + bands + labels).
+  // Per-subframe parquet `_SUCCESS` markers cannot make the trio atomic —
+  // a crash between subframe writes would leave a version with some
+  // frames new and some missing — so a version commits via ONE `_COMMIT`
+  // marker written only after every subframe's parquet job committed.
+  // Everything else (replay skip, half-written version invisible and
+  // overwritten, prune keeps the direct parent) is the single-frame
+  // protocol verbatim.
+
+  private val CommitMarker = "_COMMIT"
+
+  /** Highest version whose `_COMMIT` marker exists. */
+  def latestVersionMulti(s: SparkSession, path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = fs(s, path)
+    if (!f.exists(root)) return None
+    val versions = f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .map(_.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** The latest committed multi-frame state, or `empty` if none. Frame
+    * names must match the keys `applyBatchMulti` was given. */
+  def readMulti(s: SparkSession, path: String, names: Seq[String],
+                empty: => Map[String, DataFrame]): Map[String, DataFrame] =
+    latestVersionMulti(s, path) match {
+      case Some(v) =>
+        names.map(n => n -> s.read.parquet(s"$path/v=$v/$n")).toMap
+      case None => empty
+    }
+
+  /** Multi-frame [[applyBatch]]: merge runs at most once per batchId; all
+    * result frames commit atomically under `path/v=batchId` behind one
+    * `_COMMIT` marker. Returns true when the merge ran. */
+  def applyBatchMulti(s: SparkSession, path: String, batchId: Long,
+                      batch: DataFrame, empty: => Map[String, DataFrame],
+                      merge: (Map[String, DataFrame], DataFrame)
+                        => Map[String, DataFrame]): Boolean = {
+    val latest = latestVersionMulti(s, path)
+    if (latest.exists(_ >= batchId)) return false
+    val prior = latest match {
+      case Some(v) =>
+        empty.keys.map(n => n -> s.read.parquet(s"$path/v=$v/$n")).toMap
+      case None => empty
+    }
+    val next = merge(prior, batch)
+    // pin every result before writing below the same root (read-modify-
+    // write), then write all subframes, then the single commit marker
+    val pinned = next.map { case (n, df) => n -> df.localCheckpoint(true) }
+    pinned.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$path/v=$batchId/$n")
+    }
+    val f = fs(s, path)
+    f.create(new org.apache.hadoop.fs.Path(s"$path/v=$batchId", CommitMarker),
+      true).close()
+    latestVersionMulti(s, path).foreach { cur =>
+      val keep = Set(cur) ++ latest
+      f.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("v="))
+        .filter(p => !keep.contains(p.getName.stripPrefix("v=").toLong))
+        .foreach(p => f.delete(p, true))
+    }
+    true
+  }
 }
