@@ -264,7 +264,10 @@ object SparkEntry {
     * exact verification), not the quadratic twin: a banding miss on some
     * future corpus changes both sides identically instead of failing the
     * gate spuriously. */
-  private def minhashPairCtes: String = {
+  /** CTEs through `cand` (LSH band-bucket candidate pairs) — the
+    * candidate-generation prefix of [[minhashPairCtes]], reused alone by
+    * the q140 audit's minhash leg (candidates ∩ truth). */
+  private def minhashCandCtes: String = {
     import graft.functions.PortableHash
     val k = 64; val bands = 16; val r = k / bands
     val slots = (0 until k)
@@ -283,11 +286,14 @@ object SparkEntry {
        |bands AS (SELECT doc_id, unnest(generate_series(0, ${bands - 1})) AS band_id,
        |  unnest([$bandList]) AS band_hash FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
-       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashPairCtes: String =
+    s"""$minhashCandCtes,
        |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
        |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   /** CTEs through `f` (per-doc curation flags: pq/kept/clean), building on
     * [[minhashPairCtes]] — mirrors Curation.curationFlags. Shared by the
@@ -362,13 +368,23 @@ object SparkEntry {
         s" < ${sample.toLong << 55}"
     def sampled(sql: String): String =
       if (sample >= 32) sql else sql.replace("FROM documents", "FROM sdocs")
+    // minhash mirrors the Spark side's audit protocol: CANDIDATES ∩
+    // truth (verification is lossless and hash-gated by q17's own full
+    // pipeline; grading against the STRING-jaccard truth keeps both
+    // engines free of any hash-collision dependence). ppjoin's oracle is
+    // already the brute-force truth at t=0.5, which equals candidates ∩
+    // truth by PPJoin's losslessness — unchanged.
+    val minhashCandBody =
+      s"""WITH $minhashCandCtes
+         |SELECT id_a, id_b FROM cand
+         |INTERSECT SELECT id_a, id_b FROM ex""".stripMargin
     val methods = Seq(
-      "fuzzy_heads" -> "q101_fuzzy_dups",
-      "minhash_lsh" -> "q17_minhash_pairs",
-      "ppjoin_t05" -> "q131_ppjoin",
-      "simhash" -> "q19_simhash_pairs")
+      "fuzzy_heads" -> sampled(base("q101_fuzzy_dups")),
+      "minhash_lsh" -> sampled(minhashCandBody),
+      "ppjoin_t05" -> sampled(base("q131_ppjoin")),
+      "simhash" -> sampled(base("q19_simhash_pairs")))
     val ctes = methods
-      .map { case (nm, k) => s"m_$nm AS MATERIALIZED (\n${sampled(base(k))}\n)" }
+      .map { case (nm, body) => s"m_$nm AS MATERIALIZED (\n$body\n)" }
       .mkString(",\n")
     val rows = methods.map { case (nm, _) =>
       s"""SELECT '$nm' AS method,
