@@ -78,7 +78,7 @@ object CountMin {
       // released NOW instead of leaking for the session (the dupClusters
       // discipline — every audit run otherwise parks one executor-storage
       // table per invocation)
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     toks.unpersist(false)
     out
   }

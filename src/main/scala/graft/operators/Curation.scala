@@ -45,7 +45,7 @@ object Curation {
     perSession.computeIfAbsent(dir, _ =>
       docFeaturesOf(Tables.load(s, dir, "documents"),
         passthrough = Seq("lang", "source", "n_chars"))
-        .localCheckpoint(true))
+        .transform(PinExplain.pin))
   }
 
   /** The feature computation itself, over ANY (doc_id, text, …) frame —
@@ -323,7 +323,7 @@ object Curation {
     // one row per language — checkpointed so the audit below doesn't
     // rescan the corpus
     val counts = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_g")).localCheckpoint(true)
+      .agg(count(lit(1)).as("n_g")).transform(PinExplain.pin)
     // conservative threshold ≥ 2^60·sk/n_g, computed without overflowing
     // a Long (2^60·sk would): h60 is uniform on [0, 2^60)
     val thresholds = counts.select(col("lang"), expr(
@@ -332,7 +332,7 @@ object Curation {
     val survivors = docs.join(broadcast(thresholds), "lang")
       .filter(col("h") < col("thresh"))
       .select(col("doc_id"), col("lang"), col("h"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val sampled = rank(survivors)
     // quota audit: every stratum must deliver min(k, n_g) rows; a short
     // stratum means the prefilter bit — rerank exactly (rare path, only
@@ -540,7 +540,7 @@ object Curation {
       .select(col("lang"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
         (PortableHash.h60(col("text")) % 1000000L).as("hmod"))
-      .localCheckpoint(true) // feeds the totals AND the realization pass
+      .transform(PinExplain.pin) // feeds the totals AND the realization pass
     val totals = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
@@ -860,7 +860,7 @@ object Curation {
       .select(col("source"),
         md5(array_join(Text.tokens(col("text")), " ")).as("fp"))
       .distinct()
-      .localCheckpoint(true) // feeds the counts AND both join sides
+      .transform(PinExplain.pin) // feeds the counts AND both join sides
     val counts = sfp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
     val shared = sfp.as("a")
       .join(sfp.as("b"),

@@ -142,10 +142,10 @@ object Graph {
   def pagerankFrom(e: DataFrame, iters: Int): DataFrame = {
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val deg = edges.groupBy(col("p1")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("p1", "pk")
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     var mass = deg.select(col("pk"), lit(1000000000000L).as("mass"))
     (1 to iters).foreach { _ =>
       val inflow = edges
@@ -157,7 +157,7 @@ object Graph {
         .join(inflow, Seq("pk"), "left")
         .select(col("pk"),
           expr("150000000000 + (85 * coalesce(inf, 0)) div 100").as("mass"))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
     }
     mass.orderBy(col("pk"))
   }
@@ -180,10 +180,10 @@ object Graph {
     val e = pairFrame(s, dir).select(col("p1"), col("p2"))
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val deg = edges.groupBy(col("p1")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("p1", "pk")
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val seed = deg.agg(min(col("pk")).as("spk"))
     var mass = deg.crossJoin(broadcast(seed))
       .select(col("pk"),
@@ -201,7 +201,7 @@ object Graph {
         .select(col("pk"),
           (when(col("pk") === col("spk"), 150000000000L).otherwise(0L) +
             expr("(85 * coalesce(inf, 0)) div 100")).as("mass"))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
     }
     mass.orderBy(col("pk"))
   }
@@ -304,10 +304,10 @@ object Graph {
   def componentsFrom(e: DataFrame): DataFrame = {
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     var labels = edges.select(col("p1").as("pk")).distinct()
       .select(col("pk"), col("pk").as("lbl"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -318,7 +318,7 @@ object Graph {
       val next = labels.join(nbrMin, Seq("pk"), "left")
         .select(col("pk"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("pk"), col("lbl"))
     }
@@ -357,20 +357,20 @@ object Graph {
       ed.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
     var edges = sym(e.select(col("p1").as("u"), col("p2").as("v")))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
       val large = sym(edges.join(nbrMin(edges), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
       val mSmall = nbrMin(large)
       val small = sym(large.join(mSmall, "u")
         .filter(col("v") < col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mSmall.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
       // fixed point: the undirected edge set stopped moving
       changed = small.unionByName(edges).groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("c")).filter(col("c") === 1).count()
@@ -433,12 +433,12 @@ object Graph {
   def bfsFrom(e: DataFrame): DataFrame = {
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val nodes = edges.select(col("p1").as("pk")).distinct()
     var dist = nodes
       .crossJoin(broadcast(nodes.agg(min(col("pk")).as("src"))))
       .select(col("pk"), when(col("pk") === col("src"), 0L).as("dist"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     var d = 0L
     var frontierSize = 1L
     while (frontierSize > 0 && d < 64) {
@@ -449,7 +449,7 @@ object Graph {
       val next = dist
         .join(reached.withColumn("nd", lit(d + 1L)), Seq("pk"), "left")
         .select(col("pk"), coalesce(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint(true)
+        .transform(PinExplain.pin)
       d += 1
       frontierSize = next.filter(col("dist") === d).count()
       dist = next

@@ -140,7 +140,7 @@ object Layout {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      .localCheckpoint(true) // feeds both rank passes
+      .transform(PinExplain.pin) // feeds both rank passes
     def wasteOf(ordered: DataFrame, strategy: String): DataFrame =
       ordered
         .withColumn("batch_id", expr(s"(rnk - 1) div $batchSize"))
@@ -271,7 +271,7 @@ object Layout {
     val offs = Ranks.globalRunningSum(docs, Seq.empty, Seq("doc_id"),
       "n_tokens")
       .select(col("n_tokens"), (col("cum") - col("n_tokens")).as("off"))
-      .localCheckpoint(true) // one offsets pass feeds every candidate
+      .transform(PinExplain.pin) // one offsets pass feeds every candidate
     ctxLens.map { ctxLen =>
       val segs = offs
         .select(explode(sequence(expr(s"off div $ctxLen"),

@@ -65,7 +65,7 @@ object Ranks {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(false)
+      .transform(PinExplain.pinLazy)
     val gcols = groupCols.map(col)
     // one row per (partition, group): how many group-rows the partition
     // holds and where its id block starts — metadata scale
@@ -105,7 +105,7 @@ object Ranks {
     val ranged = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .transform(PinExplain.pinLazy)
     val gcols = groupCols.map(col)
     val perPart = ranged.groupBy(col("__pid") +: gcols: _*)
       .agg(sum(col(valueCol)).as("__s"))

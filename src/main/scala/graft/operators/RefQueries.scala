@@ -278,7 +278,7 @@ object RefQueries {
     // stream; the sharedClusters pattern)
     val activity = events(s, dir)
       .select(col("user_id"), day(tsSec).as("dy"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(PinExplain.pin)
     val firsts = activity.groupBy(col("user_id")).agg(min(col("dy")).as("cohort_day"))
     val sizes = firsts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
     activity.join(firsts, "user_id")
@@ -340,7 +340,7 @@ object RefQueries {
     growthAccountingFrom(events(s, dir)
       .select(col("user_id"),
         timestamp_seconds(tsSec).cast("date").as("d"))
-      .distinct().localCheckpoint(true))
+      .distinct().transform(PinExplain.pin))
 
   /** Correlated-subquery surface (Catalyst decorrelation showcase): parts
     * priced above 1.05× their brand's average (the corpus's prices are
@@ -688,7 +688,7 @@ object RefQueries {
   def cohortConversion(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val firsts = e
       .groupBy(col("user_id"))
       .agg(min(date_format(timestamp_seconds(expr("us div 1000000")),
@@ -857,7 +857,7 @@ object RefQueries {
     val agg = graft.functions.KmvQuantile.columnAgg(k)
     val e = events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val firsts = e.groupBy(col("user_id"))
       .agg(min(date_format(timestamp_seconds(expr("us div 1000000")),
         "yyyy-MM-dd")).as("cohort_day"))

@@ -87,7 +87,7 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       for (_ <- 1 to lloydRounds)
         cents = lloydStep(assignCells(s, emb, cents))
-      cents.localCheckpoint(true) // metadata-sized: nCells × 64 floats
+      cents.transform(PinExplain.pin) // metadata-sized: nCells × 64 floats
     }
 
   /** The corpus's final nearest-centroid assignment under
@@ -468,7 +468,7 @@ object Similarity {
       // lazy persist, not eager checkpoint: a single-consumer caller
       // (q128 standalone) must not pay an extra materialization job just
       // to fill the cache a second consumer may never read
-      (books.localCheckpoint(true), codes.persist())
+      (books.transform(PinExplain.pin), codes.persist())
     }
 
   /** Query→codebook ADC lookup tables in exact integer micro-units. */
@@ -727,7 +727,7 @@ object Similarity {
                 sample: Int = 8): DataFrame = {
     val exact = bruteForceTopK(s, dir, sample = sample)
       .select(col("qid"), col("nid"))
-      .localCheckpoint(true)
+      .transform(PinExplain.pin)
     val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
     val methods: Seq[(String, DataFrame)] = Seq(
       "int8" -> quantizedTopK(s, dir, sample = sample),
@@ -766,8 +766,8 @@ object Similarity {
              k: Int = 10): DataFrame = {
     val exact = bruteForceTopK(s, dir, sample = sample)
       .select(col("qid"), col("nid"))
-      .localCheckpoint(true)
-    val qs = exact.select(col("qid")).distinct().localCheckpoint(true)
+      .transform(PinExplain.pin)
+    val qs = exact.select(col("qid")).distinct().transform(PinExplain.pin)
     val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
     val methods: Seq[(String, DataFrame)] = Seq(
       "int8" -> quantizedTopK(s, dir, sample = sample),
@@ -814,7 +814,7 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col").cast("decimal(27,7)")).as("ssum"),
         count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds per-label AND global centroids
+      .transform(PinExplain.pin) // feeds per-label AND global centroids
     val perLabel = cells
       .select(col("label"), col("pos"),
         (col("ssum").cast("double") / col("c")).as("m"), col("c"))

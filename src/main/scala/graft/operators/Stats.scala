@@ -566,7 +566,7 @@ object Stats {
     val d = cum.crossJoin(broadcast(n))
       .select(col("v"), col("n1"), col("n2"),
         abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dabs"))
-      .localCheckpoint(false) // consumed by the max aggregate AND the
+      .transform(PinExplain.pinLazy) // consumed by the max aggregate AND the
                               // argmax join-back (multi-consumer pin)
     val dmax = d.agg(max(col("dabs")).as("d_scaled"))
     d.join(broadcast(dmax), col("dabs") === col("d_scaled"))

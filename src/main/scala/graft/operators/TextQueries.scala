@@ -535,7 +535,7 @@ object TextQueries {
     val words = wordFreq
       .select(concat(regexp_replace(col("word"), "(.)", "|$1|"), lit("|_|"))
         .as("seq"), col("freq"))
-    var cur = words.localCheckpoint(true)
+    var cur = words.transform(PinExplain.pin)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, String)]
     (1 to rounds).foreach { r =>
@@ -555,7 +555,7 @@ object TextQueries {
       val prev = cur
       cur = cur.select(
         expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')").as("seq"),
-        col("freq")).localCheckpoint(true)
+        col("freq")).transform(PinExplain.pin)
       prev.unpersist()
     }
     import s.implicits._
@@ -827,7 +827,7 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars")).localCheckpoint(true)
+        col("n_chars")).transform(PinExplain.pin)
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"),
@@ -1007,7 +1007,7 @@ object TextQueries {
       .select(explode(Text.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true) // feeds the learning loop AND the encode pass
+      .transform(PinExplain.pin) // feeds the learning loop AND the encode pass
     val merges = bpeMergesFrom(wf, rounds).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val start = wf.select(col("word"), col("freq"),
@@ -1246,7 +1246,7 @@ object TextQueries {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
-      .localCheckpoint(true) // feeds grams AND the final join-back
+      .transform(PinExplain.pin) // feeds grams AND the final join-back
     val grams = docs
       .select(col("doc_id"),
         posexplode(Text.shinglesPositional(col("toks"), 3)))
@@ -1355,7 +1355,7 @@ object TextQueries {
       .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true) // feeds the en learn slice AND the encode
+      .transform(PinExplain.pin) // feeds the en learn slice AND the encode
     val enWf = allWf.filter(col("lang") === "en")
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
     val merges = bpeMergesFrom(enWf, rounds).collect()
@@ -1456,7 +1456,7 @@ object TextQueries {
     .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     .select(col("doc_id"), col("toks"),
       size(col("toks")).cast("long").as("n_tokens"))
-    .localCheckpoint(true) // feeds grams AND the final join-back
+    .transform(PinExplain.pin) // feeds grams AND the final join-back
 
   /** Corpus-repeated positional L-grams (the q172/q174 mining table —
     * per-doc-distinct doc frequency ≥ minDf). The streaming twin derives
