@@ -83,7 +83,12 @@ object Bench {
     // under-measuring expression-heavy queries (VERDICT r3 #3).
     def timeQuery(mk: () => DataFrame): Double = {
       val times = (1 to runs).map { _ =>
-        scrubState()
+        // GC-on-leak BETWEEN runs too, not just between queries: a query
+        // that pins intermediates (q140 leaks 6 per run) otherwise carries
+        // run-1's dead blocks and their shuffle files into runs 2-3 —
+        // ContextCleaner only reaps after a collection notices the RDDs
+        // are unreachable. The GC sits before t0, so it is never measured.
+        if (scrubState() > 0) System.gc()
         val t0 = System.nanoTime()
         val ok = try {
           mk().write.format("noop").mode("overwrite").save(); true
