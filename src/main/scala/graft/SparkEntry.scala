@@ -732,13 +732,20 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_embed_dups" -> {
-      // mirrors embeddingDupPairsLsh: 60-bit hyperplane bucket -> 15 bands
-      // of 4 bits -> any-band candidates -> exact cosine verify
+      // mirrors embeddingDupPairsLsh: 60-bit hyperplane bucket -> ADAPTIVE
+      // bands (bpb = smallest multiple of 4 with 2^bpb * 128 >= count(*),
+      // bands = 60 div bpb; N <= 2000 reproduces the original 15x4
+      // geometry) -> any-band candidates -> exact cosine verify
       val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 60)
-      val bandList = (0 until 15).map(b => s"(bucket >> ${b * 4}) & 15").mkString(", ")
       s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
-         |bnd AS (SELECT vec_id, unnest(generate_series(0, 14)) AS band_id,
-         |  unnest([$bandList]) AS band_sig FROM e),
+         |p AS (SELECT COALESCE(MIN(r), 20) AS bpb
+         |  FROM (SELECT unnest([4, 8, 12, 16, 20]) AS r),
+         |       (SELECT COUNT(*) AS n FROM e)
+         |  WHERE (1::BIGINT << r) * 128 >= n),
+         |bnd AS (SELECT vec_id, band_id,
+         |    (bucket >> (band_id * bpb)) & ((1::BIGINT << bpb) - 1) AS band_sig
+         |  FROM e, p, (SELECT unnest(generate_series(0, 14)) AS band_id)
+         |  WHERE band_id < 60 // bpb),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id
          |    AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
