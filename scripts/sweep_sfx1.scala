@@ -9,18 +9,35 @@
 //
 // INTERLEAVED since the r11 close: the two dirs are timed back-to-back
 // PER QUERY, so a query's x1 ratio compares medians taken under the
-// same accumulated-JVM state. The earlier pass-per-dir layout (which
-// produced scripts/bench_sfx1_r11full.json) ran all sf0.1 rows before
-// any sfx1 row, so late/heavy sfx1 rows carried extra suite-tail state
-// and the flagged q131@x1 ratio read ~2x its standalone value.
+// same accumulated-JVM state.
+//
+// RECYCLED since r12 (VERDICT r11 #3): interleaving alone still carried
+// suite-tail state into late/heavy rows (q131@x1 read 11.8x in-table vs
+// 5.9x standalone and needed adjudication prose). Bench's fix applies
+// verbatim: rebuild the SparkSession every 8 queries (= 16 timed dirs,
+// Bench's recycle-every-16), dropping every shuffle file, broadcast and
+// block-manager dir at once; Janino's codegen cache is JVM-global so
+// warmup survives. After each recycle ONE untimed query runs at the
+// smallest SF so the first timed row never pays session bring-up
+// (VERDICT r11 #6's boundary-warmup tax, observed on q01/q121/q194).
+//
+// Failure policy (ADVICE r11): a failed run must FLAG the row, never
+// bias it — timeOne mirrors Bench.timeQuery: any failed run makes the
+// row -max(|t|); otherwise the median of the three successes. (The old
+// -1.0 sentinel sorted FIRST, so one failure silently returned the MIN
+// of the two good runs.)
 import java.io.PrintWriter
 val names = graft.SparkEntry.queries.keys.toSeq.sorted
-def scrub(): Unit = { graft.operators.Dedup.clearClusterCache(); graft.operators.Curation.clearFeatureCache(); graft.operators.Similarity.clearIndexCache(); spark.sqlContext.clearCache(); val leaked = spark.sparkContext.getPersistentRDDs; leaked.values.foreach(_.unpersist(false)); if (leaked.nonEmpty) System.gc() }
-def timeOne(n: String, dir: String): Double = { val fn = graft.SparkEntry.queries(n); val times = (1 to 3).map { _ => scrub(); val t0 = System.nanoTime(); try { fn(spark, dir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 } }; scrub(); val m = times.sorted.apply(1); println(f"SWEEP $dir $n $m%.2f"); m }
-// warm codegen once at the smallest SF
-names.foreach { n => try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() } catch { case _: Throwable => () } }
-scrub()
-val both = names.map { n => (n, timeOne(n, "/root/testdata/sf0.1"), timeOne(n, "/tmp/sfx1")) }
+var sess: org.apache.spark.sql.SparkSession = spark
+def build(): org.apache.spark.sql.SparkSession = { val s = org.apache.spark.sql.SparkSession.builder().master("local[32]").config("spark.sql.extensions", "graft.plans.GraftExtensions").config("spark.sql.shuffle.partitions", "32").config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").config("spark.sql.legacy.parquet.nanosAsLong", "true").config("spark.sql.adaptive.enabled", "true").getOrCreate(); s.sparkContext.setLogLevel("WARN"); s }
+def scrub(): Unit = { graft.operators.Dedup.clearClusterCache(); graft.operators.Curation.clearFeatureCache(); graft.operators.Similarity.clearIndexCache(); sess.sqlContext.clearCache(); val leaked = sess.sparkContext.getPersistentRDDs; leaked.values.foreach(_.unpersist(false)); if (leaked.nonEmpty) System.gc() }
+def warmOne(): Unit = { try { graft.SparkEntry.queries("q01_pricing_summary")(sess, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() } catch { case _: Throwable => () }; scrub() }
+def recycle(): Unit = { scrub(); sess.stop(); System.gc(); sess = build(); warmOne() }
+def timeOne(n: String, dir: String): Double = { val fn = graft.SparkEntry.queries(n); val times = (1 to 3).map { _ => scrub(); val t0 = System.nanoTime(); val ok = try { fn(sess, dir).write.format("noop").mode("overwrite").save(); true } catch { case _: Throwable => false }; val secs = (System.nanoTime() - t0) / 1e9; if (ok) secs else -secs }; scrub(); val m = if (times.exists(_ < 0)) -times.map(math.abs).max else times.sorted.apply(1); println(f"SWEEP $dir $n $m%.2f"); m }
+// warm codegen once at the smallest SF (Janino cache survives recycles)
+names.foreach { n => try { graft.SparkEntry.queries(n)(sess, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() } catch { case _: Throwable => () } }
+recycle()
+val both = names.grouped(8).toSeq.flatMap { grp => val rows = grp.map { n => (n, timeOne(n, "/root/testdata/sf0.1"), timeOne(n, "/tmp/sfx1")) }; recycle(); rows }
 val t01 = both.map { case (n, a, _) => n -> a }.toMap
 val tx1 = both.map { case (n, _, b) => n -> b }.toMap
 def j(m: Map[String, Double]): String = m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -57,26 +57,47 @@ final class Serve(spark: SparkSession, warehouseDir: String) {
 
   def uncache(): Unit = registered.foreach(spark.catalog.uncacheTable)
 
-  /** `/api/sugar/gmv?date=yyyyMMdd` — the mapper SQL verbatim (modulo
-    * ClickHouse's toYYYYMMDD spelling). Null-sum (no rows for the date)
-    * serves 0, matching the controller's JSON contract of always carrying
-    * a number. */
+  /** yyyyMMdd int → the 'yyyy-MM-dd' string writeDws stores as the `dt`
+    * partition value (dt = substring(stt, 1, 10)). Filtering on `dt`
+    * directly is what lets Spark prune the uncached scan to one day's
+    * files — the date_format(stt, ...) predicate alone is a row filter on
+    * a data column and cannot reach partition pruning. */
+  private def dtOf(date: Int): String =
+    f"${date / 10000}%04d-${date / 100 % 100}%02d-${date % 100}%02d"
+
+  /** `"dt = '…' AND "` when the view carries writeDws's partition column;
+    * empty for a DWS table written some other way (the stt predicate
+    * alone still answers correctly — it just scans every file). */
+  private def dtClause(table: String, date: Int): String =
+    if (spark.table(table).columns.contains("dt"))
+      s"dt = '${dtOf(date)}' AND " else ""
+
+  /** `/api/sugar/gmv?date=yyyyMMdd` — the mapper SQL (modulo ClickHouse's
+    * toYYYYMMDD spelling), plus a `dt = 'yyyy-MM-dd'` conjunct on the
+    * partition column so the uncached path prunes to one day's files; the
+    * mapper's own stt predicate is kept verbatim (dt derives from stt, so
+    * the conjunct never changes the row set). Null-sum (no rows for the
+    * date) serves 0, matching the controller's JSON contract of always
+    * carrying a number. */
   def gmv(date: Int): java.math.BigDecimal = {
     val r = spark.sql(
       s"""SELECT CAST(coalesce(sum(order_amount), 0.0) AS DECIMAL(38,6)) AS gmv
          |FROM dws_product_stats
-         |WHERE CAST(date_format(stt, 'yyyyMMdd') AS INT) = $date""".stripMargin)
+         |WHERE ${dtClause("dws_product_stats", date)}
+         |  CAST(date_format(stt, 'yyyyMMdd') AS INT) = $date""".stripMargin)
       .head()
     r.getDecimal(0)
   }
 
   /** Top search keywords for a day — the dashboard's keyword panel over
-    * KeywordStatsApp's output (stt, keyword, ct, source). */
+    * KeywordStatsApp's output (stt, keyword, ct, source). Same
+    * partition-pruning `dt` conjunct as [[gmv]]. */
   def keywordTop(date: Int, limit: Int = 10): DataFrame =
     spark.sql(
       s"""SELECT keyword, CAST(sum(ct) AS BIGINT) AS ct
          |FROM dws_keyword_stats
-         |WHERE CAST(date_format(stt, 'yyyyMMdd') AS INT) = $date
+         |WHERE ${dtClause("dws_keyword_stats", date)}
+         |  CAST(date_format(stt, 'yyyyMMdd') AS INT) = $date
          |GROUP BY keyword ORDER BY ct DESC, keyword LIMIT $limit""".stripMargin)
 
   /** Arbitrary ANSI SQL over the registered DWS views — the escape hatch

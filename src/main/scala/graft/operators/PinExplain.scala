@@ -41,4 +41,25 @@ object PinExplain {
     record(df)
     df.localCheckpoint(false)
   }
+
+  /** Genuinely release a frame regardless of HOW it is held.
+    * `Dataset.unpersist` only evicts CacheManager entries (`.persist()`);
+    * a [[pin]]ned frame is an RDD-level localCheckpoint persist OUTSIDE
+    * the CacheManager, so unpersist is a no-op on it (measured r10) and
+    * the blocks sit in executor storage until GC + ContextCleaner — the
+    * leak class Bench's scrub counts as `leaked_rdds`. A pinned frame's
+    * analyzed plan is exactly the `LogicalRDD` leaf the checkpoint left
+    * behind (public accessor), so unpersist that RDD directly. Only the
+    * ROOT is matched — a derived frame whose plan merely CONTAINS someone
+    * else's pinned input must not release it out from under other
+    * consumers. Call only once every consumer of the frame is done: a
+    * checkpointed RDD has no lineage left to recompute from. */
+  def release(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    df.unpersist(false)
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false): Unit
+      case _ => ()
+    }
+  }
 }

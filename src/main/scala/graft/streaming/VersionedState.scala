@@ -124,16 +124,23 @@ object VersionedState {
 
   /** Multi-frame [[applyBatch]]: merge runs at most once per batchId; all
     * result frames commit atomically under `path/v=batchId` behind one
-    * `_COMMIT` marker. Returns true when the merge ran. */
+    * `_COMMIT` marker. Returns true when the merge ran.
+    *
+    * `names` is the SAME explicit list [[readMulti]] takes — deriving the
+    * prior read's frame set from `empty.keys` instead silently mismatched
+    * a caller whose two lists diverged, and forced the by-name `empty`
+    * map (which constructs empty DataFrames) to evaluate even when a
+    * committed prior version made it dead (ADVICE r11). */
   def applyBatchMulti(s: SparkSession, path: String, batchId: Long,
-                      batch: DataFrame, empty: => Map[String, DataFrame],
+                      batch: DataFrame, names: Seq[String],
+                      empty: => Map[String, DataFrame],
                       merge: (Map[String, DataFrame], DataFrame)
                         => Map[String, DataFrame]): Boolean = {
     val latest = latestVersionMulti(s, path)
     if (latest.exists(_ >= batchId)) return false
     val prior = latest match {
       case Some(v) =>
-        empty.keys.map(n => n -> s.read.parquet(s"$path/v=$v/$n")).toMap
+        names.map(n => n -> s.read.parquet(s"$path/v=$v/$n")).toMap
       case None => empty
     }
     val next = merge(prior, batch)

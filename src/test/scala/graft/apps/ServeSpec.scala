@@ -13,13 +13,16 @@ class ServeSpec extends SparkSpec {
   private def writeWarehouse(): String = {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-serve").toString
-    Seq(
-      ("2021-02-27 10:00:00", 101L, 120.50, 3L),
-      ("2021-02-27 10:00:10", 102L, 79.50, 1L),
-      ("2021-02-28 09:00:00", 101L, 42.00, 2L))
-      .toDF("stt", "sku_id", "order_amount", "click_ct")
-      .withColumn("stt", col("stt").cast("timestamp"))
-      .write.parquet(s"$dir/dws_product_stats")
+    // the production layout: writeDws adds the dt partition column, the
+    // one Serve's date lookups prune on
+    graft.sinks.Warehouse.writeDws(
+      Seq(
+        ("2021-02-27 10:00:00", 101L, 120.50, 3L),
+        ("2021-02-27 10:00:10", 102L, 79.50, 1L),
+        ("2021-02-28 09:00:00", 101L, 42.00, 2L))
+        .toDF("stt", "sku_id", "order_amount", "click_ct")
+        .withColumn("stt", col("stt").cast("timestamp")),
+      s"$dir/dws_product_stats")
     Seq(
       ("2021-02-27 10:00:00", "phone", 5L, "SEARCH"),
       ("2021-02-27 10:00:10", "phone", 2L, "SEARCH"),
@@ -27,8 +30,26 @@ class ServeSpec extends SparkSpec {
       ("2021-02-28 11:00:00", "tv", 9L, "SEARCH"))
       .toDF("stt", "keyword", "ct", "source")
       .withColumn("stt", col("stt").cast("timestamp"))
+      // plain parquet, NO dt column: exercises Serve's fallback for DWS
+      // tables written outside writeDws (stt row-filter only)
       .write.parquet(s"$dir/dws_keyword_stats")
     dir
+  }
+
+  test("gmv's uncached scan prunes to the dt partition (ADVICE r11)") {
+    val serve = Serve(spark, writeWarehouse())
+    // the exact predicate shape gmv issues for a writeDws table: the dt
+    // conjunct must reach the scan's PartitionFilters, not ride as a
+    // post-scan row filter
+    val plan = serve.sql(
+      """SELECT sum(order_amount) FROM dws_product_stats
+        |WHERE dt = '2021-02-27'
+        |  AND CAST(date_format(stt, 'yyyyMMdd') AS INT) = 20210227"""
+        .stripMargin).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("dt"), plan)
+    assert(pf.contains("2021-02-27"), plan)
   }
 
   test("registers only present DWS tables; gmv matches the mapper SQL") {

@@ -106,7 +106,7 @@ class RestartRecoverySpec extends SparkSpec {
       def start() = input.toDF().toDF("doc_id", "text")
         .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          VersionedState.applyBatchMulti(s, statePath, id, b, empty,
+          VersionedState.applyBatchMulti(s, statePath, id, b, names, empty,
             (st: Map[String, DataFrame], batch: DataFrame) => {
               val r = IndexStream.mergeBatch(st("state"), st("indexed"), batch)
               Map("state" -> r._1, "indexed" -> r._2)
@@ -152,7 +152,7 @@ class RestartRecoverySpec extends SparkSpec {
       def start() = input.toDF().toDF("doc_id", "text")
         .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          VersionedState.applyBatchMulti(s, statePath, id, b, empty,
+          VersionedState.applyBatchMulti(s, statePath, id, b, names, empty,
             (st: Map[String, DataFrame], batch: DataFrame) => {
               val r = EffectiveSizeStream.mergeBatch(
                 st("hashes"), st("bands"), st("labels"), batch)
