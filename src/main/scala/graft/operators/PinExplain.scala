@@ -54,12 +54,26 @@ object PinExplain {
     * else's pinned input must not release it out from under other
     * consumers. Call only once every consumer of the frame is done: a
     * checkpointed RDD has no lineage left to recompute from. */
-  def release(dfs: DataFrame*): Unit = dfs.foreach { df =>
-    df.unpersist(false)
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(false): Unit
-      case _ => ()
+  // unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
+  // been truncated and cannot be recomputed") from the RDD's class
+  // logger — benign under release()'s no-remaining-consumer contract,
+  // and at one line per released pin it would bury the bench/verify
+  // stdout the driver tail-captures. Silence exactly that logger.
+  private lazy val silenceUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  def release(dfs: DataFrame*): Unit = {
+    silenceUnpersistWarn
+    dfs.foreach { df =>
+      df.unpersist(false)
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false): Unit
+        case _ => ()
+      }
     }
   }
 }
