@@ -21,7 +21,12 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; synthetic dirs (gen_sfx1)
+        # are Spark-written table.parquet/part-*.parquet directories
+        src = (f"{sf_dir}/{t}.parquet/*.parquet"
+               if os.path.isdir(f"{sf_dir}/{t}.parquet")
+               else f"{sf_dir}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_rowsonly = 0
     produced = {os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")}
