@@ -11,14 +11,18 @@
 // PER QUERY, so a query's x1 ratio compares medians taken under the
 // same accumulated-JVM state.
 //
-// RECYCLED since r12 (VERDICT r11 #3): interleaving alone still carried
-// suite-tail state into late/heavy rows (q131@x1 read 11.8x in-table vs
-// 5.9x standalone and needed adjudication prose). Bench's fix applies
-// verbatim: rebuild the SparkSession every 8 queries (= 16 timed dirs,
-// Bench's recycle-every-16), dropping every shuffle file, broadcast and
-// block-manager dir at once; Janino's codegen cache is JVM-global so
-// warmup survives. After each recycle ONE untimed query runs at the
-// smallest SF so the first timed row never pays session bring-up
+// RECYCLED PER QUERY since r12 (VERDICT r11 #3): interleaving alone
+// still carried suite-tail state into late/heavy rows (q131@x1 read
+// 11.8x in-table vs 5.9x standalone and needed adjudication prose), and
+// a recycle-every-8 draft still let heavy group NEIGHBORS pollute (q131
+// sharing a group with q129/q130 read 90.7 s at sfx1 vs 30.7 s
+// same-session standalone). The sweep now rebuilds the SparkSession
+// after EVERY query — each query's 6 timed runs see only their own
+// session state, which is the DEFINITION of the standalone protocol, so
+// the x1 column needs no adjudication at all. Costs ~3-4 s per query
+// (~12 min on the full board); Janino's codegen cache is JVM-global so
+// warmup survives recycles. After each recycle ONE untimed query runs at
+// the smallest SF so the first timed row never pays session bring-up
 // (VERDICT r11 #6's boundary-warmup tax, observed on q01/q121/q194).
 //
 // Failure policy (ADVICE r11): a failed run must FLAG the row, never
@@ -37,7 +41,7 @@ def timeOne(n: String, dir: String): Double = { val fn = graft.SparkEntry.querie
 // warm codegen once at the smallest SF (Janino cache survives recycles)
 names.foreach { n => try { graft.SparkEntry.queries(n)(sess, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() } catch { case _: Throwable => () } }
 recycle()
-val both = names.grouped(8).toSeq.flatMap { grp => val rows = grp.map { n => (n, timeOne(n, "/root/testdata/sf0.1"), timeOne(n, "/tmp/sfx1")) }; recycle(); rows }
+val both = names.map { n => val row = (n, timeOne(n, "/root/testdata/sf0.1"), timeOne(n, "/tmp/sfx1")); recycle(); row }
 val t01 = both.map { case (n, a, _) => n -> a }.toMap
 val tx1 = both.map { case (n, _, b) => n -> b }.toMap
 def j(m: Map[String, Double]): String = m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
