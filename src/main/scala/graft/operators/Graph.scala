@@ -35,7 +35,21 @@ object Graph {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
 
-  /** Support-thresholded co-purchase pairs: p1 < p2, ordered. */
+  /** Support-thresholded co-purchase pairs: p1 < p2, ordered.
+    *
+    * SHAPE IS A MEASURED CHOICE. The tempting one-exchange rewrite —
+    * `groupBy(ok).agg(sort_array(collect_set(pk)))` then per-basket pair
+    * explosion (baskets are ≤ ~7 parts, so the blowup is bounded) — was
+    * prototyped, proven frame-identical, and REJECTED at the fourth
+    * decade: par at sf0.1 (1.7-2.8 s vs 1.6-3.7 s) but 4-10x SLOWER at
+    * sfx1 (19-58 s vs 4.6-6.2 s, three interleaved runs). Mechanism:
+    * collect_set is an object aggregate, and past
+    * `objectHashAggregate.sortBased.fallbackThreshold` (128 keys/task)
+    * the 1.5M-order group-by falls back to sort-based aggregation with
+    * per-row object buffers — the exchange it saves is far cheaper than
+    * the object churn it buys. The self-join below instead plans as one
+    * REUSED exchange (both sides are the same subplan) + SMJ + partial
+    * hash-agg, all codegen'd primitives. */
   private[operators] def pairFrame(s: SparkSession, dir: String,
                                    minSupport: Long = 2L): DataFrame = {
     val dl = incidence(s, dir)
@@ -134,7 +148,13 @@ object Graph {
     *
     * Scale: each round shuffles the edge list once (join on the source
     * key, aggregate on the destination key); the undirected edge set is
-    * materialized both ways ONCE up front. */
+    * materialized both ways ONCE up front. Keeping `deg` as its own
+    * two-column frame (rather than fused into the mass frame as
+    * (pk, deg, mass)) is a MEASURED choice, not an oversight: the fused
+    * variant reads one fewer join per round on paper but timed SLOWER at
+    * both measured scales (sf0.1 3.68→3.84 s, sfx1 11.2→16.7 s,
+    * median-of-3 A/B in one session) — the wider node frame leaves the
+    * cheap-join regime while two narrow frames stay in it. */
   def pagerank(s: SparkSession, dir: String, iters: Int = 5): DataFrame =
     pagerankFrom(pairFrame(s, dir).select(col("p1"), col("p2")), iters)
 
@@ -153,12 +173,22 @@ object Graph {
         .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
         .select(col("p2").as("pk"), expr("mass div deg").as("c"))
         .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
-      mass = deg.select(col("pk"))
+      val next = deg.select(col("pk"))
         .join(inflow, Seq("pk"), "left")
         .select(col("pk"),
           expr("150000000000 + (85 * coalesce(inf, 0)) div 100").as("mass"))
         .transform(PinExplain.pin)
+      // the previous round's pinned mass has no consumer once `next` is
+      // materialized (pin is eager) — release it NOW instead of parking
+      // iters-many node-scale blocks until the post-run scrub (round 1's
+      // mass is a projection over deg, where release() is a no-op by its
+      // root-match contract)
+      PinExplain.release(mass)
+      mass = next
     }
+    // the result is the final pinned mass alone — the edge list and the
+    // degree frame are loop-only state
+    PinExplain.release(edges, deg)
     mass.orderBy(col("pk"))
   }
 
@@ -195,14 +225,19 @@ object Graph {
         .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
         .select(col("p2").as("pk"), expr("mass div deg").as("c"))
         .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
-      mass = deg.select(col("pk"))
+      val next = deg.select(col("pk"))
         .crossJoin(broadcast(seed))
         .join(inflow, Seq("pk"), "left")
         .select(col("pk"),
           (when(col("pk") === col("spk"), 150000000000L).otherwise(0L) +
             expr("(85 * coalesce(inf, 0)) div 100")).as("mass"))
         .transform(PinExplain.pin)
+      // staged release, the q112 discipline: the prior round's pin is
+      // dead once `next` materializes
+      PinExplain.release(mass)
+      mass = next
     }
+    PinExplain.release(edges, deg)
     mass.orderBy(col("pk"))
   }
 
@@ -305,9 +340,10 @@ object Graph {
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
       .transform(PinExplain.pin)
-    var labels = edges.select(col("p1").as("pk")).distinct()
+    var pinned = edges.select(col("p1").as("pk")).distinct()
       .select(col("pk"), col("pk").as("lbl"))
       .transform(PinExplain.pin)
+    var labels = pinned
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -320,8 +356,14 @@ object Graph {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .transform(PinExplain.pin)
       changed = next.filter(col("lbl") < col("old")).count()
+      // `labels` is a projection over `pinned` from round 2 on, so track
+      // and release the PIN itself (release() is root-matched — releasing
+      // the projection would silently no-op and leak a round's labels)
+      PinExplain.release(pinned)
+      pinned = next
       labels = next.select(col("pk"), col("lbl"))
     }
+    PinExplain.release(edges)
     labels.select(col("pk"), col("lbl").as("component"))
       .orderBy(col("pk"))
   }
@@ -374,7 +416,11 @@ object Graph {
       // fixed point: the undirected edge set stopped moving
       changed = small.unionByName(edges).groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("c")).filter(col("c") === 1).count()
-      edges.unpersist(false); large.unpersist(false)
+      // PinExplain.release, not Dataset.unpersist: both frames are PINNED
+      // (localCheckpoint persists outside the CacheManager, so unpersist
+      // was a measured no-op here — this loop leaked one edge block per
+      // round until the post-run scrub)
+      PinExplain.release(edges, large)
       edges = small
       rounds += 1
       onRound(rounds)
@@ -452,8 +498,12 @@ object Graph {
         .transform(PinExplain.pin)
       d += 1
       frontierSize = next.filter(col("dist") === d).count()
+      // staged release, the q112 discipline: the prior wave's pin is dead
+      // once `next` materializes
+      PinExplain.release(dist)
       dist = next
     }
+    PinExplain.release(edges)
     dist.select(col("pk"), coalesce(col("dist"), lit(-1L)).as("dist"))
       .orderBy(col("pk"))
   }

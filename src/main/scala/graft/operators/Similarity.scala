@@ -735,7 +735,7 @@ object Similarity {
       "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
       "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
       "pq" -> pqTopK(s, dir, sample = sample))
-    methods.map { case (nm, df) =>
+    val out = methods.map { case (nm, df) =>
       exact.join(df.select(col("qid"), col("nid")), Seq("qid", "nid"),
           "left_semi")
         .agg(count(lit(1)).as("n_hits"))
@@ -745,6 +745,10 @@ object Similarity {
       .select(col("method"), col("n_exact"), col("n_hits"),
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
       .orderBy(col("method"))
+    // pin the (method-count-sized) report and release the pinned truth
+    // frame — its brute-force blocks are the largest thing this audit
+    // holds and have no consumer past the semi-joins above
+    graft.operators.Dedup.pinAndRelease(out, exact)
   }
 
   /** q180: rank-aware retrieval quality — MRR@k of every approximate
@@ -775,7 +779,7 @@ object Similarity {
       "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
       "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
       "pq" -> pqTopK(s, dir, sample = sample))
-    methods.map { case (nm, df) =>
+    val out = methods.map { case (nm, df) =>
       val score = df.columns(2) // (qid, nid, <method's own score>)
       val ranked = df.withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"))
@@ -792,6 +796,9 @@ object Similarity {
       .select(col("method"), col("n_queries"), col("sum_rr_ppm"),
         expr("sum_rr_ppm div n_queries").as("mrr_ppm"))
       .orderBy(col("method"))
+    // q130's tail discipline: report is method-count-sized, the pinned
+    // truth + query frames have no consumer past the joins above
+    graft.operators.Dedup.pinAndRelease(out, exact, qs)
   }
 
   /** q169: per-label embedding centroid drift — each label's

@@ -254,4 +254,27 @@ class GraphSpec extends SparkSpec {
     dist.foreach { case (pk, d) =>
       assert((d >= 0) === (comp(pk) === comp(src)), s"$pk reachability") }
   }
+
+  test("iterative graph ops stage-release round pins: ≤1 RDD survives") {
+    // the staged-release contract (the q112 discipline): each round's
+    // dead pin is released as soon as its successor materializes, and the
+    // loop inputs (edges/deg) are released at the tail — so after full
+    // materialization the ONLY storage a query may still hold is its own
+    // pinned result. A second surviving RDD here names a new leak site
+    // (the class Bench's leaked_rdds ledger counts after the fact).
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "pagerank" -> (() => Graph.pagerank(spark, sf)),
+      "ppr" -> (() => Graph.personalizedPagerank(spark, sf)),
+      "components" -> (() => Graph.connectedComponents(spark, sf)),
+      "components_star" -> (() => Graph.connectedComponentsStar(spark, sf)),
+      "bfs" -> (() => Graph.bfsDistances(spark, sf)))
+    ops.foreach { case (name, mk) =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(false))
+      mk().write.format("noop").mode("overwrite").save()
+      val held = spark.sparkContext.getPersistentRDDs.size
+      assert(held <= 1, s"$name holds $held RDDs after materialization " +
+        "(expected only its own pinned result)")
+    }
+  }
 }
