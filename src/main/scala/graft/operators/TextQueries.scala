@@ -556,8 +556,14 @@ object TextQueries {
       cur = cur.select(
         expr(s"replace(seq, '|$l||$rr|', '|$l$rr|')").as("seq"),
         col("freq")).transform(PinExplain.pin)
-      prev.unpersist()
+      // PinExplain.release, not Dataset.unpersist: every round frame is
+      // PINNED, so unpersist was a measured no-op and each merge round
+      // leaked one vocabulary-scale block until the post-run scrub
+      PinExplain.release(prev)
     }
+    // the learned table lives on the driver — the final round frame has
+    // no consumer at all
+    PinExplain.release(cur)
     import s.implicits._
     learned.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count", "token")
       .orderBy(col("merge_round"))
@@ -1366,7 +1372,7 @@ object TextQueries {
     val encoded = merges.foldLeft(start) { case (df, (l, r)) =>
       df.withColumn("seq", expr(s"replace(seq, '|$l||$r|', '|$l$r|')"))
     }
-    encoded
+    val out = encoded
       .withColumn("n_symbols",
         size(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"))
           .cast("long"))
@@ -1379,6 +1385,9 @@ object TextQueries {
         expr("CASE WHEN n_chars = 0 THEN 0 ELSE " +
           "n_symbols_total * 1000000 div n_chars END").as("sym_per_char_ppm"))
       .orderBy(col("lang"))
+    // lang-count-sized report: pin it and release the pinned word table
+    // (no consumer past the encode fold above)
+    Dedup.pinAndRelease(out, allWf)
   }
 
   /** DuckDB oracle for [[tokenizerFertility]] — q148's learn chain on
