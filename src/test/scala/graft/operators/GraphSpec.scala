@@ -259,9 +259,19 @@ class GraphSpec extends SparkSpec {
     // the staged-release contract (the q112 discipline): each round's
     // dead pin is released as soon as its successor materializes, and the
     // loop inputs (edges/deg) are released at the tail — so after full
-    // materialization the ONLY storage a query may still hold is its own
-    // pinned result. A second surviving RDD here names a new leak site
-    // (the class Bench's leaked_rdds ledger counts after the fact).
+    // materialization the ONLY NEW storage a query may hold is its own
+    // pinned result. Delta-based and non-destructive: suites share one
+    // SparkContext and run in parallel, so unpersisting the global RDD
+    // set here would yank memoized frames out from under other specs
+    // (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in four unrelated
+    // suites). A concurrent suite pinning mid-window can inflate the
+    // delta, so a failing count re-measures once — a genuine leak is
+    // deterministic, cross-suite noise is not.
+    def newPins(mk: () => org.apache.spark.sql.DataFrame): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      mk().write.format("noop").mode("overwrite").save()
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
     val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "pagerank" -> (() => Graph.pagerank(spark, sf)),
       "ppr" -> (() => Graph.personalizedPagerank(spark, sf)),
@@ -269,12 +279,10 @@ class GraphSpec extends SparkSpec {
       "components_star" -> (() => Graph.connectedComponentsStar(spark, sf)),
       "bfs" -> (() => Graph.bfsDistances(spark, sf)))
     ops.foreach { case (name, mk) =>
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(false))
-      mk().write.format("noop").mode("overwrite").save()
-      val held = spark.sparkContext.getPersistentRDDs.size
-      assert(held <= 1, s"$name holds $held RDDs after materialization " +
-        "(expected only its own pinned result)")
+      val held = newPins(mk)
+      val stable = if (held <= 1) held else newPins(mk)
+      assert(stable <= 1, s"$name added $stable surviving RDDs after " +
+        "materialization (expected only its own pinned result)")
     }
   }
 }
