@@ -155,12 +155,15 @@ object Layout {
           expr("CASE WHEN padded_tokens = 0 THEN 0 " +
             "ELSE (padded_tokens - real_tokens) * 1000000 " +
             "div padded_tokens END").as("waste_ppm"))
-    wasteOf(Ranks.globalRowNumber(docs, Seq.empty, Seq("doc_id")),
+    val out = wasteOf(Ranks.globalRowNumber(docs, Seq.empty, Seq("doc_id")),
         "by_arrival")
       .unionByName(
         wasteOf(Ranks.globalRowNumber(docs, Seq.empty,
           Seq("n_tokens", "doc_id")), "by_length"))
       .orderBy(col("strategy"))
+    // two-row report: pin it and release the pinned token-count frame
+    // (no consumer past the two rank passes above)
+    graft.operators.Dedup.pinAndRelease(out, docs)
   }
 
   /** DuckDB oracle for [[lengthBatchingWaste]]. */
