@@ -950,25 +950,40 @@ object Similarity {
     * in embedding space (the eval-similarity filter modern pretraining
     * pipelines run alongside the n-gram one): vectors split train/test
     * by the q47 hash convention (h60 % 100; < 80 train, ≥ 90 test, the
-    * val band ignored), then every TRAIN vector whose cosine to ANY
-    * test vector reaches `threshold` is flagged as a directed
-    * (train_id, test_id, sim) leak pair. Lexical decontamination misses
-    * paraphrases the encoder maps together; this leg closes that hole.
+    * val band ignored) and the eval set is the `evalSize`
+    * lowest-vec_id vectors of the test band; then every TRAIN vector
+    * whose cosine to ANY eval vector reaches `threshold` is flagged as
+    * a directed (train_id, test_id, sim) leak pair. Lexical
+    * decontamination misses paraphrases the encoder maps together;
+    * this leg closes that hole.
     *
-    * Scale: the test split is EVAL-sized by construction, so this is
-    * q56's broadcast shape in vector space — broadcast the test side,
-    * ONE scan of train, codegen'd [[graft.plans.FloatVecCosine]] per
-    * (train, test) pair. Flops = corpus × eval is the honest lower
-    * bound for EXACT decontamination (the q42 banded-LSH path is the
-    * recall<1 shortcut when the eval suite itself gets large). */
+    * Scale: the eval side is bounded to `evalSize` rows BY
+    * CONSTRUCTION (a deterministic fixed-count sample — the q176
+    * `knnLabelAudit` discipline), NOT a corpus fraction. The original
+    * form broadcast the whole ≥90 band (a fixed 10% FRACTION of the
+    * corpus), which r12's verdict measured at 9.0×/decade — flops
+    * ~N²/10 and a ~N/10 broadcast (≈10 TB at the 100 TB target). With
+    * a fixed-count eval set this is q56's broadcast shape in vector
+    * space for real: broadcast ≤ evalSize×dim floats, ONE scan of
+    * train, codegen'd [[graft.plans.FloatVecCosine]] per (train, test)
+    * pair. Flops = corpus × evalSize is the honest lower bound for
+    * EXACT decontamination of a given eval suite (the q42 banded-LSH
+    * path is the recall<1 shortcut when the suite itself gets large);
+    * a bigger suite widens `evalSize` explicitly instead of silently
+    * scaling with the corpus. */
   def semanticDecontam(s: SparkSession, dir: String,
-                       threshold: Double = 0.45): DataFrame = {
+                       threshold: Double = 0.45,
+                       evalSize: Int = 200): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         (PortableHash.h60(col("vec_id").cast("string")) % 100).as("bucket"))
+    // fixed-count eval sample: plans as TakeOrderedAndProject (top
+    // evalSize by vec_id), never a full sort — ≤ evalSize rows leave
+    // the scan and the broadcast holds at any corpus size
     val test = emb.filter(col("bucket") >= 90)
       .select(col("vec_id").as("test_id"), col("embedding").as("te"))
+      .orderBy(col("test_id")).limit(evalSize)
     val train = emb.filter(col("bucket") < 80)
       .select(col("vec_id").as("train_id"), col("embedding").as("tr"))
     train.crossJoin(broadcast(test))
@@ -979,11 +994,15 @@ object Similarity {
       .orderBy(col("train_id"), col("test_id"))
   }
 
-  /** DuckDB oracle for [[semanticDecontam]]. */
-  def semanticDecontamSql(threshold: Double = 0.45): String = {
+  /** DuckDB oracle for [[semanticDecontam]] — mirrors the bounded eval
+    * sample (lowest `evalSize` vec_ids of the ≥90 band) bit-for-bit. */
+  def semanticDecontamSql(threshold: Double = 0.45,
+                          evalSize: Int = 200): String = {
     val h = PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")
     s"""WITH e AS (SELECT vec_id, embedding, ($h) % 100 AS bucket
        |  FROM embeddings),
+       |te AS (SELECT vec_id, embedding FROM e WHERE bucket >= 90
+       |  ORDER BY vec_id LIMIT $evalSize),
        |p AS (SELECT tr.vec_id AS train_id, te.vec_id AS test_id,
        |    round(list_sum([CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
        |      for z in list_zip(tr.embedding, te.embedding)]) /
@@ -991,8 +1010,8 @@ object Similarity {
        |        for x in tr.embedding])) *
        |       sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |        for x in te.embedding]))), 6) AS sim
-       |  FROM e tr CROSS JOIN e te
-       |  WHERE tr.bucket < 80 AND te.bucket >= 90)
+       |  FROM e tr CROSS JOIN te
+       |  WHERE tr.bucket < 80)
        |SELECT train_id, test_id, sim FROM p WHERE sim >= $threshold
        |ORDER BY train_id, test_id""".stripMargin
   }

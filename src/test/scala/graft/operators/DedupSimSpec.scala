@@ -424,4 +424,32 @@ class DedupSimSpec extends SparkSpec {
     assert(out.toSeq === Seq((trainId, testId, 1.0)),
       s"expected exactly the planted leak, got ${out.toSeq}")
   }
+
+  test("q173 eval side is a fixed-count sample, not a corpus fraction") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // find several test-band (>=90) ids and one train-band (<80) id
+    val buckets = (0L until 2000L).toDF("vec_id")
+      .select(col("vec_id"),
+        (graft.functions.PortableHash.h60(col("vec_id").cast("string")) % 100)
+          .as("b")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val testIds = buckets.filter(_._2 >= 90).map(_._1).sorted.take(4)
+    assert(testIds.length === 4)
+    val trainId = buckets.find(_._2 < 80).get._1
+    val leak = (0 until 64).map(i => (i % 7 - 3).toFloat / 3f).toArray
+    // the train vector matches EVERY test vector exactly
+    val rows = (trainId +: testIds).toSeq.map(_ -> leak)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q173b").toString
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // evalSize=2 must keep only the TWO lowest test vec_ids as eval
+    val out = Similarity.semanticDecontam(spark, tmp, threshold = 0.99,
+        evalSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === testIds.take(2).map(t => (trainId, t, 1.0)).toSeq,
+      s"expected leaks only against the 2 lowest test ids, got ${out.toSeq}")
+    // and the DuckDB-oracle text must carry the same bound
+    assert(Similarity.semanticDecontamSql(0.99, 2).contains("LIMIT 2"))
+  }
 }
