@@ -260,17 +260,55 @@ class GraphSpec extends SparkSpec {
     // dead pin is released as soon as its successor materializes, and the
     // loop inputs (edges/deg) are released at the tail — so after full
     // materialization the ONLY NEW storage a query may hold is its own
-    // pinned result. Delta-based and non-destructive: suites share one
-    // SparkContext and run in parallel, so unpersisting the global RDD
-    // set here would yank memoized frames out from under other specs
-    // (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in four unrelated
-    // suites). A concurrent suite pinning mid-window can inflate the
-    // delta, so a failing count re-measures once — a genuine leak is
-    // deterministic, cross-suite noise is not.
-    def newPins(mk: () => org.apache.spark.sql.DataFrame): Int = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      mk().write.format("noop").mode("overwrite").save()
-      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    // pinned result. Suites share one SparkContext and run in parallel,
+    // so the measurement is JOB-GROUP SCOPED (ADVICE r12): each op runs
+    // under a unique job group, a listener records the RDD ids touched
+    // by that group's stages, and only NEW persistent RDDs ∩ that set
+    // count — a concurrent suite pinning mid-window can no longer
+    // inflate the delta, and a concurrent release can't deflate it.
+    // The surviving pins are ours by construction (no other consumer
+    // exists — the frame reference is discarded), so each measurement
+    // releases them at the end instead of parking them in the shared
+    // JVM for the rest of the suite run.
+    def newPins(tag: String,
+                mk: () => org.apache.spark.sql.DataFrame): Int = {
+      val sc = spark.sparkContext
+      val group = s"graft-leak-gate-$tag-${System.nanoTime()}"
+      val mine = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          if (js.properties != null &&
+              group == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageInfos.foreach(_.rddInfos.foreach(i => mine.add(i.id)))
+        }
+      }
+      sc.addSparkListener(listener)
+      val before = sc.getPersistentRDDs.keySet
+      try {
+        sc.setJobGroup(group, "leak-gate measurement",
+          interruptOnCancel = false)
+        mk().write.format("noop").mode("overwrite").save()
+      } finally sc.clearJobGroup()
+      // listener delivery is async: poll until the scoped survivor set
+      // is stable across two consecutive reads (bounded at ~3 s)
+      def survivors = (sc.getPersistentRDDs.keySet -- before)
+        .filter(mine.contains)
+      var s = survivors
+      val deadline = System.nanoTime() + 3000000000L
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val s2 = survivors
+        settled = s2 == s
+        s = s2
+      }
+      sc.removeSparkListener(listener)
+      // the test owns these pins — release them so measurements don't
+      // accumulate storage in the shared test JVM
+      s.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      s.size
     }
     val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "pagerank" -> (() => Graph.pagerank(spark, sf)),
@@ -279,9 +317,8 @@ class GraphSpec extends SparkSpec {
       "components_star" -> (() => Graph.connectedComponentsStar(spark, sf)),
       "bfs" -> (() => Graph.bfsDistances(spark, sf)))
     ops.foreach { case (name, mk) =>
-      val held = newPins(mk)
-      val stable = if (held <= 1) held else newPins(mk)
-      assert(stable <= 1, s"$name added $stable surviving RDDs after " +
+      val held = newPins(name, mk)
+      assert(held <= 1, s"$name added $held surviving RDDs after " +
         "materialization (expected only its own pinned result)")
     }
   }
