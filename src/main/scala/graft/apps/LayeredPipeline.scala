@@ -43,13 +43,16 @@ object LayeredPipeline {
 
   /** ODS JSON carries its CDC table tag; DWD topic is a pure routing
     * projection of it (BaseDBApp's TableProcess routing, X2, collapsed to
-    * the two tables this chain consumes). */
+    * the three tables this chain consumes). */
   def odsToDwd(ods: DataFrame, dwdLedger: String,
                checkpoint: String): StreamingQuery =
     Kafka.exactlyOnceDynamicTopicSink(
       ods.select(
         when(get_json_object(col("value"), "$.tbl") === "order_info",
-          lit("dwd_order_info")).otherwise(lit("dwd_page_log")).as("topic"),
+          lit("dwd_order_info"))
+        .when(get_json_object(col("value"), "$.tbl") === "visit_log",
+          lit("dwd_visit_log"))
+        .otherwise(lit("dwd_page_log")).as("topic"),
         col("value")),
       dwdLedger, checkpoint).start()
 
@@ -86,6 +89,107 @@ object LayeredPipeline {
       (): Unit
     }.option("checkpointLocation", checkpoint).start()
   }
+
+  private val visitDdl = "mid STRING, pageId STRING, lastPageId STRING, " +
+    "isNew STRING, ts TIMESTAMP, vc STRING, ch STRING, ar STRING"
+
+  /** Typed visit-log stream off the DWD ledger: parse + 0-delay
+    * watermark. Sentinel rows (they exist only to push the watermark
+    * past real data — the MemoryStream/file-source analogue of a live
+    * stream's continuous arrivals) are NOT dropped here: a `mid`
+    * predicate doesn't reference the watermark column, so Catalyst's
+    * PushPredicateThroughNonJoin would move it BELOW the
+    * EventTimeWatermark node and the sentinel would stop advancing the
+    * watermark (observed: the final event's drain timer never fired).
+    * Each producer filters the sentinel from its OUTPUT instead. */
+  private def visitStream(s: SparkSession, dwdLedger: String) = {
+    import s.implicits._
+    topicStream(s, dwdLedger, "dwd_visit_log")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL(visitDdl)).as("r"))
+      .select(col("r.*"))
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.Model.LogEvent]
+  }
+
+  /** DWD→DWM (the state-heavy DWM hop, VERDICT r12 #3): UniqueVisitApp
+    * (`UniqueVisitApp.java:69-124`) as a ledger consumer — F2's
+    * first-visit-per-day keyed dedup (transformWithState, RocksDB) over
+    * the visit log, surviving events produced exactly-once to
+    * `dwm_unique_visit`. */
+  def dwdVisitsToUv(s: SparkSession, dwdLedger: String, dwmLedger: String,
+                    checkpoint: String,
+                    wmSentinel: String = "__wm__"): StreamingQuery = {
+    val uv = graft.streaming.StatefulOpsV2
+      .uniqueVisit(visitStream(s, dwdLedger))
+      .toDF().filter(col("mid") =!= wmSentinel)
+    Kafka.exactlyOnceDynamicTopicSink(
+      Kafka.toJsonValue(uv)
+        .select(lit("dwm_unique_visit").as("topic"), col("value")),
+      dwmLedger, checkpoint).start()
+  }
+
+  /** DWD→DWM: UserJumpApp (`UserJumpApp.java:88-158`) as a ledger
+    * consumer — T2's CEP timeout detection (event-time timers) over the
+    * visit log; detected jump-outs produced exactly-once to
+    * `dwm_user_jump`. `gapMs` defaults to the batch q07 twin's 600 s. */
+  def dwdVisitsToJump(s: SparkSession, dwdLedger: String, dwmLedger: String,
+                      checkpoint: String, gapMs: Long = 600000L,
+                      wmSentinel: String = "__wm__"): StreamingQuery = {
+    val jumps = graft.streaming.StatefulOpsV2
+      .userJump(visitStream(s, dwdLedger), gapMs)
+      .toDF().filter(col("mid") =!= wmSentinel)
+    Kafka.exactlyOnceDynamicTopicSink(
+      Kafka.toJsonValue(jumps)
+        .select(lit("dwm_user_jump").as("topic"), col("value")),
+      dwmLedger, checkpoint).start()
+  }
+
+  private def emptyVisitor(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "day STRING, uv_ct BIGINT, uj_ct BIGINT"))
+
+  /** DWM→DWS: the VisitorStats-shaped reduce — the U2 union of the two
+    * DWM visit topics folded into one day-grain (uv_ct, uj_ct) state
+    * (VisitorStatsApp.java's keyed reduce at the grain the publisher
+    * serves). One streaming query, two ledger sources, one
+    * [[VersionedState]] transaction per micro-batch. The two producers
+    * write SEPARATE ledger dirs — the ledger's `v=<batchId>` commit
+    * protocol is single-writer per dir (two producers would collide on
+    * version ids), exactly as a Kafka topic has one transactional
+    * producer per partition in the reference. */
+  def dwmVisitsToVisitorState(s: SparkSession, uvLedger: String,
+                              jumpLedger: String, stateDir: String,
+                              checkpoint: String): StreamingQuery = {
+    def dayRows(ledger: String, topic: String, uv: Int, uj: Int) =
+      topicStream(s, ledger, topic)
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("mid STRING, ts TIMESTAMP")).as("r"))
+        .select(date_format(col("r.ts"), "yyyy-MM-dd").as("day"),
+          lit(uv.toLong).as("uv_ct"), lit(uj.toLong).as("uj_ct"))
+    dayRows(uvLedger, "dwm_unique_visit", 1, 0)
+      .unionByName(dayRows(jumpLedger, "dwm_user_jump", 0, 1))
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        VersionedState.applyBatch(s, stateDir, id, b, emptyVisitor(s),
+          (st, bt) => st.unionByName(
+              bt.groupBy(col("day")).agg(sum(col("uv_ct")).as("uv_ct"),
+                sum(col("uj_ct")).as("uj_ct")))
+            .groupBy(col("day")).agg(sum(col("uv_ct")).as("uv_ct"),
+              sum(col("uj_ct")).as("uj_ct")))
+        (): Unit
+      }.option("checkpointLocation", checkpoint).start()
+  }
+
+  /** Materialize the visitor state as the dws_visitor_stats table
+    * [[Serve]] registers (stt = day start, the publisher's grain). */
+  def publishVisitorDws(s: SparkSession, visitorStateDir: String,
+                        warehouseDir: String): Unit =
+    graft.sinks.Warehouse.writeDws(
+      VersionedState.read(s, visitorStateDir, emptyVisitor(s))
+        .select(to_timestamp(col("day")).as("stt"), col("uv_ct"),
+          col("uj_ct")),
+      s"$warehouseDir/dws_visitor_stats")
 
   private def emptyGmv(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -134,4 +134,133 @@ class LayeredPipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(servedTop.toSeq === expectedTop.toSeq)
   }
+
+  test("DWM state-heavy hop: UV + jump through the ledger equal batch q06/q07") {
+    // VERDICT r12 #3: the reference's keyed-state-heavy DWM consumers
+    // (UniqueVisitApp/UserJumpApp) as ledger hops — dwd_visit_log →
+    // [uniqueVisit | userJump] → dwm topics → one VisitorStats-shaped
+    // day-grain state, with the UV consumer killed and restarted
+    // mid-chain (RocksDB checkpoint restore) and a replayed produce a
+    // no-op. Gates: chain uv_ct equals batch q06 day-for-day; chain
+    // uj_ct equals batch q07 (gap 600 s) aggregated per day.
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stage =
+        java.nio.file.Files.createTempDirectory("graft-layered-dwm").toString
+      val dwdLedger = s"$stage/ledger_dwd"
+      // one ledger dir per DWM producer: the v=<batchId> commit
+      // protocol is single-writer per dir (topic-per-producer, as in
+      // the reference's transactional Kafka)
+      val uvLedger = s"$stage/ledger_dwm_uv"
+      val jumpLedger = s"$stage/ledger_dwm_jump"
+      val vSt = s"$stage/state_visitor"; val wh = s"$stage/wh"
+
+      // events table as the ODS visit log: mid = user_id, micros ts.
+      // Feeds are TIME-CONTIGUOUS quarters — the 0-delay watermark
+      // advances to each feed's max ts, so a later feed must not carry
+      // earlier events (T4 would drop them as late). No global ts ties
+      // at sf0.001, so quarter boundaries are unambiguous.
+      val ev = graft.Tables.load(s, sf, "events")
+        .select(lit("visit_log").as("tbl"),
+          col("user_id").cast("string").as("mid"),
+          col("event_id").cast("string").as("pageId"),
+          lit("").as("lastPageId"), lit("0").as("isNew"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val lines = ev.orderBy(col("ts")).toJSON.collect()
+      assert(lines.length > 500)
+      val feeds = lines.grouped((lines.length + 3) / 4).toSeq
+      assert(feeds.length === 4)
+      // sentinel: one fake visit 2000 s (> the 600 s jump gap) past the
+      // last real event; it pushes the watermark so every pending
+      // timer fires, and the hops filter it before any state/sink
+      val maxTsMicros = graft.Tables.load(s, sf, "events")
+        .agg(max(expr("ts div 1000"))).as[Long].head()
+      val sentinel = Seq(("visit_log", "__wm__", "s", "", "0"))
+        .toDF("tbl", "mid", "pageId", "lastPageId", "isNew")
+        .withColumn("ts", timestamp_micros(lit(maxTsMicros + 2000000000L)))
+        .toJSON.head()
+
+      val input = MemoryStream[String]
+      val q1 = LayeredPipeline.odsToDwd(input.toDF().toDF("value"),
+        dwdLedger, s"$stage/ck1")
+      input.addData(feeds(0): _*)
+      q1.processAllAvailable() // dwd_visit_log v=0 committed
+      var qUv = LayeredPipeline.dwdVisitsToUv(s, dwdLedger, uvLedger,
+        s"$stage/ckuv")
+      val qJp = LayeredPipeline.dwdVisitsToJump(s, dwdLedger, jumpLedger,
+        s"$stage/ckjp")
+      qUv.processAllAvailable(); qJp.processAllAvailable()
+      // both dwm topics have committed segments → their consumer can start
+      val fsys = new org.apache.hadoop.fs.Path(uvLedger)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+        s"$uvLedger/v=*/topic=dwm_unique_visit")).nonEmpty)
+      assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+        s"$jumpLedger/v=*/topic=dwm_user_jump")).nonEmpty)
+      val qV = LayeredPipeline.dwmVisitsToVisitorState(s, uvLedger,
+        jumpLedger, vSt, s"$stage/ckv")
+      qV.processAllAvailable()
+
+      input.addData(feeds(1): _*)
+      q1.processAllAvailable(); qUv.processAllAvailable()
+      qJp.processAllAvailable(); qV.processAllAvailable()
+
+      // kill the state-heavy UV consumer; the jump branch keeps flowing
+      qUv.stop()
+      input.addData(feeds(2): _*)
+      q1.processAllAvailable(); qJp.processAllAvailable()
+      qV.processAllAvailable()
+      // restart from its checkpoint: RocksDB state restores, backlog drains
+      qUv = LayeredPipeline.dwdVisitsToUv(s, dwdLedger, uvLedger,
+        s"$stage/ckuv")
+      qUv.processAllAvailable()
+
+      input.addData(feeds(3) :+ sentinel: _*)
+      q1.processAllAvailable(); qUv.processAllAvailable()
+      qJp.processAllAvailable(); qV.processAllAvailable()
+      q1.stop(); qUv.stop(); qJp.stop(); qV.stop()
+
+      // replayed (already-committed) produce is a no-op at both ledgers
+      val vVer = VersionedState.latestVersion(s, vSt)
+      assert(!Kafka.txnProduce(
+        Seq(("dwd_visit_log", """{"tbl":"visit_log"}"""))
+          .toDF("topic", "value"), dwdLedger, 0L))
+      assert(!Kafka.txnProduce(
+        Seq(("dwm_unique_visit", """{"mid":"0"}"""))
+          .toDF("topic", "value"), uvLedger, 0L))
+      val qVr = LayeredPipeline.dwmVisitsToVisitorState(s, uvLedger,
+        jumpLedger, vSt, s"$stage/ckv")
+      qVr.processAllAvailable(); qVr.stop()
+      assert(VersionedState.latestVersion(s, vSt) === vVer)
+
+      // ---- batch truths: q06 per-day UV; q07 (600 s gap) per-day jumps
+      val chain = VersionedState.read(s, vSt, fail("visitor state must exist"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val batchUv = graft.operators.RefQueries.uvPerDay(s, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(chain.view.mapValues(_._1).toMap === batchUv)
+      val batchJump = graft.operators.RefQueries.jumpDetect(s, sf)
+        .select(date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("ct")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(chain.collect { case (d, (_, uj)) if uj > 0 => d -> uj }
+        === batchJump)
+
+      // ---- the published DWS table serves the same panel
+      LayeredPipeline.publishVisitorDws(s, vSt, wh)
+      val serve = Serve(s, wh)
+      assert(serve.registered.contains("dws_visitor_stats"))
+      val served = serve.sql(
+        "SELECT date_format(stt, 'yyyy-MM-dd') AS day, uv_ct, uj_ct " +
+        "FROM dws_visitor_stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(served === chain)
+    } finally
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
