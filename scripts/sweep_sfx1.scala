@@ -45,5 +45,6 @@ val both = names.map { n => val row = (n, timeOne(n, "/root/testdata/sf0.1"), ti
 val t01 = both.map { case (n, a, _) => n -> a }.toMap
 val tx1 = both.map { case (n, _, b) => n -> b }.toMap
 def j(m: Map[String, Double]): String = m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-new PrintWriter("/tmp/bench_sfx1_full.json") { write(s"""{"sf":1.0,"queries":${j(tx1)},"sf01_same_run":${j(t01)}}"""); close() }
-println("SWEEP_WRITTEN")
+val sweepRunId = s"sweep-${java.time.Instant.now().toEpochMilli}-p${ProcessHandle.current().pid()}"
+new PrintWriter("/tmp/bench_sfx1_full.json") { write(s"""{"run_id":"$sweepRunId","generated_utc":"${java.time.Instant.now()}","sf":1.0,"queries":${j(tx1)},"sf01_same_run":${j(t01)}}"""); close() }
+println(s"SWEEP_WRITTEN $sweepRunId")
