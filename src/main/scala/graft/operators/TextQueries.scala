@@ -1947,8 +1947,12 @@ object TextQueries {
         col("transitions"), expr("sx div n_docs").as("mean_xent_nn"))
       .orderBy(col("bucket"), col("source"))
 
-  private def pplDocBucketsFrom(cAb: DataFrame, vocab: DataFrame,
-                                scoredBg: DataFrame): DataFrame = {
+  /** Per-doc form of [[pplBucketsFrom]] — private[graft] so the
+    * q192-artifacts streaming twin ([[graft.streaming.DupQualityArtifactsStream]])
+    * can refresh the buckets ARTIFACT (doc grain) from its
+    * incrementally-folded model, not just the aggregate report. */
+  private[graft] def pplDocBucketsFrom(cAb: DataFrame, vocab: DataFrame,
+                                       scoredBg: DataFrame): DataFrame = {
     val ctx = cAb.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val perDoc = scoredBg
       .join(cAb, Seq("w1", "w2"), "left")
