@@ -30,8 +30,13 @@
 // row -max(|t|); otherwise the median of the three successes. (The old
 // -1.0 sentinel sorted FIRST, so one failure silently returned the MIN
 // of the two good runs.)
+// SPARK_GRAFT_SWEEP_ONLY: comma-separated name prefixes — re-measure a
+// subset (e.g. one fixed query) with the full recycled protocol; the
+// partial artifact is merged into the full board's by scripts/scaling.py
+// callers, each fragment carrying its own run_id.
 import java.io.PrintWriter
-val names = graft.SparkEntry.queries.keys.toSeq.sorted
+val onlyPrefixes = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").map(_.split(",").toSeq)
+val names = graft.SparkEntry.queries.keys.toSeq.sorted.filter(n => onlyPrefixes.forall(_.exists(n.startsWith)))
 var sess: org.apache.spark.sql.SparkSession = spark
 def build(): org.apache.spark.sql.SparkSession = { val s = org.apache.spark.sql.SparkSession.builder().master("local[32]").config("spark.sql.extensions", "graft.plans.GraftExtensions").config("spark.sql.shuffle.partitions", "32").config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").config("spark.sql.legacy.parquet.nanosAsLong", "true").config("spark.sql.adaptive.enabled", "true").getOrCreate(); s.sparkContext.setLogLevel("WARN"); s }
 def scrub(): Unit = { graft.operators.Dedup.clearClusterCache(); graft.operators.Curation.clearFeatureCache(); graft.operators.Similarity.clearIndexCache(); sess.sqlContext.clearCache(); val leaked = sess.sparkContext.getPersistentRDDs; leaked.values.foreach(_.unpersist(false)); if (leaked.nonEmpty) System.gc() }
