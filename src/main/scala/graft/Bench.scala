@@ -255,18 +255,20 @@ object Bench {
     segStats("pre-validation")
     val validateFloor =
       sys.env.getOrElse("SPARK_GRAFT_VALIDATE_FLOOR", "1.5").toDouble
-    // Default budget derives from THIS run's measured suite total
-    // (ADVICE r12: a constant encodes one machine's timings — r11's
-    // 420 s left 5 floor-crossing rows unvalidated; a slower box would
-    // silently re-shrink coverage). Validation re-times only the
-    // floor-crossing subset with ≤3 runs each vs the suite's
-    // runs-per-query over ALL rows, so 1.5× the suite's own wall time
-    // covers the full board on any machine speed, floored at 720 s so a
-    // tiny suite still gets a useful window; env still overrides.
+    // Default budget derives from THIS run's measurements (ADVICE r12:
+    // a constant encodes one machine's timings — r11's 420 s left 5
+    // floor-crossing rows unvalidated; a slower box would silently
+    // re-shrink coverage). Validation cost scales with the number of
+    // floor-crossing rows (each pays a session recycle + 3 runs,
+    // measured ~12.6 s/row on this box at sf0.1 — r13 senescence run),
+    // so budget = rows × 20 s with a 720 s floor and a suite-wall term
+    // for slow boxes; env still overrides.
     val suiteWallSec = results.map(_._2).filter(_ >= 0).sum
+    val floorRows = results.count(_._2 >= validateFloor)
     val validateBudget = sys.env.get("SPARK_GRAFT_VALIDATE_BUDGET_SEC")
       .map(_.toDouble)
-      .getOrElse(math.max(720.0, 1.5 * suiteWallSec))
+      .getOrElse(math.max(math.max(720.0, 1.5 * suiteWallSec),
+        20.0 * floorRows))
     val validated = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val skippedForBudget = scala.collection.mutable.ListBuffer[String]()
     val vt0 = System.nanoTime()
