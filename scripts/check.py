@@ -19,6 +19,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    # in-memory DuckDB disables spilling unless temp_directory is set —
+    # without it the heavy sfx1 oracles (q27's banded LSH, q31's IVF)
+    # die at the 100 GiB memory_limit with "bad allocation" instead of
+    # spilling the way the r12 q153/q189 runs did
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='70GiB'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         # driver testdata ships single files; synthetic dirs (gen_sfx1)
