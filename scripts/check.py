@@ -18,21 +18,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    con = duckdb.connect()
-    # in-memory DuckDB disables spilling unless temp_directory is set —
-    # without it the heavy sfx1 oracles (q27's banded LSH, q31's IVF)
-    # die at the 100 GiB memory_limit with "bad allocation" instead of
-    # spilling the way the r12 q153/q189 runs did
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='70GiB'")
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        # driver testdata ships single files; synthetic dirs (gen_sfx1)
-        # are Spark-written table.parquet/part-*.parquet directories
-        src = (f"{sf_dir}/{t}.parquet/*.parquet"
-               if os.path.isdir(f"{sf_dir}/{t}.parquet")
-               else f"{sf_dir}/{t}.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    def fresh_con():
+        c = duckdb.connect()
+        # in-memory DuckDB disables spilling unless temp_directory is
+        # set — without it the heavy sfx1 oracles (q27's banded LSH,
+        # q31's IVF) die at the 100 GiB memory_limit with "bad
+        # allocation" instead of spilling the way the r12 q153/q189
+        # runs did
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        c.execute("SET max_temp_directory_size='70GiB'")
+        for t in ["region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"]:
+            # driver testdata ships single files; synthetic dirs
+            # (gen_sfx1) are Spark-written table.parquet/part-* dirs
+            src = (f"{sf_dir}/{t}.parquet/*.parquet"
+                   if os.path.isdir(f"{sf_dir}/{t}.parquet")
+                   else f"{sf_dir}/{t}.parquet")
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return c
+    con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_rowsonly = 0
     produced = {os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")}
@@ -53,7 +57,15 @@ def main():
             ora_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             n_bad += 1
-            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
+            if "Out of Memory" in str(e):
+                # an OOM'd oracle poisons the connection's buffer pool
+                # (observed r13: every later query — even 2 KB reads —
+                # failed); rebuild it so one heavy oracle can't fail
+                # the rest of the board
+                try: con.close()
+                except Exception: pass
+                con = fresh_con()
             continue
         a, b = canon(spark_df), canon(ora_df)
         # driver hashes VALUES: an int64 vs float64 divergence (e.g. a
