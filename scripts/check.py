@@ -62,10 +62,25 @@ def main():
                 # an OOM'd oracle poisons the connection's buffer pool
                 # (observed r13: every later query — even 2 KB reads —
                 # failed); rebuild it so one heavy oracle can't fail
-                # the rest of the board
+                # the rest of the board. Release is asynchronous, so
+                # drop every reference, collect, and retry with a pause.
+                import gc, time
                 try: con.close()
                 except Exception: pass
-                con = fresh_con()
+                con = None
+                gc.collect()
+                for attempt in range(6):
+                    time.sleep(5 * (attempt + 1))
+                    try:
+                        con = fresh_con()
+                        break
+                    except Exception:
+                        gc.collect()
+                if con is None:
+                    print("!! could not rebuild the DuckDB connection "
+                          "after OOM; aborting remaining checks",
+                          flush=True)
+                    break
             continue
         a, b = canon(spark_df), canon(ora_df)
         # driver hashes VALUES: an int64 vs float64 divergence (e.g. a

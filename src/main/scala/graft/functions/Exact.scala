@@ -17,6 +17,17 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Reference analogue: the reference keeps money in BigDecimal end-to-end
   * (gmall-realtime bean/OrderInfo.java:21-26, bean/ProductStats.java:33).
+  *
+  * FOURTH-DECADE RULE for the final decimal→double cast (found by the r13
+  * sfx1 gate on q01's sum_charge): once |sum| × 10^scale exceeds 2^53, the
+  * decimal is not exactly representable and the two engines' conversions
+  * diverge by 1 ULP — Spark's `Decimal.toDouble` single-rounds via
+  * BigDecimal.doubleValue, while DuckDB's direct `CAST(dec AS DOUBLE)`
+  * double-rounds (hugeint→double, then ÷10^scale). The ORACLE side must
+  * then route through VARCHAR — `CAST(CAST(SUM(...) AS VARCHAR) AS
+  * DOUBLE)` — which is correctly rounded and bit-matches Spark (verified
+  * on all six q01 groups at sfx1). Scale-2 sums have headroom to ~9e13,
+  * scale-4 to ~9e11, scale-6 to ~9e9 before the rule bites.
   */
 object Exact {
   /** Cast a 2-decimal-valued double to exact decimal (scale covers products
