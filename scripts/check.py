@@ -53,35 +53,74 @@ def main():
             n_rowsonly += 1
             print(f"  {name}: rows-only ({len(spark_df)} rows)")
             continue
+        def is_oom(exc):
+            # exception types first (ADVICE r13: substring-matching one
+            # message missed "bad allocation", DuckDB's other at-limit
+            # death), then the known message spellings as a fallback
+            oom_types = tuple(t for t in (
+                getattr(duckdb, "OutOfMemoryException", None),
+                getattr(duckdb, "FatalException", None)) if t)
+            if oom_types and isinstance(exc, oom_types):
+                return True
+            msg = str(exc)
+            return any(m in msg for m in
+                       ("Out of Memory", "bad allocation", "std::bad_alloc"))
+        def rebuild_con():
+            # an OOM'd oracle poisons the connection's buffer pool
+            # (observed r13: every later query — even 2 KB reads —
+            # failed); rebuild it so one heavy oracle can't fail
+            # the rest of the board. Release is asynchronous, so
+            # drop every reference, collect, and retry with a pause.
+            import gc, time
+            gc.collect()
+            for attempt in range(6):
+                time.sleep(5 * (attempt + 1))
+                try:
+                    return fresh_con()
+                except Exception:
+                    gc.collect()
+            return None
         try:
             ora_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            n_bad += 1
-            print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
-            if "Out of Memory" in str(e):
-                # an OOM'd oracle poisons the connection's buffer pool
-                # (observed r13: every later query — even 2 KB reads —
-                # failed); rebuild it so one heavy oracle can't fail
-                # the rest of the board. Release is asynchronous, so
-                # drop every reference, collect, and retry with a pause.
-                import gc, time
+            ora_df = None
+            if is_oom(e):
+                print(f"! {name}: oracle OOM ({e}); rebuilding connection "
+                      "and retrying once", flush=True)
                 try: con.close()
                 except Exception: pass
-                con = None
-                gc.collect()
-                for attempt in range(6):
-                    time.sleep(5 * (attempt + 1))
-                    try:
-                        con = fresh_con()
-                        break
-                    except Exception:
-                        gc.collect()
+                con = rebuild_con()
                 if con is None:
+                    n_bad += 1
+                    print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
                     print("!! could not rebuild the DuckDB connection "
                           "after OOM; aborting remaining checks",
                           flush=True)
                     break
-            continue
+                # retry the OOM'd oracle ONCE on the fresh connection
+                # (ADVICE r13): a query that failed only because of a
+                # predecessor's buffer-pool residue must not be recorded
+                # as genuinely resource-bound
+                try:
+                    ora_df = con.execute(oracle[name]).fetchdf()
+                except Exception as e2:
+                    n_bad += 1
+                    print(f"✗ {name}: ORACLE SQL ERROR (persists on a "
+                          f"fresh connection): {e2}", flush=True)
+                    if is_oom(e2):
+                        try: con.close()
+                        except Exception: pass
+                        con = rebuild_con()
+                        if con is None:
+                            print("!! could not rebuild the DuckDB "
+                                  "connection after OOM; aborting "
+                                  "remaining checks", flush=True)
+                            break
+                    continue
+            else:
+                n_bad += 1
+                print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
+                continue
         a, b = canon(spark_df), canon(ora_df)
         # driver hashes VALUES: an int64 vs float64 divergence (e.g. a
         # DuckDB HUGEINT fetched as float) stringifies differently and

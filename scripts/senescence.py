@@ -51,9 +51,15 @@ def main():
     print("== A: shared-JVM full suite", flush=True)
     shared = run({"SPARK_GRAFT_SF_DIR": sf_dir},
                  f"{out}/shared.json", f"{out}/shared.log")
-    names = sorted(k for k in shared["queries"]
-                   if not k.endswith("_bucketed")
-                   and k != "q192_dup_quality_lift_artifacts")
+    # segment basis comes from the artifact's own registry (Bench emits
+    # SparkEntry.queries' sorted names — exactly the list its segment
+    # mode slices), so a future board-wide extra row with a different
+    # naming convention can never misalign nseg (ADVICE r13); the name
+    # heuristic stays only as a fallback for pre-r14 artifacts
+    names = shared.get("registry") or sorted(
+        k for k in shared["queries"]
+        if not k.endswith("_bucketed")
+        and k != "q192_dup_quality_lift_artifacts")
     nseg = math.ceil(len(names) / SEG)
 
     forked_q, forked_val = {}, {}
@@ -87,7 +93,12 @@ def main():
         sa = sv.get(k, {}).get("standalone")
         b = forked_q.get(k)
         ratio = a / b if (a and b and b > 0) else float("nan")
-        verdict = ("jvm-senescence" if k in infl_a and k not in infl_b
+        # a row never timed in any forked segment must not default into
+        # the jvm-senescence bucket — without a forked observation the
+        # bisection has no evidence either way (ADVICE r13)
+        verdict = ("not-run-forked" if k not in forked_q or not forked_q[k]
+                   or forked_q[k] <= 0
+                   else "jvm-senescence" if k in infl_a and k not in infl_b
                    else "segment-local" if k in infl_b
                    else "shared-only-drift")
         lines.append(f"| {k} | {a:.2f} | "

@@ -88,7 +88,13 @@ object Bench {
         s"gc_count=${gcs.map(_.getCollectionCount).sum} " +
         s"gc_time_ms=${gcs.map(_.getCollectionTime).sum} fds=$fds")
     }
+    // measured recycle cost (ADVICE r13: the validation budget's per-row
+    // term must reflect THIS box's session-recycle overhead, not a flat
+    // constant) — running mean over every recycle this run performs
+    var recycleCostSec = 8.0
+    var recycleCount = 0
     def recycleSession(): Unit = {
+      val r0 = System.nanoTime()
       scrubState()
       segStats("recycle")
       spark.stop()
@@ -103,6 +109,10 @@ object Bench {
         spark.range(1L << 20).repartition(8)
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
+      val cost = (System.nanoTime() - r0) / 1e9
+      recycleCostSec =
+        (recycleCostSec * recycleCount + cost) / (recycleCount + 1)
+      recycleCount += 1
     }
     // Warmup: run every query once at the smallest SF so Janino codegen
     // compilation and classloading are paid before measurement (standard
@@ -255,20 +265,19 @@ object Bench {
     segStats("pre-validation")
     val validateFloor =
       sys.env.getOrElse("SPARK_GRAFT_VALIDATE_FLOOR", "1.5").toDouble
-    // Default budget derives from THIS run's measurements (ADVICE r12:
-    // a constant encodes one machine's timings — r11's 420 s left 5
-    // floor-crossing rows unvalidated; a slower box would silently
-    // re-shrink coverage). Validation cost scales with the number of
-    // floor-crossing rows (each pays a session recycle + 3 runs,
-    // measured ~12.6 s/row on this box at sf0.1 — r13 senescence run),
-    // so budget = rows × 20 s with a 720 s floor and a suite-wall term
-    // for slow boxes; env still overrides.
-    val suiteWallSec = results.map(_._2).filter(_ >= 0).sum
-    val floorRows = results.count(_._2 >= validateFloor)
+    // Default budget derives from THIS run's measurements (ADVICE r12/r13:
+    // a constant encodes one machine's timings, and a flat per-row term
+    // under-covers boards dominated by heavy floor-crossing rows). Each
+    // validated row costs one session recycle (measured this run —
+    // `recycleCostSec`) plus ~3 standalone executions of the row (one
+    // untimed steady-state run + min-of-2 timed), so the budget is the
+    // SUM of that per-row estimate over the floor-crossing rows with 25%
+    // headroom, a 720 s floor, and the env override kept.
+    val floorRowCost = results.filter(_._2 >= validateFloor)
+      .map { case (_, t) => recycleCostSec + 3.0 * t }.sum
     val validateBudget = sys.env.get("SPARK_GRAFT_VALIDATE_BUDGET_SEC")
       .map(_.toDouble)
-      .getOrElse(math.max(math.max(720.0, 1.5 * suiteWallSec),
-        20.0 * floorRows))
+      .getOrElse(math.max(720.0, 1.25 * floorRowCost))
     val validated = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val skippedForBudget = scala.collection.mutable.ListBuffer[String]()
     val vt0 = System.nanoTime()
@@ -299,6 +308,33 @@ object Bench {
         case _ => t
       })
     }
+    // Drift reference (VERDICT r13 #6): same-run standalone timings of
+    // pinned TRIVIAL queries, so any cross-session reader can normalize
+    // this artifact's numbers against another round's without the
+    // 1.2-1.5x machine-drift folklore — divide a row by the drift_ref
+    // ratio of the two artifacts before adjudicating a regression. The
+    // queries are overhead-dominated (sub-second at every SF), so their
+    // timing moves with the box, never with the board's data work.
+    val driftRefNames = Seq("q09_gmv", "q36_running_total")
+    val driftRef: Seq[(String, Double)] =
+      if (isSegment) Seq.empty
+      else {
+        recycleSession()
+        driftRefNames.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              val t = (1 to 2).map { _ =>
+                if (scrubState() > 0) System.gc()
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              Some(name -> t)
+            } catch { case _: Throwable => None }
+          }
+        }
+      }
     // stdout contract line stays SHORT (VERDICT r8 #8: the driver's tail
     // capture truncated the 162-entry map mid-line two rounds running):
     // the line carries the total plus a fixed headline subset; the FULL
@@ -334,10 +370,17 @@ object Bench {
         f"""  "$k": {"suite": $s0%.3f, "standalone": $sa%.3f, "replaced": $rep}"""
       }.mkString(",\n")
       val skipLines = skippedForBudget.map(n => s""""$n"""").mkString(", ")
+      // full registry (segment-mode slicing notwithstanding): the
+      // senescence driver derives its segment count from THIS list
+      // instead of re-guessing Bench's slicing heuristics (ADVICE r13)
+      val registryLines = allQueries.map(kv => s""""${kv._1}"""")
+        .mkString(", ")
+      val driftLines = driftRef
+        .map { case (k, v) => f"""  "$k": $v%.3f""" }.mkString(",\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
-        f"""{\n "run_id": "$runId",\n "generated_utc": "$runUtc",\n "sf": "$sfDir",\n "runs_per_query": $runs,\n "total_sec": $total%.3f,\n "validate_floor_sec": $validateFloor,\n "validate_budget_sec": $validateBudget%.0f,\n "validation_skipped_for_budget": [$skipLines],\n "validated": {\n$valLines\n },\n "leaked_rdds": {\n$leakLines\n },\n "queries": {\n$lines\n }\n}\n""")
+        f"""{\n "run_id": "$runId",\n "generated_utc": "$runUtc",\n "sf": "$sfDir",\n "runs_per_query": $runs,\n "total_sec": $total%.3f,\n "validate_floor_sec": $validateFloor,\n "validate_budget_sec": $validateBudget%.0f,\n "recycle_cost_sec": $recycleCostSec%.1f,\n "validation_skipped_for_budget": [$skipLines],\n "drift_ref": {\n$driftLines\n },\n "registry": [$registryLines],\n "validated": {\n$valLines\n },\n "leaked_rdds": {\n$leakLines\n },\n "queries": {\n$lines\n }\n}\n""")
     } catch { case _: Throwable => () }
     // "sf" is the contract's numeric scale factor (the driver's own
     // artifact stores sf as a number); the directory rides separately.

@@ -275,12 +275,25 @@ class GraphSpec extends SparkSpec {
       val sc = spark.sparkContext
       val group = s"graft-leak-gate-$tag-${System.nanoTime()}"
       val mine = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      // ids whose storage level was already VALID in one of OUR jobs'
+      // stage infos — i.e. pins declared by the measured op's own plan
+      // (a DataFrame .persist() sets the level before its first job is
+      // submitted). The RELEASE below is restricted to this set: `mine`
+      // alone holds every lineage id including shared frames the op
+      // merely reads, and unpersisting one that a CONCURRENT suite
+      // pinned mid-window would yank its cache (ADVICE r13 — the
+      // narrower cousin of the cross-suite block-yank this gate already
+      // guards against on the counting side).
+      val minePersisted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           if (js.properties != null &&
               group == js.properties.getProperty("spark.jobGroup.id"))
-            js.stageInfos.foreach(_.rddInfos.foreach(i => mine.add(i.id)))
+            js.stageInfos.foreach(_.rddInfos.foreach { i =>
+              mine.add(i.id)
+              if (i.storageLevel.isValid) minePersisted.add(i.id)
+            })
         }
       }
       sc.addSparkListener(listener)
@@ -305,8 +318,10 @@ class GraphSpec extends SparkSpec {
       }
       sc.removeSparkListener(listener)
       // the test owns these pins — release them so measurements don't
-      // accumulate storage in the shared test JVM
-      s.foreach(id =>
+      // accumulate storage in the shared test JVM. Release only ids the
+      // op's OWN jobs declared persistent (minePersisted): a survivor in
+      // `mine` but not there was pinned by someone else mid-window.
+      s.filter(minePersisted.contains).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       s.size
     }
@@ -316,10 +331,18 @@ class GraphSpec extends SparkSpec {
       "components" -> (() => Graph.connectedComponents(spark, sf)),
       "components_star" -> (() => Graph.connectedComponentsStar(spark, sf)),
       "bfs" -> (() => Graph.bfsDistances(spark, sf)))
+    // multi-retry (ADVICE r13): a concurrent suite pinning during the
+    // window can transiently inflate the delta even with job-group
+    // scoping; a REAL leak reproduces on every measurement, so re-measure
+    // up to three times and gate on the minimum
     ops.foreach { case (name, mk) =>
-      val held = newPins(name, mk)
-      assert(held <= 1, s"$name added $held surviving RDDs after " +
-        "materialization (expected only its own pinned result)")
+      val tries = scala.collection.mutable.ListBuffer[Int]()
+      val ok = (1 to 3).exists { _ =>
+        val held = newPins(name, mk); tries += held; held <= 1
+      }
+      assert(ok, s"$name added ${tries.mkString("/")} surviving RDDs " +
+        s"across ${tries.size} measurements (expected only its own " +
+        "pinned result)")
     }
   }
 }
