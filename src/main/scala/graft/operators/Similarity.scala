@@ -104,6 +104,22 @@ object Similarity {
       assignCells(s, emb, cents).persist()
     }
 
+  /** FROZEN-codebook accessors for the incremental index twin
+    * ([[graft.streaming.VectorIndexStream]]): the coarse IVF centroids
+    * and PQ codebooks trained ONCE from a historical corpus dir, exactly
+    * the artifacts the batch q31/q128/q129 queries train — training is
+    * a pure deterministic function of the corpus, so the twin's
+    * per-batch assignments against these frames are bit-equal to the
+    * batch pipeline's. Both ride the session memo (sample ≥ 32 shares
+    * the full-corpus frame, so `nQueries` does not shape the result). */
+  def ivfCentroids(s: SparkSession, dir: String, nCells: Int = 16,
+                   lloydRounds: Int = 2): DataFrame =
+    sharedIvfCents(s, dir, 32, 0, nCells, lloydRounds)
+
+  def pqBooks(s: SparkSession, dir: String, m: Int = 4,
+              codebookSize: Int = 16, lloydRounds: Int = 2): DataFrame =
+    sharedPq(s, dir, 32, 0, m, codebookSize, lloydRounds)._1
+
   /** Exact double-precision dot product of two float vectors, accumulated
     * left-to-right (mirrors the DuckDB oracle's list_sum over list_zip). */
   private def dot(a: Column, b: Column): Column =
@@ -165,8 +181,8 @@ object Similarity {
     * (vec_id, enc) — 16 bytes, no embedding — and the embedding is joined
     * back from the vec_id-partitioned persisted corpus, which needs no
     * exchange: both sides are already hash-partitioned on vec_id. */
-  private def assignCells(s: SparkSession, emb: DataFrame,
-                          cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(s: SparkSession, emb: DataFrame,
+                                 cents: DataFrame): DataFrame = {
     val radix = lit(1L << 32)
     val best = emb.crossJoin(broadcast(cents))
       .withColumn("csim",
@@ -399,7 +415,7 @@ object Similarity {
     * recall sharpens by raising m/codebookSize (spec measures recall vs
     * the exact q20 top-k). */
   /** Per-subspace view of the corpus: (vec_id, ss, sv). */
-  private def pqSubs(emb: DataFrame, m: Int, sub: Int): DataFrame =
+  private[graft] def pqSubs(emb: DataFrame, m: Int, sub: Int): DataFrame =
     emb.select(col("vec_id"), explode(array((0 until m).map(i =>
         struct(lit(i).as("ss"),
           slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)).as("x"))
@@ -407,8 +423,8 @@ object Similarity {
 
   /** Per-subspace nearest-codebook-entry assignment (the assignCells enc
     * trick keyed by (vec_id, ss)). */
-  private def pqAssign(s: SparkSession, subs: DataFrame,
-                       books: DataFrame): DataFrame = {
+  private[graft] def pqAssign(s: SparkSession, subs: DataFrame,
+                              books: DataFrame): DataFrame = {
     val radix = lit(1L << 32)
     subs.join(broadcast(books), Seq("ss"))
       .withColumn("csim", round(nanvl(
@@ -523,6 +539,25 @@ object Similarity {
     val assigned =
       sharedIvfAssign(s, dir, sample, nQueries, nCells, lloydRounds)
       .select(col("vec_id"), col("cid").as("cell"))
+    // PQ codes + query tables (q128 protocol, shared with pqTopK)
+    val (books, codes) =
+      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
+    ivfPqTopKFrom(s, emb, cents, assigned, books, codes,
+      nQueries, k, nProbe, m)
+  }
+
+  /** Retrieval tail of [[ivfPqTopK]] over CALLER-OWNED index artifacts —
+    * (vec_id, cell) coarse assignments, PQ `books`, and (vec_id, ss, cid)
+    * `codes` — so retrieval over an INCREMENTALLY-maintained index
+    * ([[graft.streaming.VectorIndexStream]]) runs the identical plan the
+    * batch query runs over its batch-built artifacts: probe selection
+    * from the broadcast centroids, candidate generation from the probed
+    * cells, and integer-ADC scoring from the broadcast query tables. */
+  private[graft] def ivfPqTopKFrom(s: SparkSession, emb: DataFrame,
+                                   cents: DataFrame, assigned: DataFrame,
+                                   books: DataFrame, codes: DataFrame,
+                                   nQueries: Int, k: Int, nProbe: Int,
+                                   m: Int): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = emb.filter(col("vec_id") < nQueries)
@@ -533,10 +568,7 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    // PQ codes + query tables (q128 protocol, shared with pqTopK)
     val subs = pqSubs(emb, m, 64 / m)
-    val (books, codes) =
-      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
     val qtab = pqQueryTables(subs, books, nQueries)
     // candidates = members of each query's probed cells; ADC-score them
     val cand = assigned.join(broadcast(probes), Seq("cell"))
