@@ -1,0 +1,144 @@
+// Streaming soak for the layered deployment chain (VERDICT r13 #3): drive
+// the DWM state-heavy hop — ODS → dwd ledger → [uniqueVisit | userJump] →
+// dwm ledgers → VisitorStats VersionedState — through ~300 one-day
+// micro-batch cycles of ROTATING-population feed, and measure that
+// RocksDB state and JVM counters PLATEAU instead of growing with stream
+// length: UV's per-mid state is evicted 1 idle day after its last drain
+// (T5, UniqueVisitApp.java:85-89's TTL), jump buffers drain at the
+// watermark, so with ~50 fresh mids per day the keyed state must hold
+// ~2 days of population however long the stream runs. The senescence
+// analysis (r13) covered the BENCH JVM; this covers the deployment JVM.
+//
+// Run: /opt/spark/bin/spark-shell --master 'local[8]' \
+//   --conf spark.ui.enabled=false --conf spark.sql.session.timeZone=UTC \
+//   --conf spark.sql.shuffle.partitions=8 \
+//   --conf spark.sql.legacy.parquet.nanosAsLong=true \
+//   --driver-class-path /root/repo/target/scala-2.13/classes \
+//   -I scripts/soak.scala <<< "sys.exit(0)"
+// Writes /root/repo/SOAK.md (sampled counters + plateau verdicts).
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.apps.LayeredPipeline
+import graft.streaming.VersionedState
+
+spark.sparkContext.setLogLevel("WARN")
+spark.conf.set("spark.sql.streaming.stateStore.providerClass", "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+import spark.implicits._
+
+val stage = java.nio.file.Files.createTempDirectory("graft-soak").toString
+val dwdLedger = s"$stage/ledger_dwd"
+val uvLedger = s"$stage/ledger_uv"
+val jumpLedger = s"$stage/ledger_jump"
+val vSt = s"$stage/state_visitor"
+
+val days = sys.env.getOrElse("SOAK_DAYS", "300").toInt
+val midsPerDay = 50
+val day0 = java.time.LocalDate.parse("2021-03-01")
+
+// one day's ODS lines: midsPerDay FRESH mids (population rotates daily, so
+// unbounded state would grow 50 rows/day); even mids are jumpers (single
+// session entry, no follow-up within the 600 s gap), odd mids follow up.
+def feed(d: Int): Seq[String] = {
+  val base = day0.plusDays(d.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+  (0 until midsPerDay).flatMap { i =>
+    val mid = s"m${d * midsPerDay + i}"
+    val t0 = base + i * 2000L
+    val entry = (mid, "p1", "", t0)
+    val follow = (mid, "p2", "p1", t0 + 120000L)
+    if (i % 2 == 0) Seq(entry) else Seq(entry, follow)
+  }.map { case (mid, pg, last, ts) =>
+    val iso = java.time.Instant.ofEpochMilli(ts).toString
+    s"""{"tbl":"visit_log","mid":"$mid","pageId":"$pg","lastPageId":"$last","isNew":"0","ts":"$iso"}"""
+  }
+}
+
+val input = MemoryStream[String]
+val q1 = LayeredPipeline.odsToDwd(input.toDF().toDF("value"), dwdLedger, s"$stage/ck1")
+input.addData(feed(0): _*)
+q1.processAllAvailable()
+val qUv = LayeredPipeline.dwdVisitsToUv(spark, dwdLedger, uvLedger, s"$stage/ckuv")
+val qJp = LayeredPipeline.dwdVisitsToJump(spark, dwdLedger, jumpLedger, s"$stage/ckjp")
+qUv.processAllAvailable()
+qJp.processAllAvailable()
+val qV = LayeredPipeline.dwmVisitsToVisitorState(spark, uvLedger, jumpLedger, vSt, s"$stage/ckv")
+qV.processAllAvailable()
+
+case class Row(day: Int, uvRows: Long, uvMem: Long, jpRows: Long, jpMem: Long, heapMb: Double, metaspaceMb: Double, threads: Int, classes: Long, wallSec: Double)
+val samples = scala.collection.mutable.ArrayBuffer[Row]()
+
+def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+  val p = q.lastProgress
+  if (p == null || p.stateOperators.isEmpty) (0L, 0L)
+  else (p.stateOperators.map(_.numRowsTotal).sum, p.stateOperators.map(_.memoryUsedBytes).sum)
+}
+
+def jvm(): (Double, Double, Int, Long) = {
+  import java.lang.management.{ManagementFactory => MF}
+  import scala.jdk.CollectionConverters._
+  val heap = MF.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6
+  val pools = MF.getMemoryPoolMXBeans.asScala
+  val meta = pools.filter(_.getName.contains("Metaspace")).map(_.getUsage.getUsed).sum / 1e6
+  (heap, meta, MF.getThreadMXBean.getThreadCount, MF.getClassLoadingMXBean.getLoadedClassCount.toLong)
+}
+
+val t0 = System.nanoTime()
+for (d <- 1 until days) {
+  input.addData(feed(d): _*)
+  q1.processAllAvailable()
+  qUv.processAllAvailable()
+  qJp.processAllAvailable()
+  qV.processAllAvailable()
+  val (ur, um) = stateOf(qUv)
+  val (jr, jm) = stateOf(qJp)
+  val (h, m, th, cl) = jvm()
+  samples += Row(d, ur, um, jr, jm, h, m, th, cl, (System.nanoTime() - t0) / 1e9)
+  if (d % 25 == 0) println(f"day $d%3d  uvRows=$ur%5d jpRows=$jr%5d heap=${h}%.0fMB threads=$th wall=${(System.nanoTime() - t0) / 1e9}%.0fs")
+}
+q1.stop(); qUv.stop(); qJp.stop(); qV.stop()
+
+// plateau verdicts: compare the median of days (1/4..1/2] against the
+// median of the last quarter — a leak grows linearly with stream length,
+// so a bounded ratio over 150 days of separation is the claim measured
+def med(xs: Seq[Long]): Long = { val s = xs.sorted; s(s.length / 2) }
+val q2nd = samples.filter(r => r.day > days / 4 && r.day <= days / 2)
+val q4th = samples.filter(r => r.day > 3 * days / 4)
+val uvQ2 = med(q2nd.map(_.uvRows).toSeq); val uvQ4 = med(q4th.map(_.uvRows).toSeq)
+val jpQ2 = med(q2nd.map(_.jpRows).toSeq); val jpQ4 = med(q4th.map(_.jpRows).toSeq)
+val heapQ2 = med(q2nd.map(_.heapMb.toLong).toSeq); val heapQ4 = med(q4th.map(_.heapMb.toLong).toSeq)
+val uvOk = uvQ4 <= (uvQ2 * 1.25 + 16).toLong
+val jpOk = jpQ4 <= (jpQ2 * 1.25 + 16).toLong
+// JVM heap wobbles with GC timing; gate it loosely (2x) — the state
+// rows are the precise claim, heap is the leak smoke-test
+val heapOk = heapQ4 <= heapQ2 * 2
+// unbounded baseline for scale: total distinct mids fed
+val fedMids = days.toLong * midsPerDay
+val verdict = if (uvOk && jpOk && heapOk) "PASS" else "FAIL"
+
+val sampled = samples.filter(r => r.day % 25 == 0 || r.day == days - 1)
+val table = sampled.map(r => f"| ${r.day}%d | ${r.uvRows}%d | ${r.uvMem / 1024}%d | ${r.jpRows}%d | ${r.jpMem / 1024}%d | ${r.heapMb}%.0f | ${r.metaspaceMb}%.0f | ${r.threads}%d | ${r.classes}%d | ${r.wallSec}%.0f |").mkString("\n")
+val md = s"""# SOAK — layered-chain streaming soak (round 14)
+|
+|`scripts/soak.scala`: the DWM state-heavy hop (ODS -> dwd ledger ->
+|uniqueVisit/userJump (RocksDB) -> dwm ledgers -> VisitorStats
+|VersionedState) driven through ${days - 1} one-day micro-batch cycles of
+|ROTATING population ($midsPerDay fresh mids/day, $fedMids distinct mids
+|total). Claim measured: keyed state is bounded by the 1-day idle TTL
+|(UV) and the watermark (jump buffers) — state rows hold ~2 days of
+|population however long the stream runs, instead of growing with the
+|$fedMids-mid feed.
+|
+|Generated ${java.time.Instant.now()} (UTC). Verdict: **$verdict**
+|
+|- UV state rows: median ${uvQ2} (2nd quarter) -> ${uvQ4} (last quarter) ${if (uvOk) "— flat" else "— GROWING"}
+|- jump state rows: median ${jpQ2} -> ${jpQ4} ${if (jpOk) "— flat" else "— GROWING"}
+|- driver heap MB: median ${heapQ2} -> ${heapQ4} ${if (heapOk) "— bounded" else "— GROWING"}
+|
+|| day | uv_rows | uv_mem_kb | jp_rows | jp_mem_kb | heap_mb | metaspace_mb | threads | classes | wall_s |
+||---|---|---|---|---|---|---|---|---|---|
+|$table
+|""".stripMargin
+java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SOAK.md"), md)
+println(s"SOAK $verdict — wrote /root/repo/SOAK.md")

@@ -246,9 +246,19 @@ object SparkEntry {
   // PortableHash / FloatVecLshBucket constants generate both the Column
   // trees and these SQL strings.
 
-  private val toksCte =
+  /** `sample < 32` applies the q103 h60 doc slice at the source — the
+    * sfx1 oracle-gate basis (VERDICT r13 #2); 32 is the full corpus and
+    * reproduces the historical string byte-for-byte. */
+  private def toksCteSampled(sample: Int): String = {
+    val where =
+      if (sample >= 32) ""
+      else " WHERE " + graft.functions.PortableHash
+        .h60Sql("CAST(doc_id AS VARCHAR)") + s" < ${sample.toLong << 55}"
     "toks AS (SELECT doc_id, [t for t in string_split_regex(lower(text), " +
-      "'[^a-z0-9]+') if len(t) > 0] AS t FROM documents)"
+      s"'[^a-z0-9]+') if len(t) > 0] AS t FROM documents$where)"
+  }
+
+  private val toksCte = toksCteSampled(32)
 
   /** DuckDB cosine mirroring FloatVecCosine's arg order (norm(a)*norm(b)). */
   private def cosSql(a: String, b: String): String =
@@ -267,7 +277,9 @@ object SparkEntry {
   /** CTEs through `cand` (LSH band-bucket candidate pairs) — the
     * candidate-generation prefix of [[minhashPairCtes]], reused alone by
     * the q140 audit's minhash leg (candidates ∩ truth). */
-  private def minhashCandCtes: String = {
+  private def minhashCandCtes: String = minhashCandCtesSampled(32)
+
+  private def minhashCandCtesSampled(sample: Int): String = {
     import graft.functions.PortableHash
     val k = 64; val bands = 16; val r = k / bands
     val slots = (0 until k)
@@ -276,7 +288,7 @@ object SparkEntry {
     val bandList = (0 until bands)
       .map(b => PortableHash.bandFoldSql((b * r until (b + 1) * r).map(j => s"m$j")))
       .mkString(", ")
-    s"""$toksCte,
+    s"""${toksCteSampled(sample)},
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS shingle
        |  FROM toks WHERE len(t) >= 3)),
@@ -289,8 +301,53 @@ object SparkEntry {
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  private def minhashPairCtes: String =
-    s"""$minhashCandCtes,
+  private def minhashPairCtes: String = minhashPairCtesSampled(32)
+
+  /** q189's oracle, parameterized by the h60 doc slice (sample = 32 is
+    * the registered full oracle, byte-identical to the historical
+    * string). */
+  private def clusterChainingOracleSql(sample: Int): String = {
+    import graft.functions.PortableHash
+    val h = PortableHash.h60Sql("CAST(cl.doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE ${minhashPairCtesSampled(sample)},
+       |jp AS (SELECT id_a, id_b FROM shr
+       |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
+       |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
+       |reach AS (
+       |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
+       |  UNION
+       |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+       |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM cl
+       |  GROUP BY 1 HAVING COUNT(*) >= 2),
+       |sm AS (SELECT cluster, csize, doc_id FROM (
+       |  SELECT cl.cluster, cs.csize, cl.doc_id,
+       |    row_number() OVER (PARTITION BY cl.cluster
+       |      ORDER BY $h, cl.doc_id) AS rk
+       |  FROM cl JOIN cs USING (cluster)) WHERE rk <= 8),
+       |pq AS (SELECT a.cluster, LEAST(a.csize, 5) AS size_bucket,
+       |    a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sm a JOIN sm b ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+       |shp AS (SELECT pq.id_a, pq.id_b, CAST(COUNT(*) AS BIGINT) AS sh
+       |  FROM pq JOIN eh ea ON ea.doc_id = pq.id_a
+       |  JOIN eh eb ON eb.doc_id = pq.id_b AND eb.h = ea.h GROUP BY 1, 2),
+       |pj AS (SELECT pq.cluster, pq.size_bucket,
+       |    COALESCE(shp.sh, 0) AS sh, ca.n AS na, cb.n AS nb
+       |  FROM pq LEFT JOIN shp ON shp.id_a = pq.id_a AND shp.id_b = pq.id_b
+       |  JOIN cnt ca ON ca.doc_id = pq.id_a JOIN cnt cb ON cb.doc_id = pq.id_b),
+       |pz AS (SELECT cluster, size_bucket,
+       |    sh * 1000000 // (na + nb - sh) AS j_ppm FROM pj)
+       |SELECT size_bucket, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+       |  CAST(SUM(CASE WHEN j_ppm < 300000 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS chained_ppm
+       |FROM pz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def minhashPairCtesSampled(sample: Int): String =
+    s"""${minhashCandCtesSampled(sample)},
        |shr AS (SELECT id_a, id_b, COUNT(*) AS shared FROM cand
        |  JOIN eh ea ON ea.doc_id = id_a JOIN eh eb ON eb.doc_id = id_b AND eb.h = ea.h
        |  GROUP BY 1, 2)""".stripMargin
@@ -2229,45 +2286,7 @@ object SparkEntry {
     // q189: transitive-chaining audit of the q48 clusters — exact
     // Jaccard over sampled within-cluster pairs, on the shared
     // minhash CTE basis (eh/cnt) plus the q48 recursive reach
-    "q189_cluster_chaining" -> {
-      import graft.functions.PortableHash
-      val h = PortableHash.h60Sql("CAST(cl.doc_id AS VARCHAR)")
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |jp AS (SELECT id_a, id_b FROM shr
-         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-         |  WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.3),
-         |sym AS (SELECT id_a, id_b FROM jp UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM jp),
-         |reach AS (
-         |  SELECT DISTINCT id_a AS id, id_a AS label FROM sym
-         |  UNION
-         |  SELECT s.id_a AS id, r.label FROM sym s JOIN reach r ON s.id_b = r.id),
-         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
-         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM cl
-         |  GROUP BY 1 HAVING COUNT(*) >= 2),
-         |sm AS (SELECT cluster, csize, doc_id FROM (
-         |  SELECT cl.cluster, cs.csize, cl.doc_id,
-         |    row_number() OVER (PARTITION BY cl.cluster
-         |      ORDER BY $h, cl.doc_id) AS rk
-         |  FROM cl JOIN cs USING (cluster)) WHERE rk <= 8),
-         |pq AS (SELECT a.cluster, LEAST(a.csize, 5) AS size_bucket,
-         |    a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sm a JOIN sm b ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
-         |shp AS (SELECT pq.id_a, pq.id_b, CAST(COUNT(*) AS BIGINT) AS sh
-         |  FROM pq JOIN eh ea ON ea.doc_id = pq.id_a
-         |  JOIN eh eb ON eb.doc_id = pq.id_b AND eb.h = ea.h GROUP BY 1, 2),
-         |pj AS (SELECT pq.cluster, pq.size_bucket,
-         |    COALESCE(shp.sh, 0) AS sh, ca.n AS na, cb.n AS nb
-         |  FROM pq LEFT JOIN shp ON shp.id_a = pq.id_a AND shp.id_b = pq.id_b
-         |  JOIN cnt ca ON ca.doc_id = pq.id_a JOIN cnt cb ON cb.doc_id = pq.id_b),
-         |pz AS (SELECT cluster, size_bucket,
-         |    sh * 1000000 // (na + nb - sh) AS j_ppm FROM pj)
-         |SELECT size_bucket, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
-         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |  CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
-         |  CAST(SUM(CASE WHEN j_ppm < 300000 THEN 1 ELSE 0 END) * 1000000
-         |    // COUNT(*) AS BIGINT) AS chained_ppm
-         |FROM pz GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q189_cluster_chaining" -> clusterChainingOracleSql(32),
     // q170: winnow-fingerprint decontamination (q43's scheme x q47 split)
     "q170_winnow_decontam" -> {
       import graft.functions.PortableHash
@@ -2527,4 +2546,95 @@ object SparkEntry {
         |    AS attributed_micro
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
+
+  // ---- sfx1 oracle-gate variants (VERDICT r13 #2) -----------------------
+  // NOT part of the declared query surface: these exist so the synthetic
+  // fourth decade can be ORACLE-gated for the four rows whose FULL DuckDB
+  // twins are resource-bound at /tmp/sfx1 (q27/q42: the banded-candidate ×
+  // embedding join exhausts the 100 GiB limit; q153/q189: the unrolled /
+  // recursive CTE chains spill past the temp ceiling). Each gate variant
+  // is the IDENTICAL engine pipeline under the q103 h60 slice discipline
+  // (the q130/q140 precedent), with the slice pushed to the SAME place on
+  // both sides, so the check stays a full rows+schema+hash compare:
+  //  - q27: slice the pair space by id_a (pure output predicate on the
+  //    engine side; the oracle pushes it into the candidate join's a-leg);
+  //  - q42: the finder's own embSample corpus slice, queries always kept;
+  //  - q153: the part-key slice at the incidence scan (basket fan-out
+  //    shrinks ~quadratically, which is what the oracle needs);
+  //  - q189: the doc slice at the tokenize source — clustering basis,
+  //    sampling, and exact-Jaccard audit all run on the slice.
+  // graft.Verify emits these INSTEAD of the main surface when
+  // SPARK_GRAFT_GATE=1; they are hash-gated at sf0.01/sf0.1 first (the
+  // driver-visible CORRECTNESS board is unchanged) to prove the variants
+  // before they are trusted at sfx1.
+  def gateQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Map(
+      "q27_embed_dups_slice" -> ((s, d) =>
+        Dedup.embeddingDupPairsLsh(s, d)
+          .filter(graft.functions.PortableHash
+            .h60(col("id_a").cast("string")) < lit(4L << 55))),
+      "q42_ann_lsh_banded_slice" -> ((s, d) =>
+        Similarity.lshTopKMulti(s, d, sample = 4)),
+      "q153_ppr_slice" -> ((s, d) =>
+        graft.operators.Graph.personalizedPagerank(s, d, sample = 8)),
+      "q189_cluster_chaining_slice" -> ((s, d) =>
+        Dedup.clusterChaining(s, d, sample = 4)))
+  }
+
+  def gateOracleSql: Map[String, String] = Map(
+    "q27_embed_dups_slice" -> embedDupsSliceSql(4),
+    "q42_ann_lsh_banded_slice" -> annLshBandedSliceSql(4),
+    "q153_ppr_slice" ->
+      graft.operators.Graph.personalizedPagerankSql(sample = 8),
+    "q189_cluster_chaining_slice" -> clusterChainingOracleSql(4))
+
+  /** q27's oracle with the candidate a-leg restricted to the h60 id_a
+    * slice — equivalent to filtering the full output on id_a (id_a is
+    * always the candidate join's a side), but the predicate reaches the
+    * band table BEFORE the join, which is what bounds the oracle's
+    * candidate × embedding memory at sfx1. */
+  private def embedDupsSliceSql(sliceA: Int): String = {
+    import graft.functions.PortableHash
+    val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 60)
+    val h = PortableHash.h60Sql("CAST(a.vec_id AS VARCHAR)")
+    s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |p AS (SELECT COALESCE(MIN(r), 20) AS bpb
+       |  FROM (SELECT unnest([4, 8, 12, 16, 20]) AS r),
+       |       (SELECT COUNT(*) AS n FROM e)
+       |  WHERE (1::BIGINT << r) * 128 >= n),
+       |bnd AS (SELECT vec_id, band_id,
+       |    (bucket >> (band_id * bpb)) & ((1::BIGINT << bpb) - 1) AS band_sig
+       |  FROM e, p, (SELECT unnest(generate_series(0, 14)) AS band_id)
+       |  WHERE band_id < 60 // bpb),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id
+       |    AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+       |  WHERE ($h) < ${sliceA.toLong << 55}),
+       |s AS (SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q42's oracle over the embSample corpus slice (queries always kept —
+    * top-10 per query AMONG the sliced corpus, the finder's own `sample`
+    * semantics). */
+  private def annLshBandedSliceSql(sample: Int): String = {
+    import graft.functions.PortableHash
+    val bucket = graft.plans.FloatVecLshBucket.bucketSql("embedding", 60)
+    val h = PortableHash.h60Sql("CAST(vec_id AS VARCHAR)")
+    val bandList = (0 until 15).map(b => s"(bucket >> ${b * 4}) & 15").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings
+       |  WHERE vec_id < 5 OR ($h) < ${sample.toLong << 55}),
+       |bnd AS (SELECT vec_id, unnest(generate_series(0, 14)) AS band_id,
+       |  unnest([$bandList]) AS band_sig FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM bnd c JOIN bnd q ON c.band_id = q.band_id AND c.band_sig = q.band_sig
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |s AS (SELECT qid, nid, ${cosSql("eq.embedding", "ec.embedding")} AS sim
+       |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e ec ON ec.vec_id = nid)
+       |SELECT qid, nid, sim FROM (
+       |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+       |WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+  }
 }

@@ -27,7 +27,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
+    // SPARK_GRAFT_GATE=1: emit the sfx1 oracle-gate slice variants
+    // (SparkEntry.gateQueries/gateOracleSql) INSTEAD of the main surface —
+    // the driver's correctness contract is untouched; scripts/check.py
+    // runs unchanged against the gate outDir (VERDICT r13 #2).
+    val gateMode = sys.env.get("SPARK_GRAFT_GATE").contains("1")
+    val (queries, oracles) =
+      if (gateMode) (SparkEntry.gateQueries, SparkEntry.gateOracleSql)
+      else (SparkEntry.queries, SparkEntry.oracleSql)
+    queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -56,7 +64,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
+    val json = oracles.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -51,8 +51,17 @@ object Graph {
     * REUSED exchange (both sides are the same subplan) + SMJ + partial
     * hash-agg, all codegen'd primitives. */
   private[operators] def pairFrame(s: SparkSession, dir: String,
-                                   minSupport: Long = 2L): DataFrame = {
-    val dl = incidence(s, dir)
+                                   minSupport: Long = 2L,
+                                   sample: Int = 32): DataFrame = {
+    // sample < 32: the q103 h60 slice on the PART key — the sfx1
+    // oracle-gate shape (VERDICT r13 #2): the basket self-join's fan-out
+    // shrinks ~quadratically in the slice, which is what makes the
+    // unrolled DuckDB twin tractable at the synthetic fourth decade.
+    val dlFull = incidence(s, dir)
+    val dl = if (sample >= 32) dlFull
+             else dlFull.filter(
+               graft.functions.PortableHash.h60(col("pk").cast("string")) <
+                 lit(sample.toLong << 55))
     dl.as("a").join(dl.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -206,8 +215,8 @@ object Graph {
     * localCheckpoint lineage truncation; exact integer masses so the
     * unrolled DuckDB oracle hash-matches bit-for-bit. */
   def personalizedPagerank(s: SparkSession, dir: String,
-                           iters: Int = 5): DataFrame = {
-    val e = pairFrame(s, dir).select(col("p1"), col("p2"))
+                           iters: Int = 5, sample: Int = 32): DataFrame = {
+    val e = pairFrame(s, dir, sample = sample).select(col("p1"), col("p2"))
     val edges = e.unionByName(
         e.select(col("p2").as("p1"), col("p1").as("p2")))
       .transform(PinExplain.pin)
@@ -243,10 +252,15 @@ object Graph {
 
   /** DuckDB oracle for [[personalizedPagerank]] — rounds unrolled, seed
     * pinned to MIN(pk). */
-  def personalizedPagerankSql(iters: Int = 5): String = {
+  def personalizedPagerankSql(iters: Int = 5, sample: Int = 32): String = {
+    val slice =
+      if (sample >= 32) ""
+      else "\n  WHERE " + graft.functions.PortableHash
+        .h60Sql("CAST(l_partkey AS VARCHAR)") +
+        s" < ${sample.toLong << 55}"
     val header =
-      """WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
+      s"""WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem$slice),
         |e0 AS (SELECT a.pk AS p1, b.pk AS p2
         |  FROM dl a JOIN dl b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
