@@ -18,8 +18,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    def fresh_con():
+    def fresh_con(threads=None):
         c = duckdb.connect()
+        # the giant generated expressions (FloatVecLshBucket's 60x64-term
+        # bucket) hold per-thread executor state in every inlined CTE
+        # instance — at 32 threads that alone exhausts the memory limit
+        # at sfx1 (diagnosed r14: q27 fails at 32 threads, runs in 16 s
+        # at 8). OOM retries therefore rebuild with threads=8.
+        if threads:
+            c.execute(f"SET threads={threads}")
         # in-memory DuckDB disables spilling unless temp_directory is
         # set — without it the heavy sfx1 oracles (q27's banded LSH,
         # q31's IVF) die at the 100 GiB memory_limit with "bad
@@ -65,7 +72,7 @@ def main():
             msg = str(exc)
             return any(m in msg for m in
                        ("Out of Memory", "bad allocation", "std::bad_alloc"))
-        def rebuild_con():
+        def rebuild_con(threads=None):
             # an OOM'd oracle poisons the connection's buffer pool
             # (observed r13: every later query — even 2 KB reads —
             # failed); rebuild it so one heavy oracle can't fail
@@ -76,7 +83,7 @@ def main():
             for attempt in range(6):
                 time.sleep(5 * (attempt + 1))
                 try:
-                    return fresh_con()
+                    return fresh_con(threads)
                 except Exception:
                     gc.collect()
             return None
@@ -86,10 +93,14 @@ def main():
             ora_df = None
             if is_oom(e):
                 print(f"! {name}: oracle OOM ({e}); rebuilding connection "
-                      "and retrying once", flush=True)
+                      "at 8 threads and retrying once", flush=True)
                 try: con.close()
                 except Exception: pass
-                con = rebuild_con()
+                # 8 threads: per-thread expression state was the OOM
+                # mechanism for every case diagnosed so far; the rest of
+                # the board keeps the low-thread connection (correctness
+                # runs are not timed)
+                con = rebuild_con(threads=8)
                 if con is None:
                     n_bad += 1
                     print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
@@ -110,7 +121,7 @@ def main():
                     if is_oom(e2):
                         try: con.close()
                         except Exception: pass
-                        con = rebuild_con()
+                        con = rebuild_con(threads=8)
                         if con is None:
                             print("!! could not rebuild the DuckDB "
                                   "connection after OOM; aborting "
