@@ -1,6 +1,6 @@
 // Streaming soak for the layered deployment chain (VERDICT r13 #3): drive
-// the DWM state-heavy hop — ODS → dwd ledger → [uniqueVisit | userJump] →
-// dwm ledgers → VisitorStats VersionedState — through ~300 one-day
+// the DWM state-heavy hop -- ODS -> dwd ledger -> [uniqueVisit | userJump] ->
+// dwm ledgers -> VisitorStats VersionedState -- through ~300 one-day
 // micro-batch cycles of ROTATING-population feed, and measure that
 // RocksDB state and JVM counters PLATEAU instead of growing with stream
 // length: UV's per-mid state is evicted 1 idle day after its last drain
@@ -100,7 +100,7 @@ for (d <- 1 until days) {
 q1.stop(); qUv.stop(); qJp.stop(); qV.stop()
 
 // plateau verdicts: compare the median of days (1/4..1/2] against the
-// median of the last quarter — a leak grows linearly with stream length,
+// median of the last quarter -- a leak grows linearly with stream length,
 // so a bounded ratio over 150 days of separation is the claim measured
 def med(xs: Seq[Long]): Long = { val s = xs.sorted; s(s.length / 2) }
 val q2nd = samples.filter(r => r.day > days / 4 && r.day <= days / 2)
@@ -110,7 +110,7 @@ val jpQ2 = med(q2nd.map(_.jpRows).toSeq); val jpQ4 = med(q4th.map(_.jpRows).toSe
 val heapQ2 = med(q2nd.map(_.heapMb.toLong).toSeq); val heapQ4 = med(q4th.map(_.heapMb.toLong).toSeq)
 val uvOk = uvQ4 <= (uvQ2 * 1.25 + 16).toLong
 val jpOk = jpQ4 <= (jpQ2 * 1.25 + 16).toLong
-// JVM heap wobbles with GC timing; gate it loosely (2x) — the state
+// JVM heap wobbles with GC timing; gate it loosely (2x) -- the state
 // rows are the precise claim, heap is the leak smoke-test
 val heapOk = heapQ4 <= heapQ2 * 2
 // unbounded baseline for scale: total distinct mids fed
@@ -118,27 +118,42 @@ val fedMids = days.toLong * midsPerDay
 val verdict = if (uvOk && jpOk && heapOk) "PASS" else "FAIL"
 
 val sampled = samples.filter(r => r.day % 25 == 0 || r.day == days - 1)
-val table = sampled.map(r => f"| ${r.day}%d | ${r.uvRows}%d | ${r.uvMem / 1024}%d | ${r.jpRows}%d | ${r.jpMem / 1024}%d | ${r.heapMb}%.0f | ${r.metaspaceMb}%.0f | ${r.threads}%d | ${r.classes}%d | ${r.wallSec}%.0f |").mkString("\n")
-val md = s"""# SOAK — layered-chain streaming soak (round 14)
+val table = sampled.map(r => f"|| ${r.day}%d | ${r.uvRows}%d | ${r.uvMem / 1024}%d | ${r.jpRows}%d | ${r.jpMem / 1024}%d | ${r.heapMb}%.0f | ${r.metaspaceMb}%.0f | ${r.threads}%d | ${r.classes}%d | ${r.wallSec}%.0f |").mkString("\n")
+val md = s"""# SOAK -- layered-chain streaming soak (round 14)
 |
 |`scripts/soak.scala`: the DWM state-heavy hop (ODS -> dwd ledger ->
 |uniqueVisit/userJump (RocksDB) -> dwm ledgers -> VisitorStats
 |VersionedState) driven through ${days - 1} one-day micro-batch cycles of
 |ROTATING population ($midsPerDay fresh mids/day, $fedMids distinct mids
 |total). Claim measured: keyed state is bounded by the 1-day idle TTL
-|(UV) and the watermark (jump buffers) — state rows hold ~2 days of
+|(UV) and the watermark (jump buffers) -- state rows hold ~2 days of
 |population however long the stream runs, instead of growing with the
 |$fedMids-mid feed.
 |
 |Generated ${java.time.Instant.now()} (UTC). Verdict: **$verdict**
 |
-|- UV state rows: median ${uvQ2} (2nd quarter) -> ${uvQ4} (last quarter) ${if (uvOk) "— flat" else "— GROWING"}
-|- jump state rows: median ${jpQ2} -> ${jpQ4} ${if (jpOk) "— flat" else "— GROWING"}
-|- driver heap MB: median ${heapQ2} -> ${heapQ4} ${if (heapOk) "— bounded" else "— GROWING"}
+|- UV state rows: median ${uvQ2} (2nd quarter) -> ${uvQ4} (last quarter) ${if (uvOk) "-- flat" else "-- GROWING"}
+|- jump state rows: median ${jpQ2} -> ${jpQ4} ${if (jpOk) "-- flat" else "-- GROWING"}
+|- driver heap MB: median ${heapQ2} -> ${heapQ4} ${if (heapOk) "-- bounded" else "-- GROWING"}
+|
+|uv_mem_kb/jp_mem_kb (memoryUsedBytes of the RocksDB stores) creep a
+|few tens of KB per day at FLAT row counts: SST files accumulate
+|tombstoned versions until RocksDB's own compaction triggers, which
+|tiny per-batch flushes rarely reach locally -- bounded by compaction
+|in a real deployment, and the row counts (the semantic claim) are
+|exactly flat.
+|
+|Known non-plateau: the wall_s column grows super-linearly with stream
+|age -- the ledger's file-stream consumers list O(committed segments)
+|files per trigger, and nothing prunes segments here. STATE is flat;
+|the growth is the un-compacted ledger, whose deployment knob is
+|segment retention/compaction (the reference's Kafka topics carry
+|retention for exactly this reason; `Warehouse.compact` is this repo's
+|batch-side analogue).
 |
 || day | uv_rows | uv_mem_kb | jp_rows | jp_mem_kb | heap_mb | metaspace_mb | threads | classes | wall_s |
 ||---|---|---|---|---|---|---|---|---|---|
 |$table
 |""".stripMargin
 java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SOAK.md"), md)
-println(s"SOAK $verdict — wrote /root/repo/SOAK.md")
+println(s"SOAK $verdict -- wrote /root/repo/SOAK.md")
