@@ -76,8 +76,13 @@ object VectorIndexStream {
                  batch: DataFrame, cents: DataFrame, books: DataFrame,
                  m: Int = 4): Map[String, DataFrame] = {
     // O(batch) new work per trigger; a re-delivered vector is dropped
-    // here (at-least-once safety on top of the versioned transaction)
+    // here (at-least-once safety on top of the versioned transaction).
+    // dropDuplicates first: vec_id is the key by contract, but an
+    // at-least-once SOURCE can repeat a vector WITHIN one batch, and a
+    // duplicate would survive the anti-join, re-enter through
+    // assignCells' join-back, and double-count the cell's drift sums.
     val newVecs = batch
+      .dropDuplicates("vec_id")
       .join(state("seen"), Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
     val assigned = Similarity.assignCells(s, newVecs, cents)

@@ -40,15 +40,21 @@ class VectorIndexStreamSpec extends SparkSpec {
       emb.filter(col("vec_id") >= 50 && col("vec_id") < 380),
       emb.filter(col("vec_id") >= 380))
     splits.zipWithIndex.foreach { case (b, i) =>
-      assert(apply(stateDir, i.toLong, b, cents, books), s"batch $i ran")
+      // batch 1 carries an intra-batch duplicate of every NEW vector
+      // (an at-least-once source can repeat within one trigger): the
+      // merge must not double-count it in cells/codes/cellstats
+      val fed = if (i == 1) b.unionByName(b) else b
+      assert(apply(stateDir, i.toLong, fed, cents, books), s"batch $i ran")
     }
     // a replayed batchId never merges (the VersionedState contract) ...
     assert(!apply(stateDir, 1L, splits(1), cents, books))
     // ... and re-delivered CONTENT under a fresh batchId adds nothing
-    // (the `seen` anti-join): artifacts before == after
+    // (the `seen` anti-join), including a vector repeated WITHIN the
+    // batch (an at-least-once source can do both): artifacts == before
     val before = VectorIndexStream.readArtifacts(spark, stateDir)
       .map { case (k, v) => k -> rows(v) }
-    assert(apply(stateDir, 3L, splits(1).unionByName(splits(2)),
+    assert(apply(stateDir, 3L,
+      splits(1).unionByName(splits(2)).unionByName(splits(2)),
       cents, books))
     val arts = VectorIndexStream.readArtifacts(spark, stateDir)
     VectorIndexStream.frameNames.foreach { n =>
