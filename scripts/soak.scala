@@ -24,6 +24,11 @@ import graft.streaming.VersionedState
 
 spark.sparkContext.setLogLevel("WARN")
 spark.conf.set("spark.sql.streaming.stateStore.providerClass", "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+// retention-enabled ledgers: a consumer that captured a segment path just
+// before expireSegments' atomic rename must treat the stat miss as a skip,
+// not a stream-killing error (Kafka consumers get this from offset fetches;
+// the file-source analogue is this conf)
+spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
 
 implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 import spark.implicits._
@@ -36,6 +41,14 @@ val vSt = s"$stage/state_visitor"
 
 val days = sys.env.getOrElse("SOAK_DAYS", "300").toInt
 val midsPerDay = 50
+// Ledger segment retention (Kafka.expireSegments), the r14 knob for the
+// one non-plateau the first soak measured: without it the file-stream
+// consumers list O(committed segments) per trigger forever. Keep a
+// 7-version horizon -- every consumer is drained to current each day, so
+// the horizon is far beyond the max consumer lag (the Kafka contract).
+// SOAK_RETAIN=0 reproduces the unpruned baseline.
+val retain = sys.env.getOrElse("SOAK_RETAIN", "1") != "0"
+val retainHorizon = 7L
 val day0 = java.time.LocalDate.parse("2021-03-01")
 
 // one day's ODS lines: midsPerDay FRESH mids (population rotates daily, so
@@ -91,6 +104,13 @@ for (d <- 1 until days) {
   qUv.processAllAvailable()
   qJp.processAllAvailable()
   qV.processAllAvailable()
+  if (retain) {
+    for (l <- Seq(dwdLedger, uvLedger, jumpLedger)) {
+      VersionedState.latestVersion(spark, l).foreach { latest =>
+        graft.sources.Kafka.expireSegments(spark, l, latest - retainHorizon)
+      }
+    }
+  }
   val (ur, um) = stateOf(qUv)
   val (jr, jm) = stateOf(qJp)
   val (h, m, th, cl) = jvm()
@@ -113,9 +133,22 @@ val jpOk = jpQ4 <= (jpQ2 * 1.25 + 16).toLong
 // JVM heap wobbles with GC timing; gate it loosely (2x) -- the state
 // rows are the precise claim, heap is the leak smoke-test
 val heapOk = heapQ4 <= heapQ2 * 2
+// per-day trigger wall (the cumulative column's delta): with retention on,
+// the per-trigger listing cost must plateau too -- the first soak measured
+// it growing ~3x across the same separation without retention
+val perDay = samples.toSeq.sortBy(_.day).sliding(2).collect {
+  case Seq(a, b) => (b.day, ((b.wallSec - a.wallSec) * 1000).toLong)
+}.toSeq
+def medAt(f: Int => Boolean) = med(perDay.collect { case (d, w) if f(d) => w })
+val wallQ2 = medAt(d => d > days / 4 && d <= days / 2)
+val wallQ4 = medAt(d => d > 3 * days / 4)
+// 1.5x + 1 s slack: RocksDB SST accumulation and checkpoint-log growth
+// still add a mild drift locally; the O(segments) listing term is the
+// super-linear one retention removes
+val wallOk = !retain || wallQ4 <= (wallQ2 * 1.5 + 1000)
 // unbounded baseline for scale: total distinct mids fed
 val fedMids = days.toLong * midsPerDay
-val verdict = if (uvOk && jpOk && heapOk) "PASS" else "FAIL"
+val verdict = if (uvOk && jpOk && heapOk && wallOk) "PASS" else "FAIL"
 
 val sampled = samples.filter(r => r.day % 25 == 0 || r.day == days - 1)
 val table = sampled.map(r => f"|| ${r.day}%d | ${r.uvRows}%d | ${r.uvMem / 1024}%d | ${r.jpRows}%d | ${r.jpMem / 1024}%d | ${r.heapMb}%.0f | ${r.metaspaceMb}%.0f | ${r.threads}%d | ${r.classes}%d | ${r.wallSec}%.0f |").mkString("\n")
@@ -131,10 +164,12 @@ val md = s"""# SOAK -- layered-chain streaming soak (round 14)
 |$fedMids-mid feed.
 |
 |Generated ${java.time.Instant.now()} (UTC). Verdict: **$verdict**
+|Ledger retention: ${if (retain) s"ON (Kafka.expireSegments, $retainHorizon-version horizon per ledger, applied daily)" else "OFF (SOAK_RETAIN=0 baseline)"}
 |
 |- UV state rows: median ${uvQ2} (2nd quarter) -> ${uvQ4} (last quarter) ${if (uvOk) "-- flat" else "-- GROWING"}
 |- jump state rows: median ${jpQ2} -> ${jpQ4} ${if (jpOk) "-- flat" else "-- GROWING"}
 |- driver heap MB: median ${heapQ2} -> ${heapQ4} ${if (heapOk) "-- bounded" else "-- GROWING"}
+|- per-day wall ms: median ${wallQ2} -> ${wallQ4} ${if (!retain) "-- ungated (retention off)" else if (wallOk) "-- flat" else "-- GROWING"}
 |
 |uv_mem_kb/jp_mem_kb (memoryUsedBytes of the RocksDB stores) creep a
 |few tens of KB per day at FLAT row counts: SST files accumulate
@@ -143,17 +178,18 @@ val md = s"""# SOAK -- layered-chain streaming soak (round 14)
 |in a real deployment, and the row counts (the semantic claim) are
 |exactly flat.
 |
-|Known non-plateau: the wall_s column grows super-linearly with stream
-|age -- the ledger's file-stream consumers list O(committed segments)
-|files per trigger, and nothing prunes segments here. STATE is flat;
-|the growth is the un-compacted ledger, whose deployment knob is
-|segment retention/compaction (the reference's Kafka topics carry
-|retention for exactly this reason; `Warehouse.compact` is this repo's
-|batch-side analogue).
+|The first (r14, pre-retention) soak measured one non-plateau: per-day
+|wall grew super-linearly with stream age because the ledger's
+|file-stream consumers list O(committed segments) files per trigger and
+|nothing pruned segments. That knob is now CODE -- `Kafka.expireSegments`
+|(the Kafka topic-retention analogue; hwm-guarded so the exactly-once
+|replay-skip survives expiry, LedgerRetentionSpec) -- and this soak
+|applies it daily, gating the per-day wall median alongside the state
+|rows. `Warehouse.compact` remains the batch-side analogue.
 |
 || day | uv_rows | uv_mem_kb | jp_rows | jp_mem_kb | heap_mb | metaspace_mb | threads | classes | wall_s |
 ||---|---|---|---|---|---|---|---|---|---|
-|$table
+$table
 |""".stripMargin
 java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SOAK.md"), md)
 println(s"SOAK $verdict -- wrote /root/repo/SOAK.md")

@@ -58,7 +58,11 @@ object LayeredPipeline {
 
   /** Streaming consumer over one topic of a ledger: Spark's file stream
     * source on the committed segment dirs (schema is the K2 value
-    * column; `topic` is the partition dir the glob pins). */
+    * column; `topic` is the partition dir the glob pins). On a ledger
+    * under retention ([[Kafka.expireSegments]]) the session must set
+    * `spark.sql.files.ignoreMissingFiles=true`: a segment path captured
+    * by the per-trigger glob just before the expiry rename is a clean
+    * whole-dir stat miss the consumer must skip, not die on. */
   def topicStream(s: SparkSession, ledger: String, topic: String): DataFrame =
     s.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))

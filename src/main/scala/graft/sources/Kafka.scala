@@ -90,7 +90,12 @@ object Kafka {
     */
   def txnProduce(batch: DataFrame, brokerDir: String, batchId: Long): Boolean = {
     val s = batch.sparkSession
-    val committed = graft.streaming.VersionedState.latestVersion(s, brokerDir)
+    // the replay-skip consults BOTH live segments and the retention
+    // high-watermark: a batchId whose segment [[expireSegments]] already
+    // deleted must stay a no-op, not re-produce into an expired slot
+    val committed =
+      (graft.streaming.VersionedState.latestVersion(s, brokerDir).toSeq ++
+        retentionHwm(s, brokerDir)).maxOption
     if (committed.exists(_ >= batchId)) false
     else {
       batch.write.partitionBy("topic").mode("overwrite")
@@ -106,6 +111,94 @@ object Kafka {
     routed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => { txnProduce(b, brokerDir, id); () })
+
+  /** Marker files recording the highest EXPIRED segment version — the
+    * retention high-watermark. The version is encoded in the FILENAME
+    * (`_retention_hwm=N`), never in file content: file creation is
+    * atomic where content writes are not, so a crash mid-expiry can
+    * never surface a torn LOWER hwm (which would let an expired batchId
+    * re-produce). Read = max over marker names; [[expireSegments]]
+    * prunes superseded markers after creating the new one. Readers that
+    * list segment dirs skip them (files, not `v=` directories). */
+  private val RetentionHwmPrefix = "_retention_hwm="
+
+  /** Highest segment version ever expired from `brokerDir`, if any. */
+  def retentionHwm(s: SparkSession, brokerDir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(brokerDir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(RetentionHwmPrefix))
+      .map(_.stripPrefix(RetentionHwmPrefix).toLong)
+      .maxOption
+  }
+
+  /** Ledger segment retention — the Kafka topic-retention analogue
+    * (the reference's topics carry time-based retention; without it the
+    * file-stream consumers over this ledger list O(committed segments)
+    * per trigger forever — the one measured non-plateau in SOAK.md).
+    *
+    * Deletes committed segments with version < `keepFrom`, first
+    * recording the highest expired version in a `_retention_hwm` marker
+    * so [[txnProduce]]'s exactly-once replay-skip survives even when
+    * every data segment a batchId wrote is gone. Write-then-delete
+    * ordering makes a crash mid-expiry safe: the hwm advanced but extra
+    * segments survive — never a lost hwm with deleted data.
+    *
+    * Contract (exactly Kafka's): retention must exceed the maximum
+    * consumer lag. A file-stream consumer restarting from its checkpoint
+    * re-reads only its last in-flight batch's files, which the contract
+    * keeps inside the horizon; a consumer lagging past the horizon loses
+    * data, as it would on a retention-expired Kafka topic.
+    *
+    * Deletion is rename-then-delete, Kafka's own discipline (brokers
+    * rename a segment `.deleted` and remove it after a delay so in-flight
+    * reads never see a half-deleted file): recursively deleting `v=N` in
+    * place races LIVE consumers' per-trigger glob walks — a directory
+    * captured by the root listing and statted mid-delete surfaces as
+    * AccessDenied/half-listed (observed: the first retention-enabled soak
+    * killed its UV consumer exactly this way). The atomic rename to a
+    * dot-prefixed name flips visibility in one filesystem op — Spark's
+    * hidden-path filter (`.`/`_` prefixes) excludes it from every source
+    * listing, a `v=*` glob no longer matches it, and a stat of the old
+    * path is a clean whole-dir miss the glob walk skips — after which the
+    * physical delete proceeds with no reader able to walk in.
+    *
+    * Returns the number of segments expired. */
+  def expireSegments(s: SparkSession, brokerDir: String,
+                     keepFrom: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(brokerDir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return 0
+    val expired = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .filter(_.getName.stripPrefix("v=").toLong < keepFrom)
+    if (expired.isEmpty) return 0
+    val hwm = (expired.map(_.getName.stripPrefix("v=").toLong) ++
+      retentionHwm(s, brokerDir)).max
+    f.create(new org.apache.hadoop.fs.Path(root,
+      s"$RetentionHwmPrefix$hwm"), true).close()
+    // prune superseded markers, then the segments; a crash anywhere in
+    // between leaves extra markers or extra segments — never a lost hwm
+    f.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(RetentionHwmPrefix))
+      .filter(_.getName.stripPrefix(RetentionHwmPrefix).toLong < hwm)
+      .foreach(p => f.delete(p, false))
+    expired.foreach { p =>
+      val hidden = new org.apache.hadoop.fs.Path(root, s".expired-${p.getName}")
+      if (f.rename(p, hidden)) f.delete(hidden, true)
+      else f.delete(p, true) // rename refused (FS quirk): fall back
+    }
+    // sweep tombstones a crash between rename and delete left behind
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(".expired-"))
+      .foreach(p => f.delete(p, true))
+    expired.size
+  }
 
   /** The `read_committed` consumer view of [[txnProduce]]'s broker dir:
     * only `_SUCCESS`-committed segments, each stamped with its batch id
