@@ -171,7 +171,15 @@ object Kafka {
     val root = new org.apache.hadoop.fs.Path(brokerDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return 0
-    val expired = f.listStatus(root).toSeq.filter(_.isDirectory)
+    // sweep tombstones a crash between rename and delete left behind —
+    // BEFORE the no-op early return, so recovery never waits on a
+    // future non-empty expiry (they are dot-hidden from readers either
+    // way, but they hold disk)
+    val listing = f.listStatus(root).toSeq
+    listing.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".expired-"))
+      .foreach(p => f.delete(p, true))
+    val expired = listing.filter(_.isDirectory)
       .map(_.getPath)
       .filter(_.getName.startsWith("v="))
       .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
@@ -193,7 +201,8 @@ object Kafka {
       if (f.rename(p, hidden)) f.delete(hidden, true)
       else f.delete(p, true) // rename refused (FS quirk): fall back
     }
-    // sweep tombstones a crash between rename and delete left behind
+    // retry any tombstone whose delete failed just above (the entry
+    // sweep handles ones a crash leaves for the NEXT call)
     f.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(".expired-"))
       .foreach(p => f.delete(p, true))

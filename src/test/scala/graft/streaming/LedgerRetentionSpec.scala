@@ -116,4 +116,56 @@ class LedgerRetentionSpec extends SparkSpec {
     val tail = Kafka.readCommitted(s, broker).collect()
     assert(tail.length === 1 && tail.head.getAs[Long]("batch_id") === 4L)
   }
+
+  test("crash mid-expiry: hwm written but segments undeleted — replay-safe, rerun completes") {
+    // expireSegments' ordering claim: the hwm marker is created BEFORE
+    // any delete, so a crash between them leaves EXTRA segments under an
+    // ADVANCED hwm — never deleted data with a stale hwm. Simulate the
+    // crash state directly and assert both halves of the claim.
+    val s = spark
+    val stage =
+      java.nio.file.Files.createTempDirectory("graft-retain-crash").toString
+    val broker = s"$stage/ledger"
+    Seq(0L, 1L, 2L).foreach(v =>
+      assert(Kafka.txnProduce(oneTopicBatch(Seq(v * 10)), broker, v)))
+    // the crash state: hwm says v<=1 expired, but the process died
+    // before deleting them — both segments still on disk
+    new java.io.File(broker, "_retention_hwm=1").createNewFile()
+    assert(Kafka.retentionHwm(s, broker) === Some(1L))
+    // replay-skip already honors the advanced hwm (no double-produce
+    // even though v=0/v=1 will soon vanish)
+    assert(!Kafka.txnProduce(oneTopicBatch(Seq(999L)), broker, 1L))
+    // re-running retention (the recovery path) completes the delete and
+    // keeps the hwm; nothing is double-counted
+    assert(Kafka.expireSegments(s, broker, keepFrom = 2L) === 2)
+    assert(Kafka.retentionHwm(s, broker) === Some(1L))
+    assert(segmentVersions(broker) === Seq(2L))
+  }
+
+  test("crash mid-delete: orphaned rename tombstone is swept, invisible to consumers") {
+    // the rename-then-delete discipline can die between the two ops,
+    // leaving a hidden `.expired-v=N` tombstone. It must be invisible to
+    // every reader (dot-prefix = Spark hidden path) and swept by the
+    // next expiry pass.
+    val s = spark
+    val stage =
+      java.nio.file.Files.createTempDirectory("graft-retain-tomb").toString
+    val broker = s"$stage/ledger"
+    Seq(0L, 1L).foreach(v =>
+      assert(Kafka.txnProduce(oneTopicBatch(Seq(v * 10)), broker, v)))
+    // simulate the half-deleted state: v=0 renamed but not yet removed
+    val fs = new org.apache.hadoop.fs.Path(broker)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(broker, "v=0"),
+      new org.apache.hadoop.fs.Path(broker, ".expired-v=0")))
+    new java.io.File(broker, "_retention_hwm=0").createNewFile()
+    // invisible to the consumer view and the version listing
+    assert(Kafka.readCommitted(s, broker).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(segmentVersions(broker) === Seq(1L))
+    // the next retention pass (even a no-op one) sweeps the tombstone
+    assert(Kafka.expireSegments(s, broker, keepFrom = 1L) === 0)
+    assert(!new java.io.File(broker, ".expired-v=0").exists())
+    assert(segmentVersions(broker) === Seq(1L))
+  }
 }
