@@ -61,13 +61,14 @@ def main():
             print(f"  {name}: rows-only ({len(spark_df)} rows)")
             continue
         def is_oom(exc):
-            # exception types first (ADVICE r13: substring-matching one
-            # message missed "bad allocation", DuckDB's other at-limit
-            # death), then the known message spellings as a fallback
-            oom_types = tuple(t for t in (
-                getattr(duckdb, "OutOfMemoryException", None),
-                getattr(duckdb, "FatalException", None)) if t)
-            if oom_types and isinstance(exc, oom_types):
+            # OutOfMemoryException is definitive; FatalException also
+            # covers non-memory fatal states (INTERNAL Error, assertion
+            # failures), so for it — and for any other type — require a
+            # memory-spelled message too, or a genuine oracle bug gets
+            # logged as resource-bound and pointlessly retried (the exact
+            # misadjudication class r12-r14 untangled)
+            oom_t = getattr(duckdb, "OutOfMemoryException", None)
+            if oom_t and isinstance(exc, oom_t):
                 return True
             msg = str(exc)
             return any(m in msg for m in

@@ -26,8 +26,9 @@ spark.sparkContext.setLogLevel("WARN")
 spark.conf.set("spark.sql.streaming.stateStore.providerClass", "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 // retention-enabled ledgers: a consumer that captured a segment path just
 // before expireSegments' atomic rename must treat the stat miss as a skip,
-// not a stream-killing error (Kafka consumers get this from offset fetches;
-// the file-source analogue is this conf)
+// not a stream-killing error. topicStream sets the per-source
+// ignoreMissingFiles itself; the session conf additionally covers any
+// ad-hoc batch read over the ledger this script might do
 spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
 
 implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -40,6 +41,7 @@ val jumpLedger = s"$stage/ledger_jump"
 val vSt = s"$stage/state_visitor"
 
 val days = sys.env.getOrElse("SOAK_DAYS", "300").toInt
+require(days >= 12, s"SOAK_DAYS=$days too short: the quarter-median verdict gates need samples in both the 2nd and 4th quarters")
 val midsPerDay = 50
 // Ledger segment retention (Kafka.expireSegments), the r14 knob for the
 // one non-plateau the first soak measured: without it the file-stream

@@ -58,14 +58,18 @@ object LayeredPipeline {
 
   /** Streaming consumer over one topic of a ledger: Spark's file stream
     * source on the committed segment dirs (schema is the K2 value
-    * column; `topic` is the partition dir the glob pins). On a ledger
-    * under retention ([[Kafka.expireSegments]]) the session must set
-    * `spark.sql.files.ignoreMissingFiles=true`: a segment path captured
-    * by the per-trigger glob just before the expiry rename is a clean
-    * whole-dir stat miss the consumer must skip, not die on. */
+    * column; `topic` is the partition dir the glob pins). Sets the
+    * per-source `ignoreMissingFiles` (FileSourceOptions) because a
+    * ledger may be under retention ([[Kafka.expireSegments]]): a
+    * segment path captured by the per-trigger glob just before the
+    * expiry rename is a clean whole-dir stat miss the consumer must
+    * skip, not die on — retention's contract already guarantees the
+    * horizon exceeds consumer lag, so a skipped path is always an
+    * already-consumed segment, never data loss. */
   def topicStream(s: SparkSession, ledger: String, topic: String): DataFrame =
     s.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))
+      .option("ignoreMissingFiles", "true")
       .parquet(s"$ledger/v=*/topic=$topic")
 
   /** DWD→DWM: the OrderWideApp hop — parse the order fact, enrich with a

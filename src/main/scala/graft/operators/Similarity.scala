@@ -63,11 +63,18 @@ object Similarity {
     * against — hash-partitioned on vec_id so assignment-pass join-backs
     * stay exchange-free. One cache entry per (dir, sample, nQueries)
     * regardless of how many finders an audit composes. */
+  /** Canonical (sample, nQueries) key segment: at sample ≥ 32 the shared
+    * frame is the FULL corpus and nQueries does not shape it — nor any
+    * artifact trained purely from it (centroids, codebooks, signatures).
+    * Canonicalizing here keeps e.g. the batch queries (nQueries=5) and
+    * the incremental-index accessors (nQueries=0) on ONE memo entry
+    * instead of duplicate Lloyd trainings of bit-identical artifacts. */
+  private def embKeyPart(sample: Int, nQueries: Int): String =
+    if (sample >= 32) "full" else s"$sample:$nQueries"
+
   private def sharedEmb(s: SparkSession, dir: String, sample: Int,
                         nQueries: Int): DataFrame = {
-    val key =
-      if (sample >= 32) s"emb:$dir:full"
-      else s"emb:$dir:$sample:$nQueries"
+    val key = s"emb:$dir:${embKeyPart(sample, nQueries)}"
     memo(s, key) {
       embSample(Tables.load(s, dir, "embeddings"), sample, nQueries)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -81,7 +88,7 @@ object Similarity {
   private def sharedIvfCents(s: SparkSession, dir: String, sample: Int,
                              nQueries: Int, nCells: Int,
                              lloydRounds: Int): DataFrame =
-    memo(s, s"ivf:$dir:$sample:$nQueries:$nCells:$lloydRounds") {
+    memo(s, s"ivf:$dir:${embKeyPart(sample, nQueries)}:$nCells:$lloydRounds") {
       val emb = sharedEmb(s, dir, sample, nQueries)
       var cents = emb.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -97,7 +104,7 @@ object Similarity {
   private def sharedIvfAssign(s: SparkSession, dir: String, sample: Int,
                               nQueries: Int, nCells: Int,
                               lloydRounds: Int): DataFrame =
-    memo(s, s"ivfasg:$dir:$sample:$nQueries:$nCells:$lloydRounds") {
+    memo(s, s"ivfasg:$dir:${embKeyPart(sample, nQueries)}:$nCells:$lloydRounds") {
       val emb = sharedEmb(s, dir, sample, nQueries)
       val cents =
         sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds)
@@ -277,7 +284,7 @@ object Similarity {
     val mask = (1L << bitsPerBand) - 1
     // the bucketed view rides its own memo entry: the sign-bit signature
     // is 64×bits multiplies per row — worth caching over the shared base
-    val emb = memo(s, s"lshb:$dir:$sample:$nQueries:$bits") {
+    val emb = memo(s, s"lshb:$dir:${embKeyPart(sample, nQueries)}:$bits") {
       sharedEmb(s, dir, sample, nQueries)
         .select(col("vec_id"), col("embedding"),
           graft.plans.FloatVecLshBucket(s, col("embedding"), bits).as("bucket"))
@@ -478,7 +485,7 @@ object Similarity {
   private def sharedPq(s: SparkSession, dir: String, sample: Int,
                        nQueries: Int, m: Int, codebookSize: Int,
                        lloydRounds: Int): (DataFrame, DataFrame) =
-    memo(s, s"pq:$dir:$sample:$nQueries:$m:$codebookSize:$lloydRounds") {
+    memo(s, s"pq:$dir:${embKeyPart(sample, nQueries)}:$m:$codebookSize:$lloydRounds") {
       val subs = pqSubs(sharedEmb(s, dir, sample, nQueries), m, 64 / m)
       val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
       // lazy persist, not eager checkpoint: a single-consumer caller

@@ -175,18 +175,18 @@ object Kafka {
     // BEFORE the no-op early return, so recovery never waits on a
     // future non-empty expiry (they are dot-hidden from readers either
     // way, but they hold disk)
-    val listing = f.listStatus(root).toSeq
-    listing.filter(_.isDirectory).map(_.getPath)
+    f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(".expired-"))
       .foreach(p => f.delete(p, true))
-    val expired = listing.filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .filter(_.getName.stripPrefix("v=").toLong < keepFrom)
+    // visibility through the ONE committed-ness rule (VersionedState):
+    // only _SUCCESS-committed segments are retention candidates — an
+    // in-flight produce's half-written dir is the producer's to finish
+    val expiredVersions = graft.streaming.VersionedState
+      .committedVersions(s, brokerDir).filter(_ < keepFrom)
+    val expired =
+      expiredVersions.map(v => new org.apache.hadoop.fs.Path(root, s"v=$v"))
     if (expired.isEmpty) return 0
-    val hwm = (expired.map(_.getName.stripPrefix("v=").toLong) ++
-      retentionHwm(s, brokerDir)).max
+    val hwm = (expiredVersions ++ retentionHwm(s, brokerDir)).max
     f.create(new org.apache.hadoop.fs.Path(root,
       s"$RetentionHwmPrefix$hwm"), true).close()
     // prune superseded markers, then the segments; a crash anywhere in
@@ -214,14 +214,8 @@ object Kafka {
     * (the offset analogue). */
   def readCommitted(s: SparkSession, brokerDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val root = new org.apache.hadoop.fs.Path(brokerDir)
-    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions =
-      if (!f.exists(root)) Seq.empty[Long]
-      else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("v="))
-        .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(_.getName.stripPrefix("v=").toLong).sorted
+      graft.streaming.VersionedState.committedVersions(s, brokerDir).sorted
     // ONE multi-path scan with basePath, not a per-version union (ADVICE
     // r10): with N committed micro-batches a union chain made the plan
     // O(N) nodes and the driver list the dir N more times; here `v` and

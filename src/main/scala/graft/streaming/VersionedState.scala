@@ -35,19 +35,27 @@ object VersionedState {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Highest complete (committed) version id under `path`, if any. */
-  def latestVersion(s: SparkSession, path: String): Option[Long] = {
+  /** THE committed-ness rule, in one place: a `v=N` directory under
+    * `path` is committed iff its `_SUCCESS` marker exists. Producers
+    * (`Kafka.txnProduce`), consumers (`Kafka.readCommitted`), retention
+    * (`Kafka.expireSegments`) and the state protocol below must all
+    * resolve visibility through this listing, so a future change to the
+    * commit protocol cannot fork the definition between them. */
+  def committedVersions(s: SparkSession, path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val f = fs(s, path)
-    if (!f.exists(root)) return None
-    val versions = f.listStatus(root).toSeq
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(_.getName.startsWith("v="))
       .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(_.getName.stripPrefix("v=").toLong)
-    if (versions.isEmpty) None else Some(versions.max)
   }
+
+  /** Highest complete (committed) version id under `path`, if any. */
+  def latestVersion(s: SparkSession, path: String): Option[Long] =
+    committedVersions(s, path).maxOption
 
   /** The latest committed state frame, or `empty` if none. */
   def read(s: SparkSession, path: String, empty: => DataFrame): DataFrame =
