@@ -426,9 +426,15 @@ object Curation {
     * corpus (q62): `pq` quality, `kept` dedup survivor, `clean` train-split
     * and uncontaminated. One corpus pass plus two small joins. */
   def curationFlags(s: SparkSession, dir: String): DataFrame = {
-    val docs = docFeatures(s, dir)
+    // the feature artifact and the q48 clustering are independent EAGER
+    // builds (each pins); build them concurrently so the flags cost
+    // max(leg), not sum (guide §2.6). decontaminate stays lazy — its
+    // stages already overlap inside the caller's one action.
+    val (feats, clusters) =
+      Par.par2(docFeatures(s, dir), Dedup.sharedClusters(s, dir))
+    val docs = feats
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("alpha_ratio"))
-    val dups = Dedup.sharedClusters(s, dir)
+    val dups = clusters
       .filter(col("cluster") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     val contam = decontaminate(s, dir)

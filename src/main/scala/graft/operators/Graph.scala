@@ -177,11 +177,18 @@ object Graph {
       .transform(PinExplain.pin)
     var mass = deg.select(col("pk"), lit(1000000000000L).as("mass"))
     (1 to iters).foreach { _ =>
+      // per-EDGE contribution `mass div deg` is a function of p1 alone, so
+      // compute it once per NODE and join the edge list against that
+      // (node-scale) outflow frame — one edge-scale join per round instead
+      // of two, and the shuffle that reaches the edge join carries a single
+      // long per node (guide §2.3 "aggregate before you shuffle" /
+      // "shuffle keys and metadata instead of payloads"). Identical integer
+      // arithmetic per edge, so the unrolled DuckDB oracle is untouched.
+      val outflow = mass.join(deg, Seq("pk"))
+        .select(col("pk").as("p1"), expr("mass div deg").as("c"))
       val inflow = edges
-        .join(mass.withColumnRenamed("pk", "p1"), Seq("p1"))
-        .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
-        .select(col("p2").as("pk"), expr("mass div deg").as("c"))
-        .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
+        .join(outflow, Seq("p1"))
+        .groupBy(col("p2").as("pk")).agg(sum(col("c")).as("inf"))
       val next = deg.select(col("pk"))
         .join(inflow, Seq("pk"), "left")
         .select(col("pk"),
@@ -229,11 +236,19 @@ object Graph {
         when(col("pk") === col("spk"), 1000000000000L).otherwise(0L)
           .as("mass"))
     (1 to iters).foreach { _ =>
+      // q112's per-node outflow shape (see pagerankFrom): one edge-scale
+      // join per round, not two — identical integer math per edge. PPR
+      // mass decays geometrically from the seed, so most nodes carry
+      // mass = 0 in early rounds; dropping zero contributions before the
+      // edge join changes no sum (an all-zero inflow group becomes an
+      // absent one — same value through the left-join coalesce) but keeps
+      // the per-round join proportional to the REACHED frontier.
+      val outflow = mass.join(deg, Seq("pk"))
+        .select(col("pk").as("p1"), expr("mass div deg").as("c"))
+        .filter(col("c") =!= 0L)
       val inflow = edges
-        .join(mass.withColumnRenamed("pk", "p1"), Seq("p1"))
-        .join(deg.withColumnRenamed("pk", "p1"), Seq("p1"))
-        .select(col("p2").as("pk"), expr("mass div deg").as("c"))
-        .groupBy(col("pk")).agg(sum(col("c")).as("inf"))
+        .join(outflow, Seq("p1"))
+        .groupBy(col("p2").as("pk")).agg(sum(col("c")).as("inf"))
       val next = deg.select(col("pk"))
         .crossJoin(broadcast(seed))
         .join(inflow, Seq("pk"), "left")

@@ -541,14 +541,19 @@ object Similarity {
                 lloydRounds: Int = 2, m: Int = 4,
                 codebookSize: Int = 16, sample: Int = 32): DataFrame = {
     val emb = sharedEmb(s, dir, sample, nQueries)
-    // coarse inverted file (q31 protocol, shared with ivfTopK)
-    val cents = sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds)
+    // the two trainings are independent eager builds (each pins its
+    // artifact): run the coarse-IVF Lloyd and the PQ Lloyd concurrently
+    // (guide §2.6). Materialize the lazily-persisted corpus frame first
+    // so the concurrent first-readers don't duplicate its partition
+    // computes. In an audit context everything below is a memo hit and
+    // the fork is a no-op.
+    emb.count()
+    val (cents, (books, codes)) = Par.par2(
+      sharedIvfCents(s, dir, sample, nQueries, nCells, lloydRounds),
+      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds))
     val assigned =
       sharedIvfAssign(s, dir, sample, nQueries, nCells, lloydRounds)
       .select(col("vec_id"), col("cid").as("cell"))
-    // PQ codes + query tables (q128 protocol, shared with pqTopK)
-    val (books, codes) =
-      sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
     ivfPqTopKFrom(s, emb, cents, assigned, books, codes,
       nQueries, k, nProbe, m)
   }
@@ -764,9 +769,23 @@ object Similarity {
     * engines grade the same candidates against the same truth. */
   def annRecall(s: SparkSession, dir: String,
                 sample: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(s, dir, sample = sample)
-      .select(col("qid"), col("nid"))
-      .transform(PinExplain.pin)
+    // warm AND MATERIALIZE the shared corpus frame single-threaded, then
+    // overlap the three EAGER artifact builds the audit serializes
+    // otherwise: the exact truth (pin), the coarse-IVF Lloyd training
+    // (pin inside sharedIvfCents) and the PQ Lloyd training (pin inside
+    // sharedPq) — guide §2.6. The count() is what makes the overlap
+    // sound: the shared frame is persisted LAZILY, and three concurrent
+    // first-readers would each compute its partitions while the cache
+    // fills (measured: +160 duplicate tasks per run). Parameters mirror
+    // the finders' defaults below, so the finders memo-hit; a drifted
+    // default would only cost a duplicate training, never a wrong result.
+    sharedEmb(s, dir, sample, 5).count()
+    val (exact, _, _) = Par.par3(
+      bruteForceTopK(s, dir, sample = sample)
+        .select(col("qid"), col("nid"))
+        .transform(PinExplain.pin),
+      sharedIvfCents(s, dir, sample, 5, 16, 2),
+      sharedPq(s, dir, sample, 5, 4, 16, 2))
     val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
     val methods: Seq[(String, DataFrame)] = Seq(
       "int8" -> quantizedTopK(s, dir, sample = sample),
@@ -807,9 +826,17 @@ object Similarity {
     * library's own bucketed/coded retrieval paths. */
   def annMrr(s: SparkSession, dir: String, sample: Int = 8,
              k: Int = 10): DataFrame = {
-    val exact = bruteForceTopK(s, dir, sample = sample)
-      .select(col("qid"), col("nid"))
-      .transform(PinExplain.pin)
+    // q130's overlap discipline: materialize the shared corpus frame
+    // (count() — lazy persist + concurrent first-readers = duplicated
+    // partition computes), then build truth ∥ IVF training ∥ PQ training
+    // concurrently (guide §2.6).
+    sharedEmb(s, dir, sample, 5).count()
+    val (exact, _, _) = Par.par3(
+      bruteForceTopK(s, dir, sample = sample)
+        .select(col("qid"), col("nid"))
+        .transform(PinExplain.pin),
+      sharedIvfCents(s, dir, sample, 5, 16, 2),
+      sharedPq(s, dir, sample, 5, 4, 16, 2))
     val qs = exact.select(col("qid")).distinct().transform(PinExplain.pin)
     val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
     val methods: Seq[(String, DataFrame)] = Seq(

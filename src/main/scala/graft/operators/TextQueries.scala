@@ -834,21 +834,32 @@ object TextQueries {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars")).transform(PinExplain.pin)
-    val base = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"),
-      sum(col("n_chars")).as("n_chars"),
-      countDistinct(col("lang")).as("n_langs"),
-      countDistinct(col("source")).as("n_sources")).head()
+    // the five panel legs are independent scans/actions over the pinned
+    // doc frame (plus the memoized q48 clustering) — submit them as
+    // concurrent jobs so the panel costs max(leg), not Σ legs (guide
+    // §2.6; the q140 fan-out-audit discipline). Results are scalars, so
+    // thread-safety is only job submission, which Spark supports.
+    val legs = graft.operators.Par.all[Any](
+      () => docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources")).head(),
+      () => Dedup.sharedClusters(s, dir).count(),
+      () => docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L)))
+        .head().getLong(0),
+      () => TextQueries.piiScanDf(docs)
+        .filter(col("has_pii") > 0).count(),
+      () => docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0))
+    val base = legs(0).asInstanceOf[org.apache.spark.sql.Row]
     val nDocs = base.getLong(0)
-    val clustered = Dedup.sharedClusters(s, dir).count()
-    val exactDup = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L)))
-      .head().getLong(0)
-    val pii = TextQueries.piiScanDf(docs)
-      .filter(col("has_pii") > 0).count()
-    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val clustered = legs(1).asInstanceOf[Long]
+    val exactDup = legs(2).asInstanceOf[Long]
+    val pii = legs(3).asInstanceOf[Long]
+    val topLang = legs(4).asInstanceOf[Long]
     // empty corpus: every ppm denominator is 0 — degrade to 0-ppm rows
     // like the rest of the library instead of ArithmeticException
     def ppm(x: Long): Long = if (nDocs == 0) 0L else x * 1000000L / nDocs
@@ -977,21 +988,29 @@ object TextQueries {
     * frame (one clustering per run — the sharedClusters contract); the
     * weighting is one cluster-keyed aggregate. */
   def effectiveSize(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-    val withC = toks.join(Dedup.sharedClusters(s, dir), Seq("doc_id"), "left")
+    // token counting and the q48 clustering are independent: pin the
+    // (doc_id, n_tokens) scalar table concurrently with the clustering
+    // build — max(scan, clustering) instead of their sum (guide §2.6;
+    // the q165 keeper-report discipline)
+    val (toks, clusters) = graft.operators.Par.par2(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .transform(PinExplain.pin),
+      Dedup.sharedClusters(s, dir))
+    val withC = toks.join(clusters, Seq("doc_id"), "left")
       .select(col("n_tokens"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
     val perCluster = withC.groupBy(col("cluster"))
       .agg(count(lit(1)).as("csize"), sum(col("n_tokens")).as("c_tokens"))
       .select(col("csize"), col("c_tokens"),
         expr("c_tokens * 1000000 div csize").as("eff_micro"))
-    perCluster.groupBy(col("csize"))
+    val out = perCluster.groupBy(col("csize"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("c_tokens")).as("raw_tokens"),
         sum(col("eff_micro")).as("effective_micro"))
       .orderBy(col("csize"))
+    Dedup.pinAndRelease(out, toks)
   }
 
   /** q148: BPE ENCODING — the apply pass completing q133's learning pass
