@@ -429,9 +429,23 @@ object Graph {
         .select(col("u"), least(col("u"), col("mn")).as("m"))
     var edges = sym(e.select(col("p1").as("u"), col("p2").as("v")))
       .transform(PinExplain.pin)
+    // order-independent edge-set signature (count + bit_xor of row
+    // hashes) — the q48 dupClusters convergence convention. The previous
+    // check unioned old+new edge sets and counted the symmetric
+    // difference: a full extra shuffle of BOTH edge frames per round,
+    // where the signature is one metadata-sized aggregate over the
+    // just-pinned round output (its blocks are already local). Edges are
+    // distinct so xor terms can't cancel pairwise; a false fixpoint needs
+    // an equal count AND a 60-bit xor coincidence across different sets.
+    def sig(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = sig(edges)
     var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       val large = sym(edges.join(nbrMin(edges), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
@@ -443,8 +457,9 @@ object Graph {
         .unionByName(mSmall.select(col("u"), col("m").as("v"))))
         .transform(PinExplain.pin)
       // fixed point: the undirected edge set stopped moving
-      changed = small.unionByName(edges).groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("c")).filter(col("c") === 1).count()
+      val nx = sig(small)
+      converged = nx == cur
+      cur = nx
       // PinExplain.release, not Dataset.unpersist: both frames are PINNED
       // (localCheckpoint persists outside the CacheManager, so unpersist
       // was a measured no-op here — this loop leaked one edge block per
