@@ -769,23 +769,9 @@ object Similarity {
     * engines grade the same candidates against the same truth. */
   def annRecall(s: SparkSession, dir: String,
                 sample: Int = 8): DataFrame = {
-    // warm AND MATERIALIZE the shared corpus frame single-threaded, then
-    // overlap the three EAGER artifact builds the audit serializes
-    // otherwise: the exact truth (pin), the coarse-IVF Lloyd training
-    // (pin inside sharedIvfCents) and the PQ Lloyd training (pin inside
-    // sharedPq) — guide §2.6. The count() is what makes the overlap
-    // sound: the shared frame is persisted LAZILY, and three concurrent
-    // first-readers would each compute its partitions while the cache
-    // fills (measured: +160 duplicate tasks per run). Parameters mirror
-    // the finders' defaults below, so the finders memo-hit; a drifted
-    // default would only cost a duplicate training, never a wrong result.
-    sharedEmb(s, dir, sample, 5).count()
-    val (exact, _, _) = Par.par3(
-      bruteForceTopK(s, dir, sample = sample)
-        .select(col("qid"), col("nid"))
-        .transform(PinExplain.pin),
-      sharedIvfCents(s, dir, sample, 5, 16, 2),
-      sharedPq(s, dir, sample, 5, 4, 16, 2))
+    val exact = bruteForceTopK(s, dir, sample = sample)
+      .select(col("qid"), col("nid"))
+      .transform(PinExplain.pin)
     val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
     val methods: Seq[(String, DataFrame)] = Seq(
       "int8" -> quantizedTopK(s, dir, sample = sample),
@@ -826,17 +812,9 @@ object Similarity {
     * library's own bucketed/coded retrieval paths. */
   def annMrr(s: SparkSession, dir: String, sample: Int = 8,
              k: Int = 10): DataFrame = {
-    // q130's overlap discipline: materialize the shared corpus frame
-    // (count() — lazy persist + concurrent first-readers = duplicated
-    // partition computes), then build truth ∥ IVF training ∥ PQ training
-    // concurrently (guide §2.6).
-    sharedEmb(s, dir, sample, 5).count()
-    val (exact, _, _) = Par.par3(
-      bruteForceTopK(s, dir, sample = sample)
-        .select(col("qid"), col("nid"))
-        .transform(PinExplain.pin),
-      sharedIvfCents(s, dir, sample, 5, 16, 2),
-      sharedPq(s, dir, sample, 5, 4, 16, 2))
+    val exact = bruteForceTopK(s, dir, sample = sample)
+      .select(col("qid"), col("nid"))
+      .transform(PinExplain.pin)
     val qs = exact.select(col("qid")).distinct().transform(PinExplain.pin)
     val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
     val methods: Seq[(String, DataFrame)] = Seq(
