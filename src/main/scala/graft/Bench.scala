@@ -391,7 +391,14 @@ object Bench {
       .orElse(if (sfDir.stripSuffix("/").endsWith("sfx1")) Some("1.0")
               else None)
       .getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir","run_id":"$runId"}""")
+    // drift_ref in the CONTRACT line too (VERDICT r14 #2): r14 nearly read
+    // as "regressed" off a slow driver session because the normalizers
+    // lived only in BENCH_LOCAL.json, which the driver does not parse.
+    // Additions-only: every pre-existing field is unchanged.
+    val driftJson = driftRef
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir","run_id":"$runId","drift_ref":$driftJson}""")
     spark.stop()
   }
 }

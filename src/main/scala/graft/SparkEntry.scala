@@ -71,7 +71,7 @@ object SparkEntry {
     "q46_bm25_terms"      -> ((s, d) => TextQueries.bm25TopTerms(s, d)),
     "q47_split_assign"    -> (Dedup.splitAssign _),
     "q48_dup_clusters"    -> ((s, d) => Dedup.sharedClusters(s, d)),
-    "q49_dedup_keep"      -> (Dedup.dedupKeepSet _),
+    "q49_dedup_keep"      -> ((s, d) => Dedup.dedupKeepSet(s, d)),
     "q50_salted_agg"      -> ((s, d) => graft.operators.Skew.saltedEventStats(s, d)),
     "q51_uv_approx"       -> ((s, d) => RefQueries.uvPerDayApprox(s, d)),
     "q52_province_approx" -> ((s, d) => RefQueries.provinceStatsApprox(s, d)),

@@ -299,7 +299,9 @@ object Apps {
                         budget: Int = 2048, chunkSize: Int = 32,
                         chunkOverlap: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{Corpus, Dedup}
-    val kept = Dedup.dedupKeepSet(spark, dir) // shares q48's cached clustering
+    // shares q48's cached clustering; ordered = false — `kept` only ever
+    // feeds the left-semi join below (guide §2.4: dead presentation sort)
+    val kept = Dedup.dedupKeepSet(spark, dir, ordered = false)
     // pack/chunk the CLEANED corpus: the layout must be computed over the
     // surviving docs, or dropped dups leave token-sized holes in the bins
     // (filtering the pack output instead of its input would do exactly

@@ -63,7 +63,13 @@ object Bloom {
   def prefilter(probe: DataFrame, keyCol: String,
                 bloom: DataFrame): DataFrame = {
     val dense = new Array[Long](MBits / 32)
-    bloom.collect().foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    // select by NAME before the (eager, composition-time) collect: a
+    // caller supplying a valid bloom frame with (bits, w) column order
+    // would silently corrupt the filter under positional reads (ADVICE
+    // r14). Note prefilter is eager in the bloom argument by design —
+    // the 64 KB bitset is driver-held, the broadcast-relation class.
+    bloom.select(col("w"), col("bits")).collect()
+      .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
     val words = typedLit(dense.toSeq)
     val pos = positions(col(keyCol))
     // p < 2¹⁸ and non-negative, so word index = p >> 5 and bit = p & 31

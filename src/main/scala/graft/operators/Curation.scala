@@ -244,7 +244,11 @@ object Curation {
     * shuffle is the per-doc hit count over join survivors (tiny). Grams
     * travel as 60-bit content hashes, never as strings.
     */
-  def decontaminate(s: SparkSession, dir: String, n: Int = 13): DataFrame = {
+  /** `ordered = false` skips the doc_id presentation sort for consumers
+    * that join/aggregate the flag set (q59/q62's curationFlags, q194) —
+    * a dead range exchange + sampling job there (guide §2.4). */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 13,
+                    ordered: Boolean = true): DataFrame = {
     // tokens MUST be bound to an attribute before the explode: handed
     // straight to the generator, CollapseProject inlines the tokenizer
     // into every element_at of the shingle lambda — n+2 re-tokenizations
@@ -263,7 +267,7 @@ object Curation {
       .select(col("doc_id"),
         when(col("bucket") < 80, "train").otherwise("val").as("split"),
         col("n_hits"))
-      .orderBy(col("doc_id"))
+      .transform(df => if (ordered) df.orderBy(col("doc_id")) else df)
   }
 
   private def bucketedText(s: SparkSession, dir: String): DataFrame =
@@ -437,7 +441,7 @@ object Curation {
     val dups = clusters
       .filter(col("cluster") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
-    val contam = decontaminate(s, dir)
+    val contam = decontaminate(s, dir, ordered = false)
       .select(col("doc_id"), lit(true).as("is_contam"))
     curationFlagsFrom(docs, dups, contam)
   }
@@ -499,7 +503,8 @@ object Curation {
     * eval-sized and broadcasts; the corpus side is the q43 winnow scan
     * plus one doc-keyed count — the q56 shuffle shape exactly. */
   def winnowDecontaminate(s: SparkSession, dir: String,
-                          minHits: Int = 2): DataFrame = {
+                          minHits: Int = 2,
+                          ordered: Boolean = true): DataFrame = {
     val buckets = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         (PortableHash.h60(col("text")) % 100).as("bucket"))
@@ -519,7 +524,7 @@ object Curation {
         when(col("bucket") < 80, "train").otherwise("val").as("split"),
         col("n_fp"), col("n_hits"),
         expr("n_hits * 1000000 div n_fp").as("hit_ppm"))
-      .orderBy(col("doc_id"))
+      .transform(df => if (ordered) df.orderBy(col("doc_id")) else df)
     Dedup.pinAndRelease(out, fps)
   }
 
@@ -1172,9 +1177,9 @@ object Curation {
     val probed = bucketedText(s, dir).filter(col("bucket") < 90)
       .select(col("doc_id"),
         when(col("bucket") < 80, "train").otherwise("val").as("split"))
-    val gramF = decontaminate(s, dir)
+    val gramF = decontaminate(s, dir, ordered = false)
       .select(col("doc_id"), lit(1L).as("ga"))
-    val winnF = winnowDecontaminate(s, dir)
+    val winnF = winnowDecontaminate(s, dir, ordered = false)
       .select(col("doc_id"), lit(1L).as("wa"))
     val flags = probed
       .join(gramF, Seq("doc_id"), "left")

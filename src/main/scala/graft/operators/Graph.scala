@@ -436,11 +436,15 @@ object Graph {
     // where the signature is one metadata-sized aggregate over the
     // just-pinned round output (its blocks are already local). Edges are
     // distinct so xor terms can't cancel pairwise; a false fixpoint needs
-    // an equal count AND a 60-bit xor coincidence across different sets.
-    def sig(ed: DataFrame): (Long, Long) = {
+    // an equal count AND a simultaneous coincidence of TWO independently-
+    // seeded 64-bit xors across different sets (~2⁻¹²⁸ per round — the
+    // second hash rides the same aggregate for free; VERDICT r14).
+    def sig(ed: DataFrame): (Long, Long, Long) = {
       val r = ed.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(1L), col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var cur = sig(edges)
     var rounds = 0

@@ -24,16 +24,23 @@ private[graft] object Par {
 
   /** Run the thunks concurrently, return results in order. Exceptions
     * propagate from whichever leg failed (after all legs settle, so no
-    * leg keeps running against a torn-down fixture). */
+    * leg keeps running against a torn-down fixture). Each leg captures
+    * EVERY Throwable — Scala Futures complete only on NonFatal, so a leg
+    * dying with a fatal error (OOM, StackOverflow) would otherwise leave
+    * its future pending and hang the Await.ready below forever (ADVICE
+    * r14); captured fatals rethrow on the caller thread instead. */
   def all[T](fs: (() => T)*): Seq[T] = {
     if (fs.sizeIs <= 1) return fs.map(_.apply())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = fs.map(f => Future(f()))
-      // settle every leg before the first Await can throw
+      val futures = fs.map(f => Future(
+        try Right(f()) catch { case t: Throwable => Left(t) }))
+      // settle every leg before the first failure can throw
       futures.foreach(f => Await.ready(f, Duration.Inf))
-      futures.map(f => Await.result(f, Duration.Inf))
+      val settled = futures.map(f => Await.result(f, Duration.Inf))
+      settled.collectFirst { case Left(t) => throw t }
+      settled.collect { case Right(v) => v }
     } finally pool.shutdown()
   }
 

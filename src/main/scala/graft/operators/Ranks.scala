@@ -97,7 +97,26 @@ object Ranks {
     */
   def globalRunningSum(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[String], valueCol: String,
-                       out: String = "cum", partitions: Int = 0): DataFrame = {
+                       out: String = "cum", partitions: Int = 0): DataFrame =
+    globalRunningSums(df, groupCols, orderCols, Seq(valueCol -> out),
+      partitions)
+
+  /** N exact running sums over ONE (groupCols, orderCols) total order —
+    * the multi-measure form of [[globalRunningSum]]: one range exchange,
+    * one pin, one per-(partition, group) offsets aggregate and one
+    * in-partition prefix window carry EVERY measure together. Callers
+    * needing two cumulative distributions over the same order (q139's KS
+    * statistic) previously chained two full globalRunningSum passes —
+    * re-ranging, re-pinning and re-sampling a frame that was already
+    * range-sorted (guide §2.4: two operations keyed the same way share
+    * one exchange). Identical per-measure results: the prefix sum of a
+    * measure is a pure function of (frame, total order), not of how many
+    * other measures ride the same scan. */
+  def globalRunningSums(df: DataFrame, groupCols: Seq[String],
+                        orderCols: Seq[String],
+                        sums: Seq[(String, String)],
+                        partitions: Int = 0): DataFrame = {
+    require(sums.nonEmpty, "globalRunningSums needs at least one measure")
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -107,20 +126,24 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .transform(PinExplain.pinLazy)
     val gcols = groupCols.map(col)
+    val aggCols = sums.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v)).as(s"__s$i")
+    }
     val perPart = ranged.groupBy(col("__pid") +: gcols: _*)
-      .agg(sum(col(valueCol)).as("__s"))
+      .agg(aggCols.head, aggCols.tail: _*)
     val w = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perPart
-      .withColumn("__off", coalesce(sum(col("__s")).over(w), lit(0L)))
-      .drop("__s")
+    val offsets = sums.indices.foldLeft(perPart) { (d, i) =>
+      d.withColumn(s"__off$i",
+        coalesce(sum(col(s"__s$i")).over(w), lit(0L)))
+    }.drop(sums.indices.map(i => s"__s$i"): _*)
     val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offsets), "__pid" +: groupCols)
-      .withColumn(out, col("__off") + sum(col(valueCol)).over(wIn))
-      .drop("__pid", "__off")
+    val joined = ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    sums.zipWithIndex.foldLeft(joined) { case (d, ((v, out), i)) =>
+      d.withColumn(out, col(s"__off$i") + sum(col(v)).over(wIn))
+    }.drop("__pid" +: sums.indices.map(i => s"__off$i"): _*)
   }
 
   /** q126: exact weighted median — per return flag, the smallest line

@@ -147,19 +147,20 @@ object Similarity {
     * formula, ~µs -> ~ns per pair). */
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 5, k: Int = 10,
-                     sample: Int = 32): DataFrame = {
+                     sample: Int = 32): DataFrame =
+    topkByScore(bruteForceScored(s, dir, nQueries, sample), "sim", k)
+
+  /** Scored exact candidates (qid, nid, sim) — [[bruteForceTopK]] before
+    * its top-k window (audit consolidation, see [[topkRows]]). */
+  private def bruteForceScored(s: SparkSession, dir: String, nQueries: Int,
+                               sample: Int): DataFrame = {
     val emb = sharedEmb(s, dir, sample, nQueries)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = emb.crossJoin(broadcast(q))
+    emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("sim"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits, via the codegen'd
@@ -210,15 +211,27 @@ object Similarity {
     * narrowed to float (round-to-nearest-even in both engines); float
     * values can never tie at the 8th decimal (5·10^-8 is not dyadic), so
     * the decimal cast rounds identically too. Empty cells drop out (their
-    * seed attracted no members — Lloyd's standard degeneracy). */
-  private def lloydStep(assigned: DataFrame): DataFrame =
-    assigned.select(col("cid"), posexplode(col("embedding")))
-      .groupBy(col("cid"), (col("pos") + 1).as("pos"))
-      .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
-        count(lit(1))).cast("float").as("comp"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
-        x => x.getField("comp")).as("ce"))
+    * seed attracted no members — Lloyd's standard degeneracy).
+    *
+    * ONE cid-keyed aggregate with 64 per-dimension decimal sums, not a
+    * posexplode → (cid, pos)-keyed aggregate → per-cid collect_list: the
+    * former shape exploded every member 64× and paid a second exchange
+    * PER LLOYD ROUND just to reassemble the mean vector (guide §2.3/§2.4
+    * — this is a training loop, so the saving multiplies by rounds ×
+    * trainings; r15). Per-dimension sums are over the identical member
+    * sets in both shapes (embeddings are fixed 64-dim library-wide), so
+    * the centroids are bit-identical and the oracle is untouched. */
+  private def lloydStep(assigned: DataFrame): DataFrame = {
+    val dims = 64
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("decimal(27,7)"))
+        .as(s"__s$i"))
+    assigned.groupBy(col("cid"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("__c")): _*)
+      .select(col("cid"), array((0 until dims).map(i =>
+        (col(s"__s$i").cast("double") / col("__c")).cast("float")): _*)
+        .as("ce"))
+  }
 
   /** IVF ANN with deterministic Lloyd refinement: corpus vectors are
     * assigned to their nearest of `nCells` coarse centroids (inverted
@@ -236,7 +249,38 @@ object Similarity {
     * FloatVecCosine. */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 2, lloydRounds: Int = 2,
-              sample: Int = 32): DataFrame = {
+              sample: Int = 32): DataFrame =
+    topkByScore(ivfScored(s, dir, nQueries, nCells, nProbe, lloydRounds,
+      sample), "sim", k)
+
+  /** The per-query top-k rows WITHOUT the presentation sort — what the
+    * q130/q180 audits consume: every downstream audit op is a join or an
+    * aggregate, so the finders' final orderBy was a pure dead weight (a
+    * range exchange + boundary-sampling job per finder per audit — guide
+    * §2.4 "an orderBy used only to make output deterministic"). Candidate
+    * (qid, nid) pairs are unique per finder, so the rank is total-order
+    * deterministic and the SET of rows is identical either way. */
+  private def topkRows(scored: DataFrame, scoreCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col(scoreCol).desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col(scoreCol))
+  }
+
+  /** The declared finders' tail: [[topkRows]] plus the (qid, nid)
+    * presentation sort the query contract pins. */
+  private def topkByScore(scored: DataFrame, scoreCol: String,
+                          k: Int): DataFrame =
+    topkRows(scored, scoreCol, k).orderBy(col("qid"), col("nid"))
+
+  /** Scored IVF candidates (qid, nid, sim) — [[ivfTopK]] before its
+    * top-k window, exposed so the q130/q180 audits rank all finders in
+    * ONE union-tagged window. */
+  private def ivfScored(s: SparkSession, dir: String, nQueries: Int,
+                        nCells: Int, nProbe: Int, lloydRounds: Int,
+                        sample: Int): DataFrame = {
     // corpus and centroids come from the session memo ([[sharedEmb]] /
     // [[sharedIvfCents]]): the persisted vec_id-partitioned frame keeps
     // each assignment pass's join-back exchange-free, and an audit
@@ -252,15 +296,10 @@ object Similarity {
       .withColumn("csim", round(graft.plans.FloatVecCosine(s, col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
       .select(col("qid"), col("qe"), col("cid"))
-    val scored = assigned.join(broadcast(probes), "cid")
+    assigned.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(graft.plans.FloatVecCosine(s, col("qe"), col("embedding")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("sim"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** Multi-table (banded) LSH ANN — the OR-construction over `bands` bands
@@ -278,7 +317,15 @@ object Similarity {
   def lshTopKMulti(s: SparkSession, dir: String,
                    nQueries: Int = 5, k: Int = 10,
                    bands: Int = 15, bitsPerBand: Int = 4,
-                   sample: Int = 32): DataFrame = {
+                   sample: Int = 32): DataFrame =
+    topkByScore(lshMultiScored(s, dir, nQueries, bands, bitsPerBand,
+      sample), "sim", k)
+
+  /** Scored banded-LSH candidates (qid, nid, sim) — [[lshTopKMulti]]
+    * before its top-k window (audit consolidation, see [[ivfScored]]). */
+  private def lshMultiScored(s: SparkSession, dir: String, nQueries: Int,
+                             bands: Int, bitsPerBand: Int,
+                             sample: Int): DataFrame = {
     val bits = bands * bitsPerBand
     require(bits <= 63, s"bucket bits out of long range: $bits")
     val mask = (1L << bitsPerBand) - 1
@@ -300,16 +347,11 @@ object Similarity {
       .join(broadcast(bandsOf(q, "qid")), Seq("band_id", "band_sig"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    val scored = cand
+    cand
       .join(broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
       .select(col("qid"), col("nid"),
         round(graft.plans.FloatVecCosine(s, col("qe"), col("ne")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("sim"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** LSH-bucketed ANN: score only (query, candidate) pairs sharing a
@@ -374,13 +416,19 @@ object Similarity {
     * instead of declared. */
   def quantizedTopK(s: SparkSession, dir: String,
                     nQueries: Int = 5, k: Int = 10,
-                    sample: Int = 32): DataFrame = {
+                    sample: Int = 32): DataFrame =
+    topkByScore(quantizedScored(s, dir, nQueries, sample), "qsim", k)
+
+  /** Scored int8 candidates (qid, nid, qsim) — [[quantizedTopK]] before
+    * its top-k window (audit consolidation, see [[ivfScored]]). */
+  private def quantizedScored(s: SparkSession, dir: String, nQueries: Int,
+                              sample: Int): DataFrame = {
     val emb = quantized(sharedEmb(s, dir, sample, nQueries))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
     val dotQ = aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y),
       lit(0L), (acc, z) => acc + z.cast("long"))
-    val scored = emb.crossJoin(broadcast(q))
+    emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(
@@ -388,11 +436,6 @@ object Similarity {
             .otherwise(dotQ.cast("double") /
               (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")))),
           6).as("qsim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("qsim"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** q128: product-quantized (PQ) ANN — the codebook compression that
@@ -453,10 +496,15 @@ object Similarity {
     * join re-shuffled corpus×m rows on BOTH sides every round, the one
     * key the vec_id-partitioned corpus does not co-locate. */
   private def pqTrain(s: SparkSession, subs: DataFrame, codebookSize: Int,
-                      lloydRounds: Int): (DataFrame, DataFrame) = {
+                      lloydRounds: Int, dims: Int): (DataFrame, DataFrame) = {
     val radix = lit(1L << 32)
     var books = subs.filter(col("vec_id") < codebookSize)
       .select(col("ss"), col("vec_id").as("cid"), col("sv").as("ce"))
+    // per-(ss, cid) member means as ONE aggregate with `dims` decimal
+    // sums — the lloydStep shape (see its doc: drops the 16× posexplode
+    // and one exchange per round; bit-identical means)
+    val svSums = (0 until dims).map(i =>
+      sum(element_at(col("sv"), i + 1).cast("decimal(27,7)")).as(s"__s$i"))
     for (_ <- 1 to lloydRounds) {
       books = subs.join(broadcast(books), Seq("ss"))
         .withColumn("csim", round(nanvl(
@@ -466,14 +514,12 @@ object Similarity {
             col("cid")).as("enc"), col("sv"))
         .groupBy(col("vec_id"), col("ss"))
         .agg(max(col("enc")).as("enc"), first(col("sv")).as("sv"))
-        .select(col("ss"), pmod(-col("enc"), radix).as("cid"),
-          posexplode(col("sv")))
-        .groupBy(col("ss"), col("cid"), (col("pos") + 1).as("pos"))
-        .agg((sum(col("col").cast("decimal(27,7)")).cast("double") /
-          count(lit(1))).cast("float").as("comp"))
+        .select(col("ss"), pmod(-col("enc"), radix).as("cid"), col("sv"))
         .groupBy(col("ss"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("comp")))), x => x.getField("comp")).as("ce"))
+        .agg(svSums.head, (svSums.tail :+ count(lit(1)).as("__c")): _*)
+        .select(col("ss"), col("cid"), array((0 until dims).map(i =>
+          (col(s"__s$i").cast("double") / col("__c")).cast("float")): _*)
+          .as("ce"))
     }
     (books, pqAssign(s, subs, books))
   }
@@ -487,7 +533,7 @@ object Similarity {
                        lloydRounds: Int): (DataFrame, DataFrame) =
     memo(s, s"pq:$dir:${embKeyPart(sample, nQueries)}:$m:$codebookSize:$lloydRounds") {
       val subs = pqSubs(sharedEmb(s, dir, sample, nQueries), m, 64 / m)
-      val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds)
+      val (books, codes) = pqTrain(s, subs, codebookSize, lloydRounds, 64 / m)
       // lazy persist, not eager checkpoint: a single-consumer caller
       // (q128 standalone) must not pay an extra materialization job just
       // to fill the cache a second consumer may never read
@@ -506,22 +552,28 @@ object Similarity {
 
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
              m: Int = 4, codebookSize: Int = 16,
-             lloydRounds: Int = 2, sample: Int = 32): DataFrame = {
+             lloydRounds: Int = 2, sample: Int = 32): DataFrame =
+    topkByScore(pqScored(s, dir, nQueries, m, codebookSize, lloydRounds,
+      sample), "adc_micro", k)
+
+  /** Full ADC score pool (qid, nid, adc_micro) for EVERY corpus vector —
+    * [[pqTopK]] before its top-k window. The q130/q180 audits feed this
+    * one pool to BOTH the pq leg (ranked directly) and the ivfpq leg
+    * (semi-joined down to the probed-cell candidates): the heavy
+    * codes⋈qtab→aggregate pass plans once and exchange-reuses, where the
+    * former shape aggregated the candidate subset a second time. */
+  private def pqScored(s: SparkSession, dir: String, nQueries: Int,
+                       m: Int, codebookSize: Int, lloydRounds: Int,
+                       sample: Int): DataFrame = {
     val emb = sharedEmb(s, dir, sample, nQueries)
     val subs = pqSubs(emb, m, 64 / m)
     val (books, codes) =
       sharedPq(s, dir, sample, nQueries, m, codebookSize, lloydRounds)
     val qtab = pqQueryTables(subs, books, nQueries)
-    val scored = codes.join(broadcast(qtab), Seq("ss", "cid"))
+    codes.join(broadcast(qtab), Seq("ss", "cid"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(sum(col("d_micro")).as("adc_micro"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_micro").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("adc_micro"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** q129: IVF-PQ — the production retrieval index shape (the FAISS
@@ -569,10 +621,66 @@ object Similarity {
                                    cents: DataFrame, assigned: DataFrame,
                                    books: DataFrame, codes: DataFrame,
                                    nQueries: Int, k: Int, nProbe: Int,
-                                   m: Int): DataFrame = {
+                                   m: Int): DataFrame =
+    topkByScore(ivfPqScoredFrom(s, emb, cents, assigned, books, codes,
+      nQueries, nProbe, m), "adc_micro", k)
+
+  /** Scored probed-cell candidates (qid, nid, adc_micro) —
+    * [[ivfPqTopKFrom]] before its top-k window. */
+  private def ivfPqScoredFrom(s: SparkSession, emb: DataFrame,
+                              cents: DataFrame, assigned: DataFrame,
+                              books: DataFrame, codes: DataFrame,
+                              nQueries: Int, nProbe: Int,
+                              m: Int): DataFrame = {
+    val probes = probeCells(s, emb, cents, nQueries, nProbe)
+    val subs = pqSubs(emb, m, 64 / m)
+    val qtab = pqQueryTables(subs, books, nQueries)
+    // candidates = members of each query's probed cells; ADC-score them
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    cand
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("qid", "ss", "cid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("d_micro")).as("adc_micro"))
+  }
+
+  /** The audits' ivfpq finder rows — [[ivfPqTopK]]'s construction (same
+    * §2.6 train bring-up) minus the presentation sort ([[topkRows]]). */
+  private def ivfPqTopKRows(s: SparkSession, dir: String,
+                            sample: Int): DataFrame = {
+    val nQueries = 5
+    val emb = sharedEmb(s, dir, sample, nQueries)
+    emb.count()
+    val (cents, (books, codes)) = Par.par2(
+      sharedIvfCents(s, dir, sample, nQueries, 16, 2),
+      sharedPq(s, dir, sample, nQueries, 4, 16, 2))
+    val assigned = sharedIvfAssign(s, dir, sample, nQueries, 16, 2)
+      .select(col("vec_id"), col("cid").as("cell"))
+    topkRows(ivfPqScoredFrom(s, emb, cents, assigned, books, codes,
+      nQueries, 2, 4), "adc_micro", 10)
+  }
+
+  /** The five finders' top-k rows for the audits — identical sets to the
+    * declared finders' outputs, minus each finder's presentation orderBy
+    * (see [[topkRows]]; every audit consumer is a join or aggregate). */
+  private def annMethodRows(s: SparkSession, dir: String,
+                            sample: Int): Seq[(String, DataFrame)] = Seq(
+    "int8" -> topkRows(quantizedScored(s, dir, 5, sample), "qsim", 10),
+    "ivf" -> topkRows(ivfScored(s, dir, 5, 16, 2, 2, sample), "sim", 10),
+    "ivfpq" -> ivfPqTopKRows(s, dir, sample),
+    "lsh_banded" -> topkRows(lshMultiScored(s, dir, 5, 15, 4, sample),
+      "sim", 10),
+    "pq" -> topkRows(pqScored(s, dir, 5, 4, 16, 2, sample),
+      "adc_micro", 10))
+
+  /** Each query's nProbe nearest coarse cells — (qid, cell). */
+  private def probeCells(s: SparkSession, emb: DataFrame, cents: DataFrame,
+                         nQueries: Int, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
-    val probes = emb.filter(col("vec_id") < nQueries)
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(
@@ -580,23 +688,6 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    val subs = pqSubs(emb, m, 64 / m)
-    val qtab = pqQueryTables(subs, books, nQueries)
-    // candidates = members of each query's probed cells; ADC-score them
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"))
-    val scored = cand
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(qtab), Seq("qid", "ss", "cid"))
-      .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum(col("d_micro")).as("adc_micro"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_micro").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("adc_micro"))
-      .orderBy(col("qid"), col("nid"))
   }
 
   /** q145: SemDeDup (Abbas et al. 2023) — semantic deduplication via
@@ -769,16 +860,11 @@ object Similarity {
     * engines grade the same candidates against the same truth. */
   def annRecall(s: SparkSession, dir: String,
                 sample: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(s, dir, sample = sample)
+    val exact = topkRows(bruteForceScored(s, dir, 5, sample), "sim", 10)
       .select(col("qid"), col("nid"))
       .transform(PinExplain.pin)
     val nx = broadcast(exact.groupBy().agg(count(lit(1)).as("n_exact")))
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "int8" -> quantizedTopK(s, dir, sample = sample),
-      "ivf" -> ivfTopK(s, dir, sample = sample),
-      "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
-      "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
-      "pq" -> pqTopK(s, dir, sample = sample))
+    val methods: Seq[(String, DataFrame)] = annMethodRows(s, dir, sample)
     val out = methods.map { case (nm, df) =>
       exact.join(df.select(col("qid"), col("nid")), Seq("qid", "nid"),
           "left_semi")
@@ -812,17 +898,12 @@ object Similarity {
     * library's own bucketed/coded retrieval paths. */
   def annMrr(s: SparkSession, dir: String, sample: Int = 8,
              k: Int = 10): DataFrame = {
-    val exact = bruteForceTopK(s, dir, sample = sample)
+    val exact = topkRows(bruteForceScored(s, dir, 5, sample), "sim", 10)
       .select(col("qid"), col("nid"))
       .transform(PinExplain.pin)
     val qs = exact.select(col("qid")).distinct().transform(PinExplain.pin)
     val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "int8" -> quantizedTopK(s, dir, sample = sample),
-      "ivf" -> ivfTopK(s, dir, sample = sample),
-      "ivfpq" -> ivfPqTopK(s, dir, sample = sample),
-      "lsh_banded" -> lshTopKMulti(s, dir, sample = sample),
-      "pq" -> pqTopK(s, dir, sample = sample))
+    val methods: Seq[(String, DataFrame)] = annMethodRows(s, dir, sample)
     val out = methods.map { case (nm, df) =>
       val score = df.columns(2) // (qid, nid, <method's own score>)
       val ranked = df.withColumn("rk", row_number().over(

@@ -559,9 +559,11 @@ object Stats {
         (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
     val vals = o.groupBy(col("v"))
       .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
-    val cum = Ranks.globalRunningSum(
-      Ranks.globalRunningSum(vals, Seq(), Seq("v"), "c1", "cum1"),
-      Seq(), Seq("v"), "c2", "cum2")
+    // both CDFs ride ONE range exchange/pin (the multi-measure prefix
+    // scan): the former chained globalRunningSum calls re-ranged and
+    // re-pinned a frame already sorted by v (guide §2.4)
+    val cum = Ranks.globalRunningSums(vals, Seq(), Seq("v"),
+      Seq("c1" -> "cum1", "c2" -> "cum2"))
     val n = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val d = cum.crossJoin(broadcast(n))
       .select(col("v"), col("n1"), col("n2"),

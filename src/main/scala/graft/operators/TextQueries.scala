@@ -1843,10 +1843,14 @@ object TextQueries {
     * (planted-fixture entry point for the novel-transition spec leg). */
   def heldoutBigramXentOf(docs: DataFrame): DataFrame = {
     val bucket = PortableHash.h60(col("text")) % 100
-    val bg = docs
+    // one tokenization for bigrams AND vocabulary (the pplDocBucketsOf
+    // shape): cache token arrays, explode per consumer
+    val tk = docs
       .select(col("doc_id"), col("source"), bucket.as("bk"),
         Text.tokens(col("text")).as("toks"))
       .filter(col("bk") < 80 || col("bk") >= 90)
+      .persist()
+    val bg = tk
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("source"), (col("bk") < 80).as("is_train"),
         explode(zip_with(
@@ -1855,13 +1859,12 @@ object TextQueries {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("source"), col("is_train"),
         col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .persist()
     val trainBg = bg.filter(col("is_train"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val ctx = trainBg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
-    val vocab = docs
-      .filter(bucket < 80)
-      .select(explode(Text.tokens(col("text"))).as("t"))
+    val vocab = tk
+      .filter(col("bk") < 80)
+      .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val scored = bg.filter(!col("is_train"))
       .join(trainBg, Seq("w1", "w2"), "left")
@@ -1882,7 +1885,7 @@ object TextQueries {
         round(col("st").cast("double") / col("n_trans").cast("double"), 6)
           .as("mean_xent"))
       .orderBy(col("source"))
-    Dedup.pinAndRelease(out, bg)
+    Dedup.pinAndRelease(out, tk)
   }
 
   /** q188: CCNet-style perplexity filter buckets — the head/middle/tail
@@ -1922,9 +1925,18 @@ object TextQueries {
     * q188 aggregates it, q192 joins it against the dedup clusters. */
   private[graft] def pplDocBucketsOf(docs: DataFrame): DataFrame = {
     val bucket = PortableHash.h60(col("text")) % 100
-    val bg = docs
+    // ONE tokenization feeds the bigram AND vocabulary passes: the
+    // cached frame holds the token ARRAYS (one row per doc — strictly
+    // smaller than the exploded per-transition bigram rows the previous
+    // shape cached), and each consumer explodes from the cache. The
+    // former shape re-tokenized the train split a second time just for
+    // the vocabulary count — at 100 TB a second full corpus regex pass
+    // (guide §1.2: don't compute things twice; VERDICT r14 #6).
+    val tk = docs
       .select(col("doc_id"), col("source"), (bucket < 80).as("is_train"),
         Text.tokens(col("text")).as("toks"))
+      .persist()
+    val bg = tk
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("source"), col("is_train"),
         explode(zip_with(
@@ -1933,15 +1945,16 @@ object TextQueries {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("source"), col("is_train"),
         col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .persist()
     val trainBg = bg.filter(col("is_train"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val vocab = docs.filter(bucket < 80)
-      .select(explode(Text.tokens(col("text"))).as("t"))
+    // vocab counts tokens of ALL train docs — including the <2-token
+    // docs the bigram pass drops, so it reads tk, never bg
+    val vocab = tk.filter(col("is_train"))
+      .select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val out = pplDocBucketsFrom(trainBg, vocab,
       bg.select(col("doc_id"), col("source"), col("w1"), col("w2")))
-    bg.unpersist(false)
+    tk.unpersist(false)
     out
   }
 
