@@ -321,14 +321,14 @@ object Apps {
   def curatedCorpusApp(spark: SparkSession, dir: String,
                        budget: Int = 2048): DataFrame = {
     import graft.operators.{Corpus, Curation}
-    val survivors = Curation.curationFlags(spark, dir)
-      .filter(col("pq") && col("kept") && col("clean"))
-      .select(col("doc_id"))
     // token counts come from the shared feature artifact — the whole
     // curation composition tokenizes the corpus exactly ONCE (inside
-    // docFeatures' checkpointed build), not once per stage
-    val counts = Curation.docFeatures(spark, dir)
-      .join(survivors, Seq("doc_id"), "left_semi")
+    // docFeatures' checkpointed build), not once per stage. The flag
+    // frame CARRIES n_tokens through from that artifact, so the former
+    // semi-join back against docFeatures re-derived a column the
+    // survivors already hold — one whole per-doc join gone (guide §2.4).
+    val counts = Curation.curationFlags(spark, dir)
+      .filter(col("pq") && col("kept") && col("clean"))
       .select(col("doc_id"), col("n_tokens"))
     Corpus.packAssignCounts(counts, budget)
   }
